@@ -3,8 +3,9 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine package: ``bloqsenjin_spark`` (see SURVEY.md §7).
 """
 
 from __future__ import annotations
@@ -12,27 +13,62 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bloqsenjin_spark import corpus, oracle
+from bloqsenjin_spark.config import SCORE_ROUND_DECIMALS
+from bloqsenjin_spark.operators import topk
+
+_R = SCORE_ROUND_DECIMALS
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.load_table(spark, sf_dir, "documents")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k over the reference query set at sf0.001."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    qs = corpus.reference_queries(spark)
+    return topk.bm25_brute_force(docs, qs)
+
+
+# ---- query implementations ---------------------------------------------------
+
+def _q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = topk.bm25_brute_force(_docs(spark, sf_dir), corpus.reference_queries(spark))
+    return res.withColumn("score", F.round("score", _R))
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = topk.tokenized(_docs(spark, sf_dir))
+    n_docs = tok.count()
+    ts = topk.term_stats_df(topk.term_freqs(tok), n_docs)
+    return ts.withColumn("idf", F.round("idf", _R))
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cs = topk.corpus_stats_df(topk.tokenized(_docs(spark, sf_dir)))
+    return cs.withColumn("avgdl", F.round("avgdl", _R))
+
+
+def _q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.tokenized(_docs(spark, sf_dir)).select("doc_id", "dl")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_topk_brute": _q_bm25_brute,
+        "term_stats": _q_term_stats,
+        "corpus_stats": _q_corpus_stats,
+        "doc_lengths": _q_doc_lengths,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk_brute": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
+        "term_stats": oracle.term_stats_sql(),
+        "corpus_stats": oracle.corpus_stats_sql(),
+        "doc_lengths": oracle.doc_lengths_sql(),
+    }

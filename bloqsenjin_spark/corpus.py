@@ -1,0 +1,87 @@
+"""Corpus loading: driver testdata → the ``pages`` shape, plus the reference
+query set and a deterministic synthetic corpus generator for skew/scale tests.
+
+``pages(url, warc_ts, html, text, lang)`` is authoritative
+(BASELINE.json:15). The driver's ``documents.parquet`` stands in at small
+scale (FIXTURES.md §1): url := 'doc://{source}/{doc_id}', warc_ts synthesized
+from doc_id, html := encode(text) so the extraction invariant round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages. Deterministic, no data invented."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias("url"),
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def synth_pages(spark: SparkSession, sf_dir: str, replication: int) -> DataFrame:
+    """Deterministic corpus enlargement for bench/scale runs: each source doc
+    is replicated ``replication`` times with a copy-index baked into the url
+    (and a copy-specific rare token appended so replicas aren't pure dups).
+    Seeded by construction — no randomness, no external data.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    copies = spark.range(replication).withColumnRenamed("id", "copy")
+    return (
+        d.crossJoin(F.broadcast(copies))
+        .select(
+            F.concat(F.lit("doc://"), F.col("source"), F.lit("/"),
+                     F.col("doc_id"), F.lit("#"), F.col("copy")).alias("url"),
+            (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+             + F.make_interval(secs=(F.col("doc_id") + F.col("copy")).cast("double"))).alias("warc_ts"),
+            F.encode(
+                F.concat(F.col("text"), F.lit(" copytok"), F.col("copy") % 1000),
+                "utf-8",
+            ).alias("html"),
+            F.concat(F.col("text"), F.lit(" copytok"), F.col("copy") % 1000).alias("text"),
+            F.col("lang"),
+        )
+    )
+
+
+# ---- reference query set (FIXTURES.md §2) ------------------------------------
+# Fixed literals: head terms, mid terms, the rare term 'dup', absent terms
+# (zero-hit), duplicate terms (policy: query terms are DEDUPED before scoring
+# — bag-of-words with unique terms; pinned here and in the oracle SQL).
+REFERENCE_QUERIES: list[tuple[int, list[str], str, int]] = [
+    (1, ["spark"], "disjunctive", 10),
+    (2, ["the", "fast"], "disjunctive", 10),
+    (3, ["join", "hash", "row"], "conjunctive", 10),
+    (4, ["customer", "order"], "conjunctive", 100),
+    (5, ["dup"], "disjunctive", 100),
+    (6, ["zebra"], "disjunctive", 10),
+    (7, ["stream", "window", "agg", "group"], "disjunctive", 25),
+    (8, ["query", "query", "fast"], "disjunctive", 10),
+    (9, ["a", "the"], "conjunctive", 50),
+    (10, ["vector", "zebra"], "conjunctive", 10),
+    (11, ["merge", "sort", "slow"], "disjunctive", 1),
+    (12, ["big", "data"], "conjunctive", 10),
+]
+
+
+def reference_queries(spark: SparkSession) -> DataFrame:
+    from bloqsenjin_spark import schemas
+
+    rows = [(q, sorted(set(t)), m, k) for q, t, m, k in REFERENCE_QUERIES]
+    return spark.createDataFrame(rows, schema=schemas.QUERIES)

@@ -1,0 +1,81 @@
+"""Posting-list compression: delta + LEB128 varint, vectorized in NumPy.
+
+Direct descendant of the reference's bit-packing instinct (the 2048-bit page
+bitset, /root/reference/pkg/pages/bitset.go:3-17) applied to the standard IR
+layout: docIDs within a block are strictly increasing → store gaps; gaps and
+tfs are small → varint. Everything here is array-at-a-time NumPy so the
+encode/decode cost inside applyInPandas/mapInPandas stays off the per-row
+Python path (BASELINE.json:15).
+
+Layout per encoded array: plain LEB128 stream, little-endian 7-bit groups,
+high bit = continuation. Deltas are ``doc_ids[0] - block_base`` then
+successive gaps (so every value is small and block-local).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARINT_BYTES = 10  # 64 bits / 7
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized: one pass per byte position."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length/7), min 1
+    bits = np.zeros(v.shape, dtype=np.int64)
+    nz = v > 0
+    bits[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+    # float log2 can under-round at exact powers near 2^53+; correct upward
+    too_low = v >= (np.uint64(1) << np.minimum(bits, 63).astype(np.uint64))
+    bits[too_low & (bits < 64)] += 1
+    nbytes = np.maximum((bits + 6) // 7, 1)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    for i in range(int(nbytes.max())):
+        mask = nbytes > i
+        idx = starts[mask] + i
+        chunk = (v[mask] >> np.uint64(7 * i)).astype(np.uint64) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > i).astype(np.uint8) << 7
+        out[idx] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode an LEB128 stream to uint64. Vectorized via terminator scan."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero(raw < 0x80)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    nbytes = ends - starts + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    for i in range(int(nbytes.max())):
+        mask = nbytes > i
+        b = raw[starts[mask] + i].astype(np.uint64)
+        vals[mask] |= (b & np.uint64(0x7F)) << np.uint64(7 * i)
+    return vals
+
+
+def delta_encode(sorted_ids: np.ndarray, base: int = 0) -> bytes:
+    """Encode a strictly-increasing int array as varint gaps from ``base``."""
+    a = np.asarray(sorted_ids, dtype=np.int64)
+    if a.size == 0:
+        return b""
+    gaps = np.empty(a.shape, dtype=np.uint64)
+    gaps[0] = np.uint64(a[0] - base)
+    if a.size > 1:
+        gaps[1:] = np.diff(a).astype(np.uint64)
+    return varint_encode(gaps)
+
+
+def delta_decode(buf: bytes, base: int = 0) -> np.ndarray:
+    """Inverse of delta_encode → int64 array."""
+    gaps = varint_decode(buf).astype(np.int64)
+    if gaps.size == 0:
+        return gaps
+    gaps[0] += base
+    return np.cumsum(gaps)
