@@ -16,10 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bloqsenjin_spark import corpus, oracle
-from bloqsenjin_spark.config import SCORE_ROUND_DECIMALS
-from bloqsenjin_spark.operators import topk
+from bloqsenjin_spark.config import SCORE_ROUND_DECIMALS, IndexConfig
+from bloqsenjin_spark.operators import topk, wand
+from bloqsenjin_spark.operators.postings import decode_postings
+from bloqsenjin_spark.plans.build import build_index
 
 _R = SCORE_ROUND_DECIMALS
+# small shard/block sizes so sf0.01 (500 docs) exercises multi-shard paths
+_SF_CFG = IndexConfig(docs_per_shard=128, block_docs=16)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,9 +60,28 @@ def _q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.tokenized(_docs(spark, sf_dir)).select("doc_id", "dl")
 
 
+def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed engine (build postings → block-max top-k); oracle is the
+    SAME SQL as the brute-force path — rank identity checked by the driver."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG)
+    res = wand.bm25_wand_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        corpus.REFERENCE_QUERIES, _SF_CFG,
+    )
+    return res.withColumn("score", F.round("score", _R))
+
+
+def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed index decodes back to the exact (term, doc_id, tf) relation."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG)
+    return decode_postings(idx.postings, _SF_CFG)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_brute": _q_bm25_brute,
+        "bm25_topk_wand": _q_bm25_wand,
+        "postings_roundtrip": _q_postings_roundtrip,
         "term_stats": _q_term_stats,
         "corpus_stats": _q_corpus_stats,
         "doc_lengths": _q_doc_lengths,
@@ -66,8 +89,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    toks = oracle.DUCKDB_TOKENS_SQL.format(col="text")
     return {
         "bm25_topk_brute": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
+        "bm25_topk_wand": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
+        "postings_roundtrip": (
+            "WITH tok AS (SELECT doc_id, unnest(" + toks + ") AS term FROM documents) "
+            "SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id"
+        ),
         "term_stats": oracle.term_stats_sql(),
         "corpus_stats": oracle.corpus_stats_sql(),
         "doc_lengths": oracle.doc_lengths_sql(),

@@ -1,0 +1,171 @@
+"""M2: inverted-index build — term-sharded posting lists with delta+varint
+compression and block-max metadata, via groupBy + applyInPandas.
+
+Physical layout (schemas.POSTINGS): one row per (term, shard, block).
+
+* ``shard = doc_id // docs_per_shard`` — contiguous docID ranges. This bounds
+  every (term, shard) pandas group to ≤ docs_per_shard postings, which IS the
+  head-term skew handling (north rule "salted repartitioning"): the salt is
+  the doc-range, so a term appearing in 50% of 10^12 docs becomes ~n/shard
+  bounded groups instead of one OOM group, and — unlike hash salting — the
+  sub-shards stay globally doc-ordered so no order-restoring merge is needed.
+* ``block_id = (doc_id % docs_per_shard) // block_docs`` — blocks are aligned
+  to the SAME doc ranges across terms, so the query side can (a) intersect
+  conjunctive terms block-wise and (b) upper-bound a block for a whole query
+  by summing the terms' block_max_score at equal block_id (operators/wand.py).
+* A doc lives in exactly one block, so its full BM25 score is computable from
+  that block alone — block-level pruning is exact, not heuristic.
+
+Reference parity: the posting relation is exactly the shape of
+``bloq_keywords(bloq_id, keyword)`` with UNIQUE(bloq_id, keyword)
+(/root/reference/internal/models/bloq.go:75-84); the reference declares a
+secondary index but never materializes it
+(/root/reference/internal/db/mariadb.go:280-282) — this module is that gap
+filled. The packed bitset ancestry of the block metadata is
+/root/reference/pkg/pages/bitset.go:3-17.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bloqsenjin_spark import schemas
+from bloqsenjin_spark.config import DEFAULT_CONFIG, IndexConfig
+from bloqsenjin_spark.functions import bm25
+from bloqsenjin_spark.functions.codec import delta_encode, varint_encode
+
+DOC_LENS_SCHEMA = "shard int, n_docs int, dls binary"
+
+
+def _postings_groups(
+    cfg: IndexConfig, avgdl: float
+) -> "callable[[pd.DataFrame], pd.DataFrame]":
+    dps, bdocs = cfg.docs_per_shard, cfg.block_docs
+    k1, b = cfg.k1, cfg.b
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        idf = float(pdf["idf"].iloc[0])
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        doc_ids = pdf["doc_id"].to_numpy()[order]
+        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
+        dls = pdf["dl"].to_numpy()[order].astype(np.float64)
+
+        local = doc_ids - shard * dps
+        block_ids = (local // bdocs).astype(np.int64)
+        contrib = idf * bm25.tf_component_np(tfs.astype(np.float64), dls, avgdl, k1, b)
+
+        rows = []
+        uniq, starts = np.unique(block_ids, return_index=True)
+        bounds = np.append(starts, doc_ids.size)
+        for bi, s, e in zip(uniq, bounds[:-1], bounds[1:]):
+            ids = doc_ids[s:e]
+            base = shard * dps + int(bi) * bdocs
+            rows.append(
+                (
+                    term,
+                    shard,
+                    int(bi),
+                    int(e - s),
+                    int(ids[0]),
+                    int(ids[-1]),
+                    delta_encode(ids, base=base),
+                    varint_encode(tfs[s:e].astype(np.uint64)),
+                    int(tfs[s:e].max()),
+                    float(contrib[s:e].max()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[f.name for f in schemas.POSTINGS.fields],
+        )
+
+    return build_group
+
+
+def build_postings(
+    tok: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """(doc_id, tokens, dl) + term_stats → POSTINGS rows.
+
+    One shuffle on (term, shard); block_max_score is computed at build time
+    with the pinned (k1, b, idf, avgdl), as in standard BMW indexes.
+    """
+    tf = (
+        tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("shard", (F.col("doc_id") / cfg.docs_per_shard).cast("int"))
+        .join(term_stats.select("term", "idf"), "term")
+    )
+    return tf.groupBy("term", "shard").applyInPandas(
+        _postings_groups(cfg, avgdl), schema=schemas.POSTINGS
+    )
+
+
+def build_doc_lens(tok: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_id, dl) → one row per shard with varint-packed dl by local docID.
+
+    Requires dense docIDs (operators/docids.py guarantees this): local ids
+    0..n-1 are all present, so position == local docID.
+    """
+    dps = cfg.docs_per_shard
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        local = (pdf["doc_id"].to_numpy() - shard * dps).astype(np.int64)
+        dls = np.zeros(int(local.max()) + 1, dtype=np.uint64)
+        if np.unique(local).size != local.size:
+            raise ValueError(f"duplicate docIDs in shard {shard}")
+        dls[local] = pdf["dl"].to_numpy().astype(np.uint64)
+        return pd.DataFrame(
+            [(shard, dls.size, varint_encode(dls))],
+            columns=["shard", "n_docs", "dls"],
+        )
+
+    return (
+        tok.select("doc_id", "dl")
+        .withColumn("shard", (F.col("doc_id") / dps).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(pack, schema=DOC_LENS_SCHEMA)
+    )
+
+
+def decode_postings(postings: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Inverse of build_postings for property tests: POSTINGS → (term, doc_id, tf).
+
+    mapInPandas (no shuffle): each block row decodes independently.
+    """
+    from bloqsenjin_spark.functions.codec import delta_decode, varint_decode
+
+    dps, bdocs = cfg.docs_per_shard, cfg.block_docs
+
+    def explode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_t, out_d, out_f = [], [], []
+            for r in pdf.itertuples(index=False):
+                base = r.shard * dps + r.block_id * bdocs
+                ids = delta_decode(bytes(r.doc_deltas), base=base)
+                tfs = varint_decode(bytes(r.tfs)).astype(np.int64)
+                out_t.extend([r.term] * ids.size)
+                out_d.append(ids)
+                out_f.append(tfs)
+            if out_t:
+                yield pd.DataFrame(
+                    {
+                        "term": out_t,
+                        "doc_id": np.concatenate(out_d),
+                        "tf": np.concatenate(out_f),
+                    }
+                )
+
+    return postings.mapInPandas(explode_blocks, schema="term string, doc_id long, tf long")

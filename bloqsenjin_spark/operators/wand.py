@@ -1,0 +1,191 @@
+"""M3: index-backed top-k BM25 with exact block-max pruning (BMW family).
+
+Distributed shape:
+
+  postings (term ∈ query terms — predicate pushed to the scan)
+    ⟂ cogroup by shard with the packed doc-length table
+    → applyInPandas block-max scorer (NumPy, no per-row Python)
+    → per-(query, shard) partial top-k (tiny)
+    → global window rank ≤ k  (score DESC, doc_id ASC)
+
+Correctness of the pruning: blocks are doc-range aligned across terms and a
+doc lives in exactly one block, so its complete score is computable from that
+block alone. For a query, ub[block] = Σ_t block_max_score(t, block) bounds
+every doc score in the block; processing blocks in ub-descending order and
+stopping when ub < (k-th best so far) is therefore EXACT, not approximate.
+Per-partition top-k then global top-k is exact because every global winner is
+a winner in its own partition.
+
+Rank-identity with the brute-force oracle: term contributions are accumulated
+in lexicographic term order — the same float64 operation sequence as
+operators/topk.py's sorted fold — so scores match bit-for-bit, and ties break
+on doc_id ASC in both. The pruning stop uses strict inequality with a 1e-12
+guard so upper-bound ties can never drop an equal-scored lower-docID doc.
+
+The intersection/union duality mirrors the reference's permission masks:
+conjunctive = subset test (/root/reference/internal/auth/token.go:89),
+disjunctive = OR-fold (/root/reference/pkg/auth/http/log.go:170-196).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bloqsenjin_spark.config import DEFAULT_CONFIG, IndexConfig
+from bloqsenjin_spark.functions import bm25
+from bloqsenjin_spark.functions.codec import delta_decode, varint_decode
+
+_PARTIAL_SCHEMA = "query_id long, doc_id long, score double"
+
+
+def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig):
+    dps, bdocs = cfg.docs_per_shard, cfg.block_docs
+    k1, b = cfg.k1, cfg.b
+
+    def score(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        if pl.empty or dl_pdf.empty:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+            )
+        shard = int(pl["shard"].iloc[0])
+        dls = varint_decode(bytes(dl_pdf["dls"].iloc[0])).astype(np.float64)
+        shard_base = shard * dps
+
+        # term → {block_id → row idx}, and term → {block_id → block_max_score}
+        term_blocks: dict[str, dict[int, int]] = {}
+        term_bmax: dict[str, dict[int, float]] = {}
+        bids = pl["block_id"].to_numpy()
+        terms_col = pl["term"].to_numpy()
+        bmax_col = pl["block_max_score"].to_numpy()
+        for i in range(len(pl)):
+            t = terms_col[i]
+            term_blocks.setdefault(t, {})[int(bids[i])] = i
+            term_bmax.setdefault(t, {})[int(bids[i])] = float(bmax_col[i])
+
+        deltas_col = pl["doc_deltas"].to_numpy()
+        tfs_col = pl["tfs"].to_numpy()
+        decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def block_postings(row_idx: int, block_base: int):
+            got = decoded.get(row_idx)
+            if got is None:
+                ids = delta_decode(bytes(deltas_col[row_idx]), base=block_base)
+                tfs = varint_decode(bytes(tfs_col[row_idx])).astype(np.float64)
+                got = decoded[row_idx] = (ids, tfs)
+            return got
+
+        out_q, out_d, out_s = [], [], []
+        for qid, terms, mode, k in queries:
+            present = sorted(t for t in set(terms) if t in term_blocks)
+            need = sorted(set(terms))
+            if not present:
+                continue
+            conj = mode == "conjunctive"
+            if conj and len(present) != len(need):
+                continue
+            # candidate blocks + query upper bound per block
+            if conj:
+                sets = [set(term_blocks[t]) for t in present]
+                cand = set.intersection(*sets)
+            else:
+                cand = set()
+                for t in present:
+                    cand.update(term_blocks[t])
+            if not cand:
+                continue
+            ubs = {
+                bi: sum(term_bmax[t].get(bi, 0.0) for t in present) for bi in cand
+            }
+            ordered = sorted(cand, key=lambda bi: (-ubs[bi], bi))
+
+            scores_acc: list[np.ndarray] = []
+            docs_acc: list[np.ndarray] = []
+            n_found = 0
+            threshold = -np.inf
+            for bi in ordered:
+                if n_found >= k and ubs[bi] < threshold - 1e-12:
+                    break
+                block_base = shard_base + bi * bdocs
+                acc = np.zeros(bdocs, dtype=np.float64)
+                matched = np.zeros(bdocs, dtype=np.int32)
+                for t in present:  # lexicographic order = deterministic sums
+                    ri = term_blocks[t].get(bi)
+                    if ri is None:
+                        continue
+                    ids, tfs = block_postings(ri, block_base)
+                    off = ids - block_base
+                    contrib = idf_map[t] * bm25.tf_component_np(
+                        tfs, dls[ids - shard_base], avgdl, k1, b
+                    )
+                    acc[off] += contrib
+                    matched[off] += 1
+                sel = matched == len(need) if conj else matched > 0
+                offs = np.flatnonzero(sel)
+                if offs.size == 0:
+                    continue
+                docs_acc.append(offs + block_base)
+                scores_acc.append(acc[offs])
+                n_found += offs.size
+                if n_found >= k:
+                    allx = np.concatenate(scores_acc)
+                    threshold = np.partition(allx, allx.size - k)[allx.size - k]
+            if not docs_acc:
+                continue
+            docs = np.concatenate(docs_acc)
+            scs = np.concatenate(scores_acc)
+            if docs.size > k:
+                # partial top-k with (score desc, doc asc) — lexsort keys
+                order = np.lexsort((docs, -scs))[:k]
+                docs, scs = docs[order], scs[order]
+            out_q.append(np.full(docs.size, qid, dtype=np.int64))
+            out_d.append(docs)
+            out_s.append(scs)
+
+        if not out_q:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return score
+
+
+def bm25_wand_topk(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    queries: list[tuple[int, list[str], str, int]],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """→ TOPK_RESULT. ``queries`` is the (small) reference query set — its
+    terms and per-term idf are broadcast with the scorer closure; postings are
+    filtered to query terms so only the needed term shards are ever scanned
+    (predicate pushdown on the postings table's ``term`` column)."""
+    all_terms = sorted({t for _, ts, _, _ in queries for t in ts})
+    idf_map = {
+        r["term"]: float(r["idf"])
+        for r in term_stats.where(F.col("term").isin(all_terms)).collect()
+    }
+    pq = postings.where(F.col("term").isin(all_terms))
+    partial = pq.groupby("shard").cogroup(doc_lens.groupby("shard")).applyInPandas(
+        _shard_scorer(queries, idf_map, float(avgdl), cfg), schema=_PARTIAL_SCHEMA
+    )
+    kmap = F.create_map(
+        *[x for qid, _, _, k in queries for x in (F.lit(qid), F.lit(k))]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kmap[F.col("query_id")])
+        .select("query_id", "rank", "doc_id", "score")
+    )

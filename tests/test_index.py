@@ -1,0 +1,123 @@
+"""M2/M3: index build + block-max query — rank identity vs brute force.
+
+Block size forced tiny (FIXTURES.md §3) so multi-block/multi-shard paths are
+exercised even on micro corpora.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloqsenjin_spark import corpus
+from bloqsenjin_spark.config import IndexConfig
+from bloqsenjin_spark.operators import postings as P
+from bloqsenjin_spark.operators import topk, wand
+from bloqsenjin_spark.plans.build import build_index
+from tests.test_bm25_brute import MICRO_QUERIES, _mk_queries
+
+TINY = IndexConfig(docs_per_shard=4, block_docs=2)  # 8 docs → 2 shards × 2 blocks
+SMALL = IndexConfig(docs_per_shard=128, block_docs=16)  # 500 docs → 4 shards
+
+
+def _wand_result(docs_df, queries, cfg):
+    idx = build_index(docs_df, cfg)
+    return wand.bm25_wand_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, queries, cfg
+    )
+
+
+def test_postings_micro_fixture(spark, micro_docs):
+    """FIXTURES.md §3: postings for 'a' = [(0,1),(2,3),(5,1),(7,1)], block=2."""
+    idx = build_index(micro_docs, TINY)
+    rows = P.decode_postings(idx.postings.where(F.col("term") == "a"), TINY).collect()
+    got = sorted((r["doc_id"], r["tf"]) for r in rows)
+    assert got == [(0, 1), (2, 3), (5, 1), (7, 1)]
+    # block structure: shard 0 holds docs 0-3, blocks {0:[0,2(wait 2 in block1)]}
+    blocks = {
+        (r["shard"], r["block_id"]): (r["n_docs"], r["first_doc"], r["last_doc"])
+        for r in idx.postings.where(F.col("term") == "a").collect()
+    }
+    # doc 0 → shard 0 block 0; doc 2 → shard 0 block 1; docs 5,7 → shard 1 blocks 0,1
+    assert blocks == {
+        (0, 0): (1, 0, 0),
+        (0, 1): (1, 2, 2),
+        (1, 0): (1, 5, 5),
+        (1, 1): (1, 7, 7),
+    }
+
+
+def test_decode_roundtrip_equals_brute_postings(spark, micro_docs):
+    """decode(build(x)) == brute-force tf table (SURVEY §7.1 M2 property)."""
+    idx = build_index(micro_docs, TINY)
+    got = sorted(
+        (r["term"], r["doc_id"], r["tf"])
+        for r in P.decode_postings(idx.postings, TINY).collect()
+    )
+    want = sorted(
+        (r["term"], r["doc_id"], r["tf"])
+        for r in topk.term_freqs(topk.tokenized(micro_docs)).collect()
+    )
+    assert got == want
+
+
+def test_block_max_is_max_over_block(spark, micro_docs):
+    """block_max_tf == max(decoded tfs) per block (SURVEY §5.2 item 3)."""
+    idx = build_index(micro_docs, TINY)
+    import numpy as np
+
+    from bloqsenjin_spark.functions.codec import varint_decode
+
+    for r in idx.postings.collect():
+        tfs = varint_decode(bytes(r["tfs"]))
+        assert int(tfs.max()) == r["block_max_tf"]
+        assert len(tfs) == r["n_docs"]
+
+
+def test_doc_lens_packing(spark, micro_docs):
+    import numpy as np
+
+    from bloqsenjin_spark.functions.codec import varint_decode
+
+    idx = build_index(micro_docs, TINY)
+    dl = {r["shard"]: varint_decode(bytes(r["dls"])) for r in idx.doc_lens.collect()}
+    assert list(dl[0]) == [3, 4, 3, 1]
+    assert list(dl[1]) == [0, 3, 5, 2]
+
+
+@pytest.mark.parametrize("cfg", [TINY, IndexConfig(docs_per_shard=8, block_docs=8)])
+def test_wand_rank_identical_micro(spark, micro_docs, cfg):
+    qs = _mk_queries(spark, MICRO_QUERIES)
+    want = topk.bm25_brute_force(micro_docs, qs).orderBy("query_id", "rank").collect()
+    got = (
+        _wand_result(micro_docs, [(q, sorted(set(t)), m, k) for q, t, m, k in MICRO_QUERIES], cfg)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g["query_id"], g["rank"], g["doc_id"]) == (
+            w["query_id"],
+            w["rank"],
+            w["doc_id"],
+        )
+        assert g["score"] == pytest.approx(w["score"], abs=1e-12)
+
+
+def test_wand_rank_identical_sf0001(spark):
+    docs_df = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    qs = corpus.reference_queries(spark)
+    want = topk.bm25_brute_force(docs_df, qs).orderBy("query_id", "rank").collect()
+    got = (
+        _wand_result(docs_df, corpus.REFERENCE_QUERIES, SMALL)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert (g["query_id"], g["rank"], g["doc_id"]) == (
+            w["query_id"],
+            w["rank"],
+            w["doc_id"],
+        ), (g, w)
+        assert g["score"] == pytest.approx(w["score"], abs=1e-12)
