@@ -17,13 +17,15 @@ from pyspark.sql import functions as F
 
 from bloqsenjin_spark import corpus, oracle
 from bloqsenjin_spark.config import SCORE_ROUND_DECIMALS, IndexConfig
-from bloqsenjin_spark.operators import topk, wand
+from bloqsenjin_spark.operators import dedup, multimodal, relational, similarity, textstats, topk, wand
 from bloqsenjin_spark.operators.postings import decode_postings
 from bloqsenjin_spark.plans.build import build_index
 
 _R = SCORE_ROUND_DECIMALS
 # small shard/block sizes so sf0.01 (500 docs) exercises multi-shard paths
 _SF_CFG = IndexConfig(docs_per_shard=128, block_docs=16)
+_ANN_QUERY_IDS = list(range(10))
+_ANN_K = 5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,20 +79,121 @@ def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_postings(idx.postings, _SF_CFG)
 
 
+def _q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    # jaccard is a ratio of exact ints → bit-identical across engines, no rounding
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.9)
+
+
+def _q_simhash(spark, sf_dir):
+    # rows-only oracle: signature values are xxhash64-dependent
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_token_count(spark, sf_dir):
+    return textstats.token_count(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    q = textstats.quality_score(_docs(spark, sf_dir))
+    for c in ("mean_token_len", "stopword_ratio", "alnum_ratio", "quality"):
+        q = q.withColumn(c, F.round(c, _R))
+    return q
+
+
+def _q_lang_id(spark, sf_dir):
+    r = textstats.lang_id(_docs(spark, sf_dir))
+    return r.withColumn("lang_score", F.round("lang_score", _R))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    emb = corpus.load_table(spark, sf_dir, "embeddings")
+    r = similarity.cosine_topk(emb, _ANN_QUERY_IDS, k=_ANN_K)
+    return r.withColumn("score", F.round("score", _R))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    # rows-only oracle: approximate by construction (recall tested in pytest)
+    emb = corpus.load_table(spark, sf_dir, "embeddings")
+    r = similarity.ann_cosine_lsh(emb, _ANN_QUERY_IDS, k=_ANN_K)
+    return r.withColumn("score", F.round("score", _R))
+
+
+def _q_asset_metadata(spark, sf_dir):
+    assets = multimodal.assets_from_documents(_docs(spark, sf_dir))
+    m = multimodal.asset_metadata(assets)
+    return m.withColumn("aspect", F.round("aspect", _R))
+
+
+def _q_multimodal_features(spark, sf_dir):
+    # rows-only oracle: md5-derived fake features (decode stub contract)
+    assets = multimodal.assets_from_documents(_docs(spark, sf_dir))
+    return multimodal.fake_decode_features(assets)
+
+
+def _rel(fn, *tables):
+    def run(spark, sf_dir):
+        return fn(*[corpus.load_table(spark, sf_dir, t) for t in tables])
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # inverted-index engine
         "bm25_topk_brute": _q_bm25_brute,
         "bm25_topk_wand": _q_bm25_wand,
         "postings_roundtrip": _q_postings_roundtrip,
         "term_stats": _q_term_stats,
         "corpus_stats": _q_corpus_stats,
         "doc_lengths": _q_doc_lengths,
+        # training-data pipeline: dedup
+        "dedup_exact": _q_exact_dedup,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash,
+        # text analysis
+        "text_token_count": _q_token_count,
+        "text_quality": _q_quality,
+        "text_lang_id": _q_lang_id,
+        "text_fingerprint": _q_fingerprint,
+        # similarity search
+        "sim_cosine_topk": _q_cosine_topk,
+        "sim_ann_lsh": _q_ann_lsh,
+        # multimodal plumbing
+        "mm_asset_metadata": _q_asset_metadata,
+        "mm_fake_features": _q_multimodal_features,
+        # relational parity (SURVEY §2)
+        "rel_select_project_filter": _rel(relational.select_project_filter, "lineitem"),
+        "rel_join_groupby_view": _rel(relational.join_groupby_view, "customer", "orders"),
+        "rel_enrichment_join": _rel(relational.enrichment_join, "orders", "lineitem", "part"),
+        "rel_semi_join_exists": _rel(relational.semi_join_exists, "customer", "orders"),
+        "rel_anti_join_guard": _rel(relational.anti_join_guard, "customer", "orders"),
+        "rel_cooccurrence_pairs": _rel(relational.cooccurrence_pairs, "lineitem"),
+        "rel_interval_filter": _rel(relational.interval_filter, "orders"),
+        "rel_top1_per_group": _rel(relational.top1_per_group, "orders"),
+        "rel_quota_count": _rel(relational.quota_count, "orders"),
+        "rel_level_curve": _rel(relational.level_curve, "events"),
+        "rel_bitmask_ops": _rel(relational.bitmask_ops, "events"),
+        "rel_schema_merge_union": _rel(relational.schema_merge_union, "orders"),
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from bloqsenjin_spark.operators.textstats import LANG_MARKERS, STOPWORDS
+
     toks = oracle.DUCKDB_TOKENS_SQL.format(col="text")
-    return {
+    out = {
         "bm25_topk_brute": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
         "bm25_topk_wand": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
         "postings_roundtrip": (
@@ -100,4 +203,18 @@ def oracle_sql() -> dict[str, str]:
         "term_stats": oracle.term_stats_sql(),
         "corpus_stats": oracle.corpus_stats_sql(),
         "doc_lengths": oracle.doc_lengths_sql(),
+        "dedup_exact": oracle.exact_dedup_sql(),
+        "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(0.8),
+        "dedup_minhash_lsh": oracle.ngram_jaccard_sql(0.9),
+        # dedup_simhash: rows-only (xxhash64-seeded signatures)
+        "text_token_count": oracle.token_count_sql(),
+        "text_quality": oracle.quality_score_sql(STOPWORDS),
+        "text_lang_id": oracle.lang_id_sql(LANG_MARKERS),
+        "text_fingerprint": oracle.fingerprint_sql(),
+        "sim_cosine_topk": oracle.cosine_topk_sql(_ANN_QUERY_IDS, _ANN_K),
+        # sim_ann_lsh: rows-only (approximate; recall covered in pytest)
+        "mm_asset_metadata": oracle.asset_metadata_sql(),
+        # mm_fake_features: rows-only (stubbed decode contract)
     }
+    out.update(oracle.RELATIONAL_SQL)
+    return out

@@ -41,7 +41,11 @@ def synth_pages(spark: SparkSession, sf_dir: str, replication: int) -> DataFrame
     (and a copy-specific rare token appended so replicas aren't pure dups).
     Seeded by construction — no randomness, no external data.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # the base parquet is a single small file → 1 input partition; without a
+    # repartition the whole replicated corpus would be generated (and range-
+    # sampled) by one task, serializing every downstream stage
+    par = spark.sparkContext.defaultParallelism * 2
+    d = load_table(spark, sf_dir, "documents").repartition(par)
     copies = spark.range(replication).withColumnRenamed("id", "copy")
     return (
         d.crossJoin(F.broadcast(copies))

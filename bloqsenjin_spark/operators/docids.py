@@ -25,20 +25,33 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def assign_doc_ids(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def assign_doc_ids(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    assume_unique: bool = False,
+) -> DataFrame:
     """pages → pages + doc_id (long, dense, 0-based, ordered by url).
 
-    Duplicate urls are dropped first (keep lexically-first snapshot by
-    warc_ts desc? No — exact dedup on url keeps an arbitrary-but-deterministic
-    row via max(warc_ts); reference analog: UNIQUE guards,
-    /root/reference/internal/auth/auth.go:92-113).
+    Unless ``assume_unique``, duplicate urls are dropped first (keep an
+    arbitrary-but-deterministic row via max over the remaining columns;
+    reference analog: UNIQUE guards,
+    /root/reference/internal/auth/auth.go:92-113). Pass ``assume_unique=True``
+    when the source enforces uniqueness — it skips a full shuffle.
+
+    Perf note: repartitionByRange SAMPLES its child to pick boundaries, i.e.
+    executes the upstream plan twice. Keep expensive UDFs (extraction)
+    DOWNSTREAM of this call — only url + raw columns should flow in.
     """
     spark = pages.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    w = pages.groupBy("url").agg(F.max(F.struct("warc_ts", "html", "text", "lang")).alias("s"))
-    deduped = w.select("url", "s.warc_ts", "s.html", "s.text", "s.lang")
+    if assume_unique:
+        deduped = pages
+    else:
+        others = [c for c in pages.columns if c != "url"]
+        w = pages.groupBy("url").agg(F.max(F.struct(*others)).alias("s"))
+        deduped = w.select("url", *[F.col(f"s.{c}").alias(c) for c in others])
 
     ranged = (
         deduped.repartitionByRange(num_partitions, "url")

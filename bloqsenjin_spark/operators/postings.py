@@ -89,27 +89,106 @@ def _postings_groups(
     return build_group
 
 
+_TOKEN_FINDALL = "[a-z0-9]+"  # complement of config.TOKEN_SPLIT_REGEX
+
+
+def doc_term_freqs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """docs → (doc_id, dl, term, tf), computed MAP-SIDE in one Arrow pass.
+
+    This replaces explode → groupBy(term, doc_id): tf is a per-document
+    quantity, so counting inside the document's own batch removes an entire
+    corpus-wide shuffle — at 10^12 docs that shuffle (≈ total token count in
+    rows) is the single largest cost in the naive plan. Output rows feed the
+    (term, shard) index shuffle directly.
+
+    Tokenization here (pandas .str.findall) must stay in lock-step with
+    functions/text.tokens (JVM split) and the DuckDB oracle — all three are
+    pinned to lowercase + [a-z0-9]+ runs and covered by golden-token tests.
+    """
+    from typing import Iterator as _It
+
+    def batches(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in it:
+            toks = pdf[text_col].fillna("").str.lower().str.findall(_TOKEN_FINDALL)
+            dl = toks.str.len().to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            reps = np.repeat(np.arange(len(pdf), dtype=np.int64), dl)
+            flat: list[str] = []
+            for lst in toks:
+                flat.extend(lst)
+            if not flat:
+                continue
+            # count (doc, term) pairs via factorize + single-key np.unique —
+            # far cheaper than a pandas groupby on object keys
+            codes, uniques = pd.factorize(pd.array(flat))
+            v = len(uniques)
+            key = reps * v + codes
+            uk, counts = np.unique(key, return_counts=True)
+            gi = uk // v
+            gc = uk % v
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[gi],
+                    "dl": dl[gi],
+                    "term": np.asarray(uniques, dtype=object)[gc],
+                    "tf": counts.astype(np.int64),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, schema="doc_id long, dl long, term string, tf long"
+    )
+
+
+def term_freqs_with_dl(tok: DataFrame) -> DataFrame:
+    """(term, doc_id, dl, tf) — THE build intermediate. Computed once and
+    persisted by the caller: term_stats needs a full pass over it before
+    postings can be built (idf is baked into block_max), so two consumers
+    share one materialization instead of re-exploding the corpus."""
+    return (
+        tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def build_postings_from_tf(
+    tf: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """(term, doc_id, dl, tf) + term_stats → POSTINGS rows.
+
+    One shuffle on (term, shard); block_max_score is computed at build time
+    with the pinned (k1, b, idf, avgdl), as in standard BMW indexes.
+    """
+    stats = term_stats.select("term", "idf")
+    if broadcast_stats:
+        # term_stats post-aggregation is vocab-sized; broadcast keeps the big
+        # tf relation's only shuffle the (term, shard) index shuffle itself.
+        # At full web scale (vocab ≫ broadcast threshold) flip this off and
+        # Catalyst plans a shuffle join that co-partitions with the groupBy.
+        stats = F.broadcast(stats)
+    enriched = tf.withColumn(
+        "shard", (F.col("doc_id") / cfg.docs_per_shard).cast("int")
+    ).join(stats, "term")
+    return enriched.groupBy("term", "shard").applyInPandas(
+        _postings_groups(cfg, avgdl), schema=schemas.POSTINGS
+    )
+
+
 def build_postings(
     tok: DataFrame,
     term_stats: DataFrame,
     avgdl: float,
     cfg: IndexConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
-    """(doc_id, tokens, dl) + term_stats → POSTINGS rows.
-
-    One shuffle on (term, shard); block_max_score is computed at build time
-    with the pinned (k1, b, idf, avgdl), as in standard BMW indexes.
-    """
-    tf = (
-        tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("shard", (F.col("doc_id") / cfg.docs_per_shard).cast("int"))
-        .join(term_stats.select("term", "idf"), "term")
-    )
-    return tf.groupBy("term", "shard").applyInPandas(
-        _postings_groups(cfg, avgdl), schema=schemas.POSTINGS
-    )
+    """(doc_id, tokens, dl) + term_stats → POSTINGS rows (convenience path)."""
+    return build_postings_from_tf(term_freqs_with_dl(tok), term_stats, avgdl, cfg)
 
 
 def build_doc_lens(tok: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFrame:

@@ -1,0 +1,177 @@
+"""Relational operator parity with the reference DAL (SURVEY.md §2), expressed
+as single Catalyst plans over the driver's TPC-H-ish tables.
+
+Each function documents the reference operator it re-expresses (file:line into
+/root/reference) and replaces the reference's N+1 / row-at-a-time pattern with
+the one-pass distributed equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def select_project_filter(lineitem: DataFrame) -> DataFrame:
+    """S1/P1/P2: projected scan + conjunctive comparison predicates.
+
+    Reference: Select() builds `SELECT cols WHERE c1 AND c2 ...` with
+    EQ/NE/GE/GT/LE/LT (pkg/db/relational.go:5-14,45; internal/db/
+    mariadb.go:39-126). Filters/projection push down to the parquet scan.
+    """
+    return lineitem.select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    ).where(
+        (F.col("l_quantity") >= 30)
+        & (F.col("l_returnflag") != "R")
+        & (F.col("l_discount") < 0.05)
+    )
+
+
+def join_groupby_view(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """J1/A1: the reference's ONE real SQL join — an inner equi-join +
+    GROUP BY with two aggregates (follower-count view,
+    internal/models/profile.go:103-117)."""
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+
+
+def enrichment_join(orders: DataFrame, lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """J2: the N+1 enrichment join (per-bloq child Selects merged into the
+    parent row, internal/models/bloq.go:385-432) as ONE pass of joins +
+    collect_list — never per-row lookups."""
+    items = (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_name", "l_quantity")
+    )
+    return (
+        orders.join(items, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sort_array(F.collect_list("p_name")).alias("part_names"),
+        )
+    )
+
+
+def semi_join_exists(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """J4: left-semi existence check (PreferenceExists len(rows)==1,
+    internal/models/preferences.go:300-309)."""
+    big = orders.where(F.col("o_totalprice") > 100000).select("o_custkey")
+    return customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def anti_join_guard(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """J5/O3: anti pattern — rows WITHOUT a match (pre-insert duplicate guard
+    select-then-error, internal/auth/auth.go:92-113; compensating-delete
+    difference, internal/models/bloq.go:277-306)."""
+    return customer.join(
+        orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def cooccurrence_pairs(lineitem: DataFrame, min_weight: int = 2) -> DataFrame:
+    """J7/A3: pairwise co-occurrence with p1 < p2 invariant — the reference's
+    O(n²) likes loop + read-modify-write weight upsert
+    (internal/models/profile.go:335-395, CHECK(preference1_id<preference2_id)
+    preferences.go:55-57) as one self-join + groupBy count."""
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count("*").alias("weight"))
+        .where(F.col("weight") >= min_weight)
+    )
+
+
+def interval_filter(orders: DataFrame) -> DataFrame:
+    """P5/J8: interval (range) predicate — the active-offer window
+    `starts <= now AND ends >= now` (internal/models/offer.go:352-356)."""
+    return orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") <= F.lit("1997-06-30"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+
+
+def top1_per_group(orders: DataFrame) -> DataFrame:
+    """W1/T3: rank-1 per group with deterministic tie-break — the MX-record
+    min-preference pick (pkg/email/verify.go:35-37,147-149)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def quota_count(orders: DataFrame, max_orders: int = 20) -> DataFrame:
+    """A2: count-as-quota (profile-per-credential cap,
+    internal/models/profile.go:244-262)."""
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= max_orders)
+    )
+
+
+def level_curve(events: DataFrame) -> DataFrame:
+    """W3/F10: the log-bucketed level step function
+    lvl = least(floor(a*log2(k*x))+1, cap) (internal/models/profile.go:659-697)
+    over event values — scalar analytics as Catalyst expressions."""
+    a, k, cap = 0.7, 1.5, 8
+    x = F.col("value") + F.lit(1.0)
+    lvl = F.least(
+        F.floor(F.lit(a) * F.log2(F.lit(k) * x)) + 1, F.lit(cap)
+    ).cast("int")
+    return events.select(
+        "event_id",
+        F.greatest(lvl, F.lit(1)).alias("level"),
+    )
+
+
+def bitmask_ops(events: DataFrame) -> DataFrame:
+    """O1/O2/F12: permission-bitmask union + subset test
+    (pkg/auth/permissions.go:29-37, internal/auth/token.go:89) — bitwise ops
+    on a derived mask column."""
+    mask = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .otherwise(8)
+    ).cast("long")
+    per_user = events.select("user_id", mask.alias("m")).groupBy("user_id").agg(
+        # OR-fold of grants
+        F.aggregate(F.collect_list("m"), F.lit(0).cast("long"),
+                    lambda acc, x: acc.bitwiseOR(x)).alias("mask")
+    )
+    want = 5  # click|purchase
+    return per_user.withColumn(
+        "has_click_and_purchase",
+        (F.col("mask").bitwiseAND(F.lit(want)) == F.lit(want)),
+    )
+
+
+def schema_merge_union(orders: DataFrame) -> DataFrame:
+    """A6/S3: column-set union across heterogeneous row batches (the insert
+    key-union loop, internal/db/mariadb.go:136-146) via unionByName with
+    missing columns."""
+    high = orders.where(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("tier")
+    )
+    low = orders.where(F.col("o_totalprice") <= 200000).select(
+        "o_orderkey", F.lit("low").alias("tier")
+    )
+    return high.unionByName(low, allowMissingColumns=True)

@@ -106,3 +106,239 @@ def doc_lengths_sql(doc_table: str = "documents", text_col: str = "text",
                     id_col: str = "doc_id") -> str:
     toks = DUCKDB_TOKENS_SQL.format(col=text_col)
     return f"SELECT {id_col} AS doc_id, len({toks}) AS dl FROM {doc_table}"
+
+
+# ---- dedup -------------------------------------------------------------------
+
+_NORM = "array_to_string(" + DUCKDB_TOKENS_SQL.format(col="text") + ", ' ')"
+
+
+def exact_dedup_sql() -> str:
+    return f"""
+WITH h AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents)
+SELECT doc_id, content_hash,
+       doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS keep
+FROM h
+""".strip()
+
+
+def _jaccard_cte(n: int = 3) -> str:
+    toks = DUCKDB_TOKENS_SQL.format(col="text")
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+toks AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct([{parts} FOR i IN range(1, len(t) - {n - 2})]) AS s
+    FROM toks WHERE len(t) >= {n}
+),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+inter AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)""".strip()
+
+
+def ngram_jaccard_sql(threshold: float, n: int = 3) -> str:
+    return f"""
+WITH {_jaccard_cte(n)}
+SELECT d1, d2, i::DOUBLE / (sa.n_sh + sb.n_sh - i) AS jaccard
+FROM inter
+JOIN sizes sa ON d1 = sa.doc_id
+JOIN sizes sb ON d2 = sb.doc_id
+WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= {threshold}
+""".strip()
+
+
+# ---- text stats ----------------------------------------------------------------
+
+def token_count_sql() -> str:
+    toks = DUCKDB_TOKENS_SQL.format(col="text")
+    return (
+        f"SELECT doc_id, len({toks})::BIGINT AS n_tokens, "
+        "length(coalesce(text, ''))::BIGINT AS n_chars_seen FROM documents"
+    )
+
+
+def quality_score_sql(stopwords: tuple[str, ...], round_to: int = SCORE_ROUND_DECIMALS) -> str:
+    toks = DUCKDB_TOKENS_SQL.format(col="text")
+    stop_lit = ", ".join(f"'{s}'" for s in stopwords)
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           {toks} AS t,
+           coalesce(text, '') AS txt
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           len(t)::DOUBLE AS n_tok,
+           length(regexp_replace(lower(txt), '[^a-z0-9]', '', 'g'))::DOUBLE AS alnum,
+           length(txt)::DOUBLE AS total,
+           len(list_filter(t, x -> x IN ({stop_lit})))::DOUBLE AS stop_hits
+    FROM base
+)
+SELECT doc_id,
+       n_tok::BIGINT AS n_tokens,
+       round(CASE WHEN n_tok > 0 THEN alnum / n_tok ELSE 0.0 END, {round_to}) AS mean_token_len,
+       round(CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END, {round_to}) AS stopword_ratio,
+       round(CASE WHEN total > 0 THEN alnum / total ELSE 0.0 END, {round_to}) AS alnum_ratio,
+       round(
+         least(n_tok / 20.0, 1.0) * 0.25
+         + CASE WHEN n_tok > 0 AND alnum / n_tok BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END
+         + least(CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END / 0.05, 1.0) * 0.25
+         + CASE WHEN total > 0 THEN alnum / total ELSE 0.0 END * 0.25
+       , {round_to}) AS quality
+FROM m
+""".strip()
+
+
+def lang_id_sql(markers: dict[str, tuple[str, ...]],
+                round_to: int = SCORE_ROUND_DECIMALS) -> str:
+    toks = DUCKDB_TOKENS_SQL.format(col="text")
+    hit_cols = []
+    for lang in sorted(markers):
+        lit = ", ".join(f"'{w}'" for w in markers[lang])
+        hit_cols.append(f"len(list_filter(t, x -> x IN ({lit})))::BIGINT AS h_{lang}")
+    langs = sorted(markers)
+    # strict-greater argmax in sorted language order, seeded with ('und', 0)
+    best_expr = "struct_pack(hits := 0::BIGINT, lang := 'und')"
+    for lang in langs:
+        best_expr = (
+            f"CASE WHEN h_{lang} > ({best_expr}).hits "
+            f"THEN struct_pack(hits := h_{lang}, lang := '{lang}') "
+            f"ELSE {best_expr} END"
+        )
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+hits AS (SELECT doc_id, len(t)::DOUBLE AS n_tok, {', '.join(hit_cols)} FROM base),
+best AS (SELECT doc_id, n_tok, {best_expr} AS b FROM hits)
+SELECT doc_id, (b).lang AS lang_pred,
+       round(CASE WHEN n_tok > 0 THEN (b).hits / n_tok ELSE 0.0 END, {round_to}) AS lang_score
+FROM best
+""".strip()
+
+
+def fingerprint_sql() -> str:
+    return (
+        f"SELECT doc_id, md5({_NORM}) AS fp, "
+        f"substring(md5({_NORM}), 1, 16) AS fp_prefix FROM documents"
+    )
+
+
+# ---- similarity ----------------------------------------------------------------
+
+def cosine_topk_sql(query_ids: list[int], k: int,
+                    round_to: int = SCORE_ROUND_DECIMALS) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN ({ids})),
+scored AS (
+    SELECT q.query_id, b.vec_id,
+           list_dot_product(q.qv, b.v)
+             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v)))
+             AS score
+    FROM base b CROSS JOIN q
+    WHERE b.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, vec_id, round(score, {round_to}) AS score
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+# ---- multimodal metadata --------------------------------------------------------
+
+def asset_metadata_sql(round_to: int = SCORE_ROUND_DECIMALS) -> str:
+    return f"""
+SELECT doc_id AS asset_id,
+       ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3 + 1)::INT] AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS digest,
+       round((doc_id % 640 + 1)::DOUBLE / (doc_id % 480 + 1), {round_to}) AS aspect
+FROM documents
+""".strip()
+
+
+# ---- relational parity (TPC-H-ish tables) ---------------------------------------
+
+RELATIONAL_SQL: dict[str, str] = {
+    "rel_select_project_filter": """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity >= 30 AND l_returnflag <> 'R' AND l_discount < 0.05
+""".strip(),
+    "rel_join_groupby_view": """
+SELECT c_custkey, c_name, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spent
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""".strip(),
+    "rel_enrichment_join": """
+SELECT o_orderkey, o_totalprice, count(*) AS n_items,
+       list_sort(list(p_name)) AS part_names
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY o_orderkey, o_totalprice
+""".strip(),
+    "rel_semi_join_exists": """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+""".strip(),
+    "rel_anti_join_guard": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""".strip(),
+    "rel_cooccurrence_pairs": """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS weight
+FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""".strip(),
+    "rel_interval_filter": """
+SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate <= '1997-06-30'
+""".strip(),
+    "rel_top1_per_group": """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+) WHERE rn = 1
+""".strip(),
+    "rel_quota_count": """
+SELECT o_custkey, count(*) AS n_orders FROM orders
+GROUP BY o_custkey HAVING count(*) >= 20
+""".strip(),
+    "rel_level_curve": """
+SELECT event_id,
+       greatest(least(floor(0.7 * log2(1.5 * (value + 1.0))) + 1, 8), 1)::INT AS level
+FROM events
+""".strip(),
+    "rel_bitmask_ops": """
+WITH m AS (
+    SELECT user_id,
+           CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                WHEN 'purchase' THEN 4 ELSE 8 END::BIGINT AS m
+    FROM events
+), agg AS (
+    SELECT user_id, bit_or(m) AS mask FROM m GROUP BY user_id
+)
+SELECT user_id, mask, (mask & 5) = 5 AS has_click_and_purchase FROM agg
+""".strip(),
+    "rel_schema_merge_union": """
+SELECT o_orderkey, o_totalprice, 'high' AS tier FROM orders WHERE o_totalprice > 200000
+UNION ALL BY NAME
+SELECT o_orderkey, NULL::DOUBLE AS o_totalprice, 'low' AS tier FROM orders WHERE o_totalprice <= 200000
+""".strip(),
+}

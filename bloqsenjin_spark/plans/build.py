@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bloqsenjin_spark.config import DEFAULT_CONFIG, IndexConfig
+from bloqsenjin_spark.functions import bm25
 from bloqsenjin_spark.operators import postings as P
 from bloqsenjin_spark.operators import topk as T
 
@@ -38,6 +39,11 @@ class Index:
     n_docs: int
     avgdl: float
     cfg: IndexConfig
+    _cached: tuple = ()
+
+    def unpersist(self) -> None:
+        for df in self._cached:
+            df.unpersist()
 
 
 def build_index(
@@ -45,29 +51,59 @@ def build_index(
     cfg: IndexConfig = DEFAULT_CONFIG,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache: bool = False,
 ) -> Index:
-    """Pure-DataFrame build (lazy until consumed); exact stats.
+    """Pure-DataFrame build; exact stats.
 
     ``docs`` must carry dense deterministic docIDs (operators/docids.py).
+
+    ``cache=True`` (the production path) persists the two shared
+    intermediates: ``tok`` (consumed by corpus stats + doc_lens) and the tf
+    relation (consumed by term_stats, then — after idf exists — by the
+    postings builder). Without it every consumer re-tokenizes the corpus;
+    with it the corpus is scanned once. MEMORY_AND_DISK so 100-TB-scale runs
+    degrade to disk-backed shuffle files instead of OOM; call
+    ``Index.unpersist()`` when the build outputs are written.
     """
-    tok = T.tokenized(docs, text_col=text_col, id_col=id_col)
+    from pyspark.storagelevel import StorageLevel
+
+    cached = []
+    # (doc_id, dl) pass: JVM-side tokenize + size, no shuffle — tiny persist
+    # that also serves doc_lens and corpus stats (covers dl=0 docs, which the
+    # tf relation by construction omits)
+    tok = T.tokenized(docs, text_col=text_col, id_col=id_col).select("doc_id", "dl")
+    if cache:
+        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(tok)
     n_docs, avgdl = tok.agg(F.count("*"), F.avg("dl")).first()
     avgdl = float(avgdl or 0.0) or 1.0
-    term_stats = T.term_stats_df(T.term_freqs(tok), int(n_docs))
+    # (doc_id, dl, term, tf): map-side Arrow pass, no corpus-wide shuffle
+    tf = P.doc_term_freqs(docs, text_col=text_col, id_col=id_col)
+    if cache:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(tf)
+    term_stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    ).withColumn("idf", bm25.idf_col(F.col("df"), int(n_docs)))
     return Index(
-        postings=P.build_postings(tok, term_stats, avgdl, cfg),
+        postings=P.build_postings_from_tf(tf, term_stats, avgdl, cfg),
         doc_lens=P.build_doc_lens(tok, cfg),
         term_stats=term_stats,
         n_docs=int(n_docs),
         avgdl=avgdl,
         cfg=cfg,
+        _cached=tuple(cached),
     )
 
 
 def write_index(idx: Index, index_dir: str) -> None:
-    idx.postings.write.partitionBy("shard").mode("overwrite").parquet(f"{index_dir}/postings")
-    idx.doc_lens.write.partitionBy("shard").mode("overwrite").parquet(f"{index_dir}/doc_lens")
-    idx.term_stats.write.mode("overwrite").parquet(f"{index_dir}/term_stats")
+    idx.postings.repartition(F.col("shard")).write.partitionBy("shard").mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/postings")
+    idx.doc_lens.repartition(F.col("shard")).write.partitionBy("shard").mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/doc_lens")
+    idx.term_stats.coalesce(8).write.mode("overwrite").parquet(f"{index_dir}/term_stats")
     spark = idx.postings.sparkSession
     spark.createDataFrame(
         [(idx.n_docs, idx.avgdl)], "n_docs long, avgdl double"
@@ -129,31 +165,35 @@ def build_index_resumable(
     is the segment-merge path (operators/merge.py), not resume.
     """
     spark = docs.sparkSession
-    idx = build_index(docs, cfg, text_col=text_col, id_col=id_col)
+    idx = build_index(docs, cfg, text_col=text_col, id_col=id_col, cache=True)
 
     done = completed_shards(spark, index_dir)
-    planned = {
-        r["shard"]
-        for r in docs.select(
-            (F.col(id_col) / cfg.docs_per_shard).cast("int").alias("shard")
-        ).distinct().collect()
-    }
+    # docIDs are dense 0..N-1 ⇒ planned shards are exactly 0..ceil(N/dps)-1;
+    # derived from the already-computed n_docs — no extra corpus scan.
+    n_shards = (idx.n_docs + cfg.docs_per_shard - 1) // cfg.docs_per_shard
+    planned = set(range(n_shards))
     todo = sorted(planned - done)
 
     # global stats always (re)written — cheap, snapshot-invariant
-    idx.term_stats.write.mode("overwrite").parquet(f"{index_dir}/term_stats")
+    idx.term_stats.coalesce(8).write.mode("overwrite").parquet(f"{index_dir}/term_stats")
     spark.createDataFrame(
         [(idx.n_docs, idx.avgdl)], "n_docs long, avgdl double"
     ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
 
     if todo:
-        todo_set = set(todo)
         post = idx.postings.where(F.col("shard").isin(todo))
         dlens = idx.doc_lens.where(F.col("shard").isin(todo))
-        # dynamic partitionOverwriteMode (session.py) ⇒ only `todo` partitions
-        # are replaced; `done` shard partitions are untouched.
-        post.write.partitionBy("shard").mode("overwrite").parquet(f"{index_dir}/postings")
-        dlens.write.partitionBy("shard").mode("overwrite").parquet(f"{index_dir}/doc_lens")
+        # repartition by shard before partitionBy write: without it every
+        # write task emits one file per shard it happens to hold (tasks ×
+        # shards small files → serial driver commit dominates); with it each
+        # shard is exactly one file. dynamic partitionOverwriteMode
+        # (session.py) ⇒ only `todo` partitions are replaced on resume.
+        post.repartition(F.col("shard")).write.partitionBy("shard").mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/postings")
+        dlens.repartition(F.col("shard")).write.partitionBy("shard").mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/doc_lens")
 
         m = (
             spark.read.parquet(f"{index_dir}/postings")
@@ -180,6 +220,7 @@ def build_index_resumable(
             F.current_timestamp().alias("ts"),
         )
         ck.write.mode("append").parquet(f"{index_dir}/checkpoints")
+    idx.unpersist()
 
 
 def read_index(spark: SparkSession, index_dir: str, cfg: IndexConfig = DEFAULT_CONFIG) -> Index:

@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloqsenjin_spark import corpus
+from bloqsenjin_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),          # exact dup of 0
+        (2, "Alpha, beta;  GAMMA delta epsilon zeta!"),      # normalizes to 0
+        (3, "alpha beta gamma delta epsilon eta"),           # near-dup (1 token)
+        (4, "completely different words here entirely now"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark, dup_docs):
+    r = {x["doc_id"]: x for x in dedup.exact_dedup(dup_docs).collect()}
+    assert r[0]["keep"] and not r[1]["keep"] and not r[2]["keep"]
+    assert r[0]["content_hash"] == r[1]["content_hash"] == r[2]["content_hash"]
+    assert r[3]["keep"] and r[4]["keep"] and r[5]["keep"]
+
+
+def test_ngram_jaccard_exact_pairs(spark, dup_docs):
+    pairs = {
+        (x["d1"], x["d2"]): x["jaccard"]
+        for x in dedup.ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()
+    }
+    # docs 0,1,2 identical after tokenization → J=1 for all three pairs
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0 and pairs[(1, 2)] == 1.0
+    # doc 3 shares 3 of 4+4-3 shingles with 0/1/2: J = 3/5
+    assert pairs[(0, 3)] == pytest.approx(0.6)
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_catches_identical_and_matches_exact(spark, dup_docs):
+    lsh = {
+        (x["d1"], x["d2"]): x["jaccard"]
+        for x in dedup.minhash_lsh_pairs(dup_docs, threshold=0.99).collect()
+    }
+    assert set(lsh) == {(0, 1), (0, 2), (1, 2)}
+    assert all(v == 1.0 for v in lsh.values())
+
+
+def test_minhash_equals_bruteforce_on_sf0001(spark):
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    want = sorted(
+        (r["d1"], r["d2"]) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    )
+    got = sorted(
+        (r["d1"], r["d2"]) for r in dedup.minhash_lsh_pairs(docs, threshold=0.9).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_simhash_identical_docs_hamming_zero(spark, dup_docs):
+    pairs = {
+        (x["d1"], x["d2"]): x["hamming"]
+        for x in dedup.simhash_pairs(dup_docs, max_hamming=8).collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0 and pairs[(1, 2)] == 0
+
+
+def test_simhash_signature_deterministic(spark, dup_docs):
+    a = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(dup_docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(dup_docs).collect()}
+    assert a == b
+    assert a[0] == a[1] == a[2]
+
+
+def test_hot_shingle_cap_preserves_planted_dups(spark):
+    """Skew cap drops only candidate shingles; planted J≈0.99 pairs survive."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = sorted(
+        (r["d1"], r["d2"]) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.95).collect()
+    )
+    capped = sorted(
+        (r["d1"], r["d2"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.95, max_shingle_df=50).collect()
+    )
+    assert capped == full

@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bloqsenjin_spark import corpus
+from bloqsenjin_spark.operators import similarity
+
+QIDS = list(range(10))
+K = 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return corpus.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def test_cosine_topk_vs_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    got = similarity.cosine_topk(emb, QIDS, k=K).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in QIDS:
+        qv = vecs[q]
+        scores = sorted(
+            (
+                (-float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), vid)
+                for vid, v in vecs.items() if vid != q
+            )
+        )[:K]
+        want = [(vid, -s) for s, vid in scores]
+        res = sorted(by_q[q], key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in res] == [w[0] for w in want]
+        for r, w in zip(res, want):
+            assert r["score"] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_ann_scores_match_exact_pairs(spark, emb):
+    """Every ANN hit's score must equal the exact cosine for that pair."""
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    got = similarity.ann_cosine_lsh(emb, QIDS, k=K).collect()
+    assert len(got) > 0
+    for r in got:
+        qv, v = vecs[r["query_id"]], vecs[r["vec_id"]]
+        exact = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+        assert r["score"] == pytest.approx(exact, abs=1e-9)
+
+
+def test_ann_recall_bound(spark, emb):
+    brute = similarity.cosine_topk(emb, QIDS, k=K).collect()
+    ann = similarity.ann_cosine_lsh(emb, QIDS, k=K).collect()
+    bset = {(r["query_id"], r["vec_id"]) for r in brute}
+    aset = {(r["query_id"], r["vec_id"]) for r in ann}
+    recall = len(bset & aset) / len(bset)
+    # banded hyperplane LSH (8×4 bits) on isotropic random vectors: pin a
+    # floor so regressions (e.g. broken bucketing) are caught; real clustered
+    # embeddings sit far above this
+    assert recall >= 0.4, f"recall collapsed: {recall}"
+
+
+def test_lsh_buckets_deterministic(spark, emb):
+    a = {(r["vec_id"], r["band"]): r["key"] for r in similarity.lsh_signatures(emb).collect()}
+    b = {(r["vec_id"], r["band"]): r["key"] for r in similarity.lsh_signatures(emb).collect()}
+    assert a == b
+    assert len(a) == 500 * 8
+    assert all(0 <= k < 16 for k in a.values())
