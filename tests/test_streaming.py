@@ -1,0 +1,77 @@
+"""Structured Streaming: incremental segments + compaction == batch rebuild,
+and watermarked windowed metrics over the events stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloqsenjin_spark import corpus
+from bloqsenjin_spark.config import IndexConfig
+from bloqsenjin_spark.operators import topk, wand
+from bloqsenjin_spark.plans import build as B
+from bloqsenjin_spark.streaming import ingest
+
+CFG = IndexConfig(docs_per_shard=64, block_docs=8)
+
+
+def test_stream_ingest_compact_equals_batch(spark, tmp_path):
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    in_dir = str(tmp_path / "in")
+    seg_dir = str(tmp_path / "seg")
+    ck_dir = str(tmp_path / "ck")
+
+    # batch 1 lands, stream drains it
+    docs.where(F.col("doc_id") < 250).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = ingest.start_ingest(spark, in_dir, seg_dir, ck_dir, cfg=CFG)
+    q.awaitTermination(120)
+
+    # batch 2 lands later, stream resumes from checkpoint
+    docs.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(in_dir)
+    q = ingest.start_ingest(spark, in_dir, seg_dir, ck_dir, cfg=CFG)
+    q.awaitTermination(120)
+
+    merged = ingest.compact(spark, seg_dir, CFG)
+    assert merged.n_docs == 500
+
+    want = topk.bm25_brute_force(docs, corpus.reference_queries(spark)).orderBy(
+        "query_id", "rank"
+    ).collect()
+    got = wand.bm25_wand_topk(
+        merged.postings, merged.doc_lens, merged.term_stats, merged.avgdl,
+        corpus.REFERENCE_QUERIES, CFG,
+    ).orderBy("query_id", "rank").collect()
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert (g["query_id"], g["rank"], g["doc_id"]) == (w["query_id"], w["rank"], w["doc_id"])
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+def test_windowed_event_metrics_batch_semantics(spark):
+    events = corpus.load_table(spark, "/root/testdata/sf0.001", "events")
+    got = ingest.windowed_event_metrics(events, window="1 day", watermark="1 day")
+    rows = got.collect()
+    assert len(rows) > 0
+    total = sum(r["n"] for r in rows)
+    assert total == events.count()
+    # window bounds are day-aligned and half-open
+    for r in rows:
+        assert r["window_start"] < r["window_end"]
+
+
+def test_stream_ingest_idempotent_batch_replay(spark, tmp_path):
+    """Re-running the drained stream (same checkpoint) adds nothing."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).where(F.col("doc_id") < 100)
+    in_dir = str(tmp_path / "in")
+    seg_dir = str(tmp_path / "seg")
+    ck_dir = str(tmp_path / "ck")
+    docs.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    for _ in range(2):
+        q = ingest.start_ingest(spark, in_dir, seg_dir, ck_dir, cfg=CFG)
+        q.awaitTermination(120)
+    merged = ingest.compact(spark, seg_dir, CFG)
+    assert merged.n_docs == 100
