@@ -142,6 +142,13 @@ def _q_multimodal_features(spark, sf_dir):
     return multimodal.fake_decode_features(assets)
 
 
+def _q_prefix_scan(spark, sf_dir):
+    """S9/T1: KV prefix scan with limit over the term dictionary."""
+    tok = topk.tokenized(_docs(spark, sf_dir))
+    ts = topk.term_stats_df(topk.term_freqs(tok), tok.count())
+    return relational.prefix_scan_limited(ts.select("term", "df"), prefix="s", limit=10)
+
+
 def _rel(fn, *tables):
     def run(spark, sf_dir):
         return fn(*[corpus.load_table(spark, sf_dir, t) for t in tables])
@@ -186,6 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_level_curve": _rel(relational.level_curve, "events"),
         "rel_bitmask_ops": _rel(relational.bitmask_ops, "events"),
         "rel_schema_merge_union": _rel(relational.schema_merge_union, "orders"),
+        "rel_validate_rows": _rel(relational.validate_rows, "part"),
+        "rel_rollup_metrics": _rel(relational.rollup_metrics, "lineitem"),
+        "rel_lag_lead_deltas": _rel(relational.lag_lead_deltas, "events"),
+        "rel_json_extract": _rel(relational.json_extract_props, "events"),
+        "term_prefix_scan": _q_prefix_scan,
     }
 
 
@@ -215,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         # sim_ann_lsh: rows-only (approximate; recall covered in pytest)
         "mm_asset_metadata": oracle.asset_metadata_sql(),
         # mm_fake_features: rows-only (stubbed decode contract)
+        "term_prefix_scan": oracle.prefix_scan_sql("s", 10),
     }
     out.update(oracle.RELATIONAL_SQL)
     return out

@@ -164,6 +164,71 @@ def bitmask_ops(events: DataFrame) -> DataFrame:
     )
 
 
+def prefix_scan_limited(term_stats: DataFrame, prefix: str = "s", limit: int = 10) -> DataFrame:
+    """S9/T1: KV prefix scan with page limit — Redis SCAN `prefix*` with the
+    1000-key default page (internal/db/redis.go:70-83; the paginator rebuilds
+    state from exactly such scans, pkg/pages/pages.go:54-86). Deterministic
+    page = ORDER BY key."""
+    return (
+        term_stats.where(F.col("term").startswith(prefix))
+        .select("term", "df")
+        .orderBy("term")
+        .limit(limit)
+    )
+
+
+def validate_rows(part: DataFrame) -> DataFrame:
+    """P7: validation predicates — length windows, enum membership, price ≥ 0
+    (name≤80/desc≤140 guards internal/models/bloq.go:196-230; enum domain
+    offer.go:20-50; price check offer.go:206-246). Returns rows with a
+    per-check boolean vector + overall validity, the data-quality-filter form.
+    """
+    name_ok = (F.length("p_name") >= 1) & (F.length("p_name") <= 80)
+    price_ok = F.col("p_retailprice") >= 0
+    size_ok = F.col("p_size").isin(list(range(1, 51)))
+    return part.select(
+        "p_partkey",
+        name_ok.alias("name_ok"),
+        price_ok.alias("price_ok"),
+        size_ok.alias("size_ok"),
+        (name_ok & price_ok & size_ok).alias("valid"),
+    )
+
+
+def rollup_metrics(lineitem: DataFrame) -> DataFrame:
+    """A7: rollup aggregation for metrics reporting (free Catalyst capability
+    the reference lacks entirely)."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def lag_lead_deltas(events: DataFrame) -> DataFrame:
+    """W4: lag/lead frame ops — inter-event gap per user (frame specs the
+    reference never had; its closest is the age-based level curve)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer milliseconds: second-granularity unix_timestamp truncates
+    # BEFORE subtracting, which drifts ±1s vs any oracle that subtracts first
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))  # noqa: E731 — parquet gives TIMESTAMP_NTZ
+    return events.select(
+        "event_id", "user_id",
+        (ms(F.col("ts")) - ms(F.lag("ts").over(w))).cast("long").alias("ms_since_prev"),
+    )
+
+
+def json_extract_props(events: DataFrame) -> DataFrame:
+    """F7: JSON decode — the response/row JSON codecs
+    (pkg/rest/server.go:131-169, internal/db/d1.go:76) as get_json_object."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
 def schema_merge_union(orders: DataFrame) -> DataFrame:
     """A6/S3: column-set union across heterogeneous row batches (the insert
     key-union loop, internal/db/mariadb.go:136-146) via unionByName with

@@ -268,7 +268,40 @@ FROM documents
 
 # ---- relational parity (TPC-H-ish tables) ---------------------------------------
 
+def prefix_scan_sql(prefix: str = "s", limit: int = 10) -> str:
+    toks = DUCKDB_TOKENS_SQL.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS (SELECT term, doc_id FROM tok GROUP BY term, doc_id),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT term, df FROM ts WHERE term LIKE '{prefix}%' ORDER BY term LIMIT {limit}
+""".strip()
+
+
 RELATIONAL_SQL: dict[str, str] = {
+    "rel_validate_rows": """
+SELECT p_partkey,
+       (length(p_name) >= 1 AND length(p_name) <= 80) AS name_ok,
+       (p_retailprice >= 0) AS price_ok,
+       (p_size BETWEEN 1 AND 50) AS size_ok,
+       ((length(p_name) >= 1 AND length(p_name) <= 80)
+        AND (p_retailprice >= 0) AND (p_size BETWEEN 1 AND 50)) AS valid
+FROM part
+""".strip(),
+    "rel_rollup_metrics": """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""".strip(),
+    "rel_lag_lead_deltas": """
+SELECT event_id, user_id,
+       (epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT
+         AS ms_since_prev
+FROM events
+""".strip(),
+    "rel_json_extract": """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+""".strip(),
     "rel_select_project_filter": """
 SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
 FROM lineitem
