@@ -79,6 +79,18 @@ def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_postings(idx.postings, _SF_CFG)
 
 
+def _q_bm25_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k + one-pass metadata decoration (reference J2 without the N+1)."""
+    docs = _docs(spark, sf_dir)
+    idx = build_index(docs, _SF_CFG)
+    res = wand.bm25_wand_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        corpus.REFERENCE_QUERIES, _SF_CFG,
+    )
+    out = wand.decorate_topk(res, docs.select("doc_id", "lang", "source", "n_chars"))
+    return out.withColumn("score", F.round("score", _R))
+
+
 def _q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -160,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inverted-index engine
         "bm25_topk_brute": _q_bm25_brute,
         "bm25_topk_wand": _q_bm25_wand,
+        "bm25_topk_decorated": _q_bm25_decorated,
         "postings_roundtrip": _q_postings_roundtrip,
         "term_stats": _q_term_stats,
         "corpus_stats": _q_corpus_stats,
@@ -208,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "bm25_topk_brute": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
         "bm25_topk_wand": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
+        "bm25_topk_decorated": oracle.bm25_topk_decorated_sql(corpus.REFERENCE_QUERIES),
         "postings_roundtrip": (
             "WITH tok AS (SELECT doc_id, unnest(" + toks + ") AS term FROM documents) "
             "SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id"

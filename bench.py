@@ -120,27 +120,30 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
     }
 
 
+def _burn_cpu(n):
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def _burn_mem(_):
+    import numpy as np
+
+    a = np.random.rand(40_000_000)
+    s = 0.0
+    for _ in range(4):
+        s += (a * 1.5 + 2.0).sum()
+    return s
+
+
 def _hw_probes() -> dict:
     """Measure the box's own parallel ceilings: pure-CPU and DRAM-streaming.
     The engine's scaling should be judged against these — a single-box
     local[N] proxy shares one memory bus, unlike N real executors."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def burn_cpu(n):
-        x = 0
-        for i in range(n):
-            x += i * i
-        return x
-
-    def burn_mem(_):
-        a = np.random.rand(40_000_000)
-        s = 0.0
-        for _ in range(4):
-            s += (a * 1.5 + 2.0).sum()
-        return s
-
+    burn_cpu, burn_mem = _burn_cpu, _burn_mem
     out = {}
     for name, fn, arg in (("cpu", burn_cpu, 6_000_000), ("mem", burn_mem, 0)):
         rates = {}

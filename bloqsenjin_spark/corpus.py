@@ -64,6 +64,77 @@ def synth_pages(spark: SparkSession, sf_dir: str, replication: int) -> DataFrame
     )
 
 
+def gen_zipf_pages(spark: SparkSession, n_docs: int, vocab_size: int = 10_000,
+                   seed: int = 42) -> DataFrame:
+    """FIXTURES.md §1 synthetic corpus: Zipf(s≈1.1) vocabulary with planted
+    head terms ('the' >50% of docs, 'of', 'and'), log-normal doc lengths,
+    empty docs (doc_id % 997 == 0), one single-repeated-term doc (id 17), and
+    5% of pages wrapped in noisy html (script blocks, comments, entity-coded
+    spaces) that must still extract byte-identically.
+
+    Fully distributed + deterministic: each doc's stream comes from a
+    counter-based Philox generator keyed (seed, doc_id) — independent of
+    partitioning, so the corpus is identical at any parallelism.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        # Zipf pmf over ranks 1..V (s=1.1), precomputed once per worker
+        ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+        pmf = ranks ** -1.1
+        pmf /= pmf.sum()
+        cdf = np.cumsum(pmf)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["id"]:
+                doc_id = int(doc_id)
+                rng = np.random.Generator(np.random.Philox(key=[seed, doc_id]))
+                if doc_id % 997 == 0:
+                    text = ""
+                elif doc_id == 17:
+                    text = " ".join(["solo"] * 40)
+                else:
+                    dl = max(1, int(rng.lognormal(mean=4.4, sigma=0.6)))
+                    idx = np.searchsorted(cdf, rng.random(dl))
+                    words = [f"term{i:04d}" for i in idx]
+                    # planted head terms
+                    if rng.random() < 0.55:
+                        words.insert(int(rng.integers(0, len(words) + 1)), "the")
+                    if rng.random() < 0.40:
+                        words.insert(int(rng.integers(0, len(words) + 1)), "of")
+                    if rng.random() < 0.30:
+                        words.insert(int(rng.integers(0, len(words) + 1)), "and")
+                    text = " ".join(words)
+                if doc_id % 20 == 3 and text:
+                    # noisy html that still extracts to `text` byte-identically:
+                    # script/comment stripped, &#32; decodes to the join space
+                    mid = len(text) // 2
+                    sp = text.rfind(" ", 0, mid)
+                    if sp > 0:
+                        html = (
+                            "<html><!-- c --><body><p>" + text[:sp]
+                            + "<script>var x='<p>';</script>&#32;"
+                            + text[sp + 1:] + "</p></body></html>"
+                        )
+                    else:
+                        html = f"<html><body><p>{text}</p></body></html>"
+                else:
+                    html = f"<html><body><p>{text}</p></body></html>" if text else "<html><body></body></html>"
+                rows.append((f"https://site{doc_id % 997}.example/p/{doc_id}", html.encode(), text))
+            out = pd.DataFrame(rows, columns=["url", "html", "text"])
+            out["lang"] = "en"
+            yield out
+
+    return (
+        spark.range(n_docs)
+        .repartition(max(8, spark.sparkContext.defaultParallelism))
+        .mapInPandas(gen, schema="url string, html binary, text string, lang string")
+        .withColumn("warc_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+        .select("url", "warc_ts", "html", "text", "lang")
+    )
+
+
 # ---- reference query set (FIXTURES.md §2) ------------------------------------
 # Fixed literals: head terms, mid terms, the rare term 'dup', absent terms
 # (zero-hit), duplicate terms (policy: query terms are DEDUPED before scoring

@@ -159,6 +159,23 @@ def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig):
     return score
 
 
+def decorate_topk(topk_results: DataFrame, docs: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Join doc metadata onto top-k results in ONE broadcast pass — the
+    engine-native form of the reference's N+1 per-row enrichment Selects
+    (/root/reference/internal/models/bloq.go:385-432). The top-k side is tiny
+    (Σ query k's), so IT is broadcast against the docs table and Catalyst
+    prunes the docs scan to the joined columns."""
+    meta = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[c for c in docs.columns if c != id_col],
+    )
+    return F.broadcast(topk_results).join(meta, "doc_id").select(
+        "query_id", "rank", "doc_id", "score",
+        *[c for c in meta.columns if c != "doc_id"],
+    )
+
+
 def bm25_wand_topk(
     postings: DataFrame,
     doc_lens: DataFrame,

@@ -76,6 +76,15 @@ FROM ranked WHERE rank <= k
 """.strip()
 
 
+def bm25_topk_decorated_sql(queries: list[tuple[int, list[str], str, int]]) -> str:
+    base = bm25_topk_sql(queries)
+    return f"""
+WITH topk AS ({base})
+SELECT t.query_id, t.rank, t.doc_id, t.score, d.lang, d.source, d.n_chars
+FROM topk t JOIN documents d USING (doc_id)
+""".strip()
+
+
 def term_stats_sql(doc_table: str = "documents", text_col: str = "text",
                    id_col: str = "doc_id") -> str:
     toks = DUCKDB_TOKENS_SQL.format(col=text_col)
