@@ -210,6 +210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup_metrics": _rel(relational.rollup_metrics, "lineitem"),
         "rel_lag_lead_deltas": _rel(relational.lag_lead_deltas, "events"),
         "rel_json_extract": _rel(relational.json_extract_props, "events"),
+        "rel_scalar_funcs": _rel(relational.scalar_funcs_demo, "orders"),
+        "rel_windowed_event_counts": _rel(relational.windowed_event_counts, "events"),
         "term_prefix_scan": _q_prefix_scan,
     }
 

@@ -229,6 +229,36 @@ def json_extract_props(events: DataFrame) -> DataFrame:
     )
 
 
+def scalar_funcs_demo(orders: DataFrame) -> DataFrame:
+    """F5/F6/F8/F9: concat/format, base64, timestamp trunc + date arithmetic
+    (url building bloq.go:399, base64 JWT segment helpers/token.go:50,
+    yesterday-boundary truncate offer.go:232)."""
+    return orders.select(
+        "o_orderkey",
+        F.concat(F.lit("order/"), F.col("o_orderkey")).alias("order_url"),
+        F.base64(F.encode("o_orderpriority", "utf-8")).alias("prio_b64"),
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+        .cast("date").alias("order_month"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long").alias("days_since_epoch_start"),
+    )
+
+
+def windowed_event_counts(events: DataFrame) -> DataFrame:
+    """§2.9 windowing (batch semantics): tumbling 1-day counts per event type.
+    Same operator as streaming/ingest.windowed_event_metrics minus watermark."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 day").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
 def schema_merge_union(orders: DataFrame) -> DataFrame:
     """A6/S3: column-set union across heterogeneous row batches (the insert
     key-union loop, internal/db/mariadb.go:136-146) via unionByName with

@@ -311,6 +311,19 @@ FROM events
     "rel_json_extract": """
 SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
 """.strip(),
+    "rel_scalar_funcs": """
+SELECT o_orderkey,
+       'order/' || o_orderkey AS order_url,
+       to_base64(encode(o_orderpriority)) AS prio_b64,
+       date_trunc('month', o_orderdate) AS order_month,
+       datediff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS days_since_epoch_start
+FROM orders
+""".strip(),
+    "rel_windowed_event_counts": """
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""".strip(),
     "rel_select_project_filter": """
 SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
 FROM lineitem
