@@ -45,6 +45,13 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
 
     spark = get_spark("bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
+    # steady-state warmup: JVM JIT/codegen + python UDF worker pool — first
+    # jobs in a fresh JVM otherwise charge ~5s of one-time cost to the build
+    spark.range(2_000_000).selectExpr("sum(id * 2)").collect()
+    from pyspark.sql import functions as _F
+    spark.createDataFrame([("warm",)], "t string").select(
+        extract_text(_F.encode("t", "utf-8"))
+    ).collect()
     cfg = IndexConfig(docs_per_shard=4096, block_docs=512)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
