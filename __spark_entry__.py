@@ -73,6 +73,23 @@ def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("score", F.round("score", _R))
 
 
+def _q_bm25_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving tier (pyarrow pushdown reads, shared NumPy kernel, no Spark
+    job per query) — same SQL oracle as the other BM25 paths."""
+    import tempfile
+
+    from bloqsenjin_spark.operators.serving import IndexServer
+    from bloqsenjin_spark.plans.build import build_index_resumable
+
+    d = tempfile.mkdtemp(prefix="serve_idx_")
+    build_index_resumable(_docs(spark, sf_dir), d, _SF_CFG)
+    rows = IndexServer(d, _SF_CFG).query_batch(corpus.REFERENCE_QUERIES)
+    from bloqsenjin_spark import schemas
+
+    df = spark.createDataFrame(rows, schema=schemas.TOPK_RESULT)
+    return df.withColumn("score", F.round("score", _R))
+
+
 def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed index decodes back to the exact (term, doc_id, tf) relation."""
     idx = build_index(_docs(spark, sf_dir), _SF_CFG)
@@ -173,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_brute": _q_bm25_brute,
         "bm25_topk_wand": _q_bm25_wand,
         "bm25_topk_decorated": _q_bm25_decorated,
+        "bm25_topk_serving": _q_bm25_serving,
         "postings_roundtrip": _q_postings_roundtrip,
         "term_stats": _q_term_stats,
         "corpus_stats": _q_corpus_stats,
@@ -224,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_brute": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
         "bm25_topk_wand": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
         "bm25_topk_decorated": oracle.bm25_topk_decorated_sql(corpus.REFERENCE_QUERIES),
+        "bm25_topk_serving": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
         "postings_roundtrip": (
             "WITH tok AS (SELECT doc_id, unnest(" + toks + ") AS term FROM documents) "
             "SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id"

@@ -95,7 +95,7 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
         n_brute = topk.bm25_brute_force(bdocs, corpus.reference_queries(spark)).count()
         timings["bm25_brute"] = time.perf_counter() - t0
 
-        # ---- per-query latency → p95 -----------------------------------------
+        # ---- per-query latency → p95 (Spark-job path) -------------------------
         lat = []
         for q in corpus.REFERENCE_QUERIES:
             t0 = time.perf_counter()
@@ -107,6 +107,20 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
             timings[f"q{q[0]}"] = round(dt, 4)
         lat.sort()
         p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]
+
+        # ---- serving-tier latency (no Spark job; pyarrow pushdown reads) ------
+        from bloqsenjin_spark.operators.serving import IndexServer
+
+        srv = IndexServer(idx_dir, cfg)
+        srv.query_batch(corpus.REFERENCE_QUERIES)  # warm term cache
+        slat = []
+        for q in corpus.REFERENCE_QUERIES:
+            t0 = time.perf_counter()
+            srv.query_batch([q])
+            slat.append(time.perf_counter() - t0)
+        slat.sort()
+        p95_serving = slat[min(len(slat) - 1, int(0.95 * len(slat)))]
+        timings["serving_batch"] = sum(slat)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -121,6 +135,7 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
         "docs": n_docs,
         "docs_per_sec": round(n_docs / timings["index_build"], 1),
         "p95_query_sec": round(p95, 4),
+        "p95_serving_sec": round(p95_serving, 5),
         "wand_rows": n_wand,
         "brute_rows": n_brute,
         "replication": replication,

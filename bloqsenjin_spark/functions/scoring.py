@@ -1,0 +1,138 @@
+"""The block-max top-k scoring kernel — ONE implementation shared by the
+distributed path (operators/wand.py cogrouped Arrow UDF) and the low-latency
+serving path (operators/serving.py, pyarrow reads, no Spark job). Sharing the
+kernel is what makes the two paths rank-identical by construction.
+
+Inputs are plain NumPy/Python structures; see operators/wand.py for the
+algorithm notes (exactness of doc-range-aligned block pruning, deterministic
+lexicographic-term summation, tie handling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bloqsenjin_spark.config import IndexConfig
+from bloqsenjin_spark.functions import bm25
+from bloqsenjin_spark.functions.codec import delta_decode, varint_decode
+
+
+def score_shard_blocks(
+    shard: int,
+    terms_col: np.ndarray,
+    bids: np.ndarray,
+    bmax_col: np.ndarray,
+    deltas_col: np.ndarray,
+    tfs_col: np.ndarray,
+    dls: np.ndarray,
+    queries: list[tuple[int, list[str], str, int]],
+    idf_map: dict[str, float],
+    avgdl: float,
+    cfg: IndexConfig,
+) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
+    """Score every query against one shard's (query-term-filtered) block rows.
+
+    Returns (query_id arrays, doc_id arrays, score arrays) — per-query partial
+    top-k, exact under block-max pruning.
+    """
+    dps, bdocs = cfg.docs_per_shard, cfg.block_docs
+    k1, b = cfg.k1, cfg.b
+    shard_base = shard * dps
+
+    term_blocks: dict[str, dict[int, int]] = {}
+    term_bmax: dict[str, dict[int, float]] = {}
+    for i in range(len(terms_col)):
+        t = terms_col[i]
+        term_blocks.setdefault(t, {})[int(bids[i])] = i
+        term_bmax.setdefault(t, {})[int(bids[i])] = float(bmax_col[i])
+
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def block_postings(row_idx: int, block_base: int):
+        got = decoded.get(row_idx)
+        if got is None:
+            ids = delta_decode(bytes(deltas_col[row_idx]), base=block_base)
+            tfs = varint_decode(bytes(tfs_col[row_idx])).astype(np.float64)
+            got = decoded[row_idx] = (ids, tfs)
+        return got
+
+    out_q: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    for qid, terms, mode, k in queries:
+        present = sorted(t for t in set(terms) if t in term_blocks)
+        need = sorted(set(terms))
+        if not present:
+            continue
+        conj = mode == "conjunctive"
+        if conj and len(present) != len(need):
+            continue
+        if conj:
+            cand = set.intersection(*[set(term_blocks[t]) for t in present])
+        else:
+            cand = set()
+            for t in present:
+                cand.update(term_blocks[t])
+        if not cand:
+            continue
+        ubs = {bi: sum(term_bmax[t].get(bi, 0.0) for t in present) for bi in cand}
+        ordered = sorted(cand, key=lambda bi: (-ubs[bi], bi))
+
+        scores_acc: list[np.ndarray] = []
+        docs_acc: list[np.ndarray] = []
+        n_found = 0
+        threshold = -np.inf
+        for bi in ordered:
+            if n_found >= k and ubs[bi] < threshold - 1e-12:
+                break
+            block_base = shard_base + bi * bdocs
+            acc = np.zeros(bdocs, dtype=np.float64)
+            matched = np.zeros(bdocs, dtype=np.int32)
+            for t in present:  # lexicographic order = deterministic sums
+                ri = term_blocks[t].get(bi)
+                if ri is None:
+                    continue
+                ids, tfs = block_postings(ri, block_base)
+                off = ids - block_base
+                contrib = idf_map[t] * bm25.tf_component_np(
+                    tfs, dls[ids - shard_base], avgdl, k1, b
+                )
+                acc[off] += contrib
+                matched[off] += 1
+            sel = matched == len(need) if conj else matched > 0
+            offs = np.flatnonzero(sel)
+            if offs.size == 0:
+                continue
+            docs_acc.append(offs + block_base)
+            scores_acc.append(acc[offs])
+            n_found += offs.size
+            if n_found >= k:
+                allx = np.concatenate(scores_acc)
+                threshold = np.partition(allx, allx.size - k)[allx.size - k]
+        if not docs_acc:
+            continue
+        docs = np.concatenate(docs_acc)
+        scs = np.concatenate(scores_acc)
+        if docs.size > k:
+            order = np.lexsort((docs, -scs))[:k]
+            docs, scs = docs[order], scs[order]
+        out_q.append(np.full(docs.size, qid, dtype=np.int64))
+        out_d.append(docs)
+        out_s.append(scs)
+    return out_q, out_d, out_s
+
+
+def global_topk(
+    qids: np.ndarray, docs: np.ndarray, scores: np.ndarray,
+    queries: list[tuple[int, list[str], str, int]],
+) -> list[tuple[int, int, int, float]]:
+    """Merge per-shard partials → final ranked rows (score desc, doc asc)."""
+    kmap = {qid: k for qid, _, _, k in queries}
+    out: list[tuple[int, int, int, float]] = []
+    for qid in np.unique(qids):
+        m = qids == qid
+        d, s = docs[m], scores[m]
+        order = np.lexsort((d, -s))[: kmap[int(qid)]]
+        for rank, i in enumerate(order, start=1):
+            out.append((int(qid), rank, int(d[i]), float(s[i])))
+    return out

@@ -42,8 +42,7 @@ _PARTIAL_SCHEMA = "query_id long, doc_id long, score double"
 
 
 def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig):
-    dps, bdocs = cfg.docs_per_shard, cfg.block_docs
-    k1, b = cfg.k1, cfg.b
+    from bloqsenjin_spark.functions.scoring import score_shard_blocks
 
     def score(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
         if pl.empty or dl_pdf.empty:
@@ -52,98 +51,19 @@ def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig):
             )
         shard = int(pl["shard"].iloc[0])
         dls = varint_decode(bytes(dl_pdf["dls"].iloc[0])).astype(np.float64)
-        shard_base = shard * dps
-
-        # term → {block_id → row idx}, and term → {block_id → block_max_score}
-        term_blocks: dict[str, dict[int, int]] = {}
-        term_bmax: dict[str, dict[int, float]] = {}
-        bids = pl["block_id"].to_numpy()
-        terms_col = pl["term"].to_numpy()
-        bmax_col = pl["block_max_score"].to_numpy()
-        for i in range(len(pl)):
-            t = terms_col[i]
-            term_blocks.setdefault(t, {})[int(bids[i])] = i
-            term_bmax.setdefault(t, {})[int(bids[i])] = float(bmax_col[i])
-
-        deltas_col = pl["doc_deltas"].to_numpy()
-        tfs_col = pl["tfs"].to_numpy()
-        decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-
-        def block_postings(row_idx: int, block_base: int):
-            got = decoded.get(row_idx)
-            if got is None:
-                ids = delta_decode(bytes(deltas_col[row_idx]), base=block_base)
-                tfs = varint_decode(bytes(tfs_col[row_idx])).astype(np.float64)
-                got = decoded[row_idx] = (ids, tfs)
-            return got
-
-        out_q, out_d, out_s = [], [], []
-        for qid, terms, mode, k in queries:
-            present = sorted(t for t in set(terms) if t in term_blocks)
-            need = sorted(set(terms))
-            if not present:
-                continue
-            conj = mode == "conjunctive"
-            if conj and len(present) != len(need):
-                continue
-            # candidate blocks + query upper bound per block
-            if conj:
-                sets = [set(term_blocks[t]) for t in present]
-                cand = set.intersection(*sets)
-            else:
-                cand = set()
-                for t in present:
-                    cand.update(term_blocks[t])
-            if not cand:
-                continue
-            ubs = {
-                bi: sum(term_bmax[t].get(bi, 0.0) for t in present) for bi in cand
-            }
-            ordered = sorted(cand, key=lambda bi: (-ubs[bi], bi))
-
-            scores_acc: list[np.ndarray] = []
-            docs_acc: list[np.ndarray] = []
-            n_found = 0
-            threshold = -np.inf
-            for bi in ordered:
-                if n_found >= k and ubs[bi] < threshold - 1e-12:
-                    break
-                block_base = shard_base + bi * bdocs
-                acc = np.zeros(bdocs, dtype=np.float64)
-                matched = np.zeros(bdocs, dtype=np.int32)
-                for t in present:  # lexicographic order = deterministic sums
-                    ri = term_blocks[t].get(bi)
-                    if ri is None:
-                        continue
-                    ids, tfs = block_postings(ri, block_base)
-                    off = ids - block_base
-                    contrib = idf_map[t] * bm25.tf_component_np(
-                        tfs, dls[ids - shard_base], avgdl, k1, b
-                    )
-                    acc[off] += contrib
-                    matched[off] += 1
-                sel = matched == len(need) if conj else matched > 0
-                offs = np.flatnonzero(sel)
-                if offs.size == 0:
-                    continue
-                docs_acc.append(offs + block_base)
-                scores_acc.append(acc[offs])
-                n_found += offs.size
-                if n_found >= k:
-                    allx = np.concatenate(scores_acc)
-                    threshold = np.partition(allx, allx.size - k)[allx.size - k]
-            if not docs_acc:
-                continue
-            docs = np.concatenate(docs_acc)
-            scs = np.concatenate(scores_acc)
-            if docs.size > k:
-                # partial top-k with (score desc, doc asc) — lexsort keys
-                order = np.lexsort((docs, -scs))[:k]
-                docs, scs = docs[order], scs[order]
-            out_q.append(np.full(docs.size, qid, dtype=np.int64))
-            out_d.append(docs)
-            out_s.append(scs)
-
+        out_q, out_d, out_s = score_shard_blocks(
+            shard,
+            pl["term"].to_numpy(),
+            pl["block_id"].to_numpy(),
+            pl["block_max_score"].to_numpy(),
+            pl["doc_deltas"].to_numpy(),
+            pl["tfs"].to_numpy(),
+            dls,
+            queries,
+            idf_map,
+            avgdl,
+            cfg,
+        )
         if not out_q:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
                 {"query_id": "int64", "doc_id": "int64", "score": "float64"}

@@ -128,6 +128,49 @@ def write_index(idx: Index, index_dir: str) -> None:
         F.current_timestamp().alias("ts"),
     )
     ck.write.mode("overwrite").parquet(f"{index_dir}/checkpoints")
+    write_index_meta(spark, index_dir, idx.cfg)
+
+
+def write_index_meta(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> None:
+    """Persist the layout-defining config WITH the index: decoding with a
+    different docs_per_shard/block_docs silently corrupts docIDs, so readers
+    load (or validate against) this row instead of trusting their caller."""
+    spark.createDataFrame(
+        [(cfg.docs_per_shard, cfg.block_docs, cfg.k1, cfg.b)],
+        "docs_per_shard int, block_docs int, k1 double, b double",
+    ).write.mode("overwrite").parquet(f"{index_dir}/index_meta")
+
+
+def read_index_meta(index_dir: str) -> IndexConfig:
+    """Read the stored IndexConfig (pyarrow — usable without a SparkSession)."""
+    import pyarrow.dataset as ds
+
+    row = ds.dataset(f"{index_dir}/index_meta", format="parquet").to_table().to_pydict()
+    return IndexConfig(
+        k1=float(row["k1"][0]), b=float(row["b"][0]),
+        docs_per_shard=int(row["docs_per_shard"][0]),
+        block_docs=int(row["block_docs"][0]),
+    )
+
+
+def check_index_meta(index_dir: str, cfg: IndexConfig) -> IndexConfig:
+    """cfg=None → stored config; explicit cfg must match the stored layout."""
+    try:
+        stored = read_index_meta(index_dir)
+    except FileNotFoundError:
+        if cfg is None:
+            raise
+        return cfg  # pre-meta index (or meta not written): trust the caller
+    if cfg is None:
+        return stored
+    if (cfg.docs_per_shard, cfg.block_docs) != (stored.docs_per_shard, stored.block_docs):
+        raise ValueError(
+            f"index at {index_dir} was built with docs_per_shard="
+            f"{stored.docs_per_shard}, block_docs={stored.block_docs}; "
+            f"got cfg ({cfg.docs_per_shard}, {cfg.block_docs}) — decoding "
+            "with a mismatched layout corrupts docIDs"
+        )
+    return cfg
 
 
 def completed_shards(spark: SparkSession, index_dir: str) -> set[int]:
@@ -179,6 +222,7 @@ def build_index_resumable(
     spark.createDataFrame(
         [(idx.n_docs, idx.avgdl)], "n_docs long, avgdl double"
     ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+    write_index_meta(spark, index_dir, cfg)
 
     if todo:
         post = idx.postings.where(F.col("shard").isin(todo))
@@ -223,7 +267,8 @@ def build_index_resumable(
     idx.unpersist()
 
 
-def read_index(spark: SparkSession, index_dir: str, cfg: IndexConfig = DEFAULT_CONFIG) -> Index:
+def read_index(spark: SparkSession, index_dir: str, cfg: IndexConfig | None = None) -> Index:
+    cfg = check_index_meta(index_dir, cfg)
     cs = spark.read.parquet(f"{index_dir}/corpus_stats").first()
     return Index(
         postings=spark.read.parquet(f"{index_dir}/postings"),

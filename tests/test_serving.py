@@ -1,0 +1,76 @@
+"""Serving tier: rank-identity with the distributed path + latency sanity."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from bloqsenjin_spark import corpus
+from bloqsenjin_spark.config import IndexConfig
+from bloqsenjin_spark.operators import topk, wand
+from bloqsenjin_spark.operators.serving import IndexServer
+from bloqsenjin_spark.plans import build as B
+
+CFG = IndexConfig(docs_per_shard=128, block_docs=16)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("serve_idx"))
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    B.build_index_resumable(docs, d, CFG)
+    return d
+
+
+def test_serving_rank_identical_to_spark_path(spark, index_dir):
+    idx = B.read_index(spark, index_dir, CFG)
+    want = [
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            corpus.REFERENCE_QUERIES, CFG,
+        ).orderBy("query_id", "rank").collect()
+    ]
+    srv = IndexServer(index_dir, CFG)
+    got = sorted(srv.query_batch(corpus.REFERENCE_QUERIES))
+    want = sorted(want)
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-12)
+
+
+def test_serving_rank_identical_to_brute_force(spark, index_dir):
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in topk.bm25_brute_force(docs, corpus.reference_queries(spark)).collect()
+    )
+    srv = IndexServer(index_dir, CFG)
+    got = sorted(
+        (q, r, d, round(s, 9)) for q, r, d, s in srv.query_batch(corpus.REFERENCE_QUERIES)
+    )
+    assert got == want
+
+
+def test_serving_single_and_edge_queries(spark, index_dir):
+    srv = IndexServer(index_dir, CFG)
+    assert srv.query(["zebra"]) == []  # absent term
+    assert srv.query(["zebra", "the"], mode="conjunctive") == []
+    top1 = srv.query(["the"], k=1)
+    assert len(top1) == 1 and top1[0][1] == 1
+    # duplicate terms deduped (policy)
+    assert srv.query(["the", "the"], k=3) == srv.query(["the"], k=3)
+
+
+def test_serving_latency_and_cache(spark, index_dir):
+    srv = IndexServer(index_dir, CFG)
+    srv.query_batch(corpus.REFERENCE_QUERIES)  # warm the term cache
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        srv.query_batch(corpus.REFERENCE_QUERIES)
+    per_batch = (time.perf_counter() - t0) / n
+    # 12 queries per batch from a warm server: must be far under a Spark job
+    assert per_batch < 0.5, f"serving too slow: {per_batch:.3f}s/batch"
