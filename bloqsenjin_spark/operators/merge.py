@@ -51,15 +51,23 @@ def merge_doc_lens(*doc_lens: DataFrame) -> DataFrame:
         out = np.zeros(n, dtype=np.uint64)
         for a in arrays:
             np.maximum(out[: a.size], a, out=out[: a.size])
+        live = np.zeros(n, dtype=bool)
+        for b in pdf["live"]:
+            bits = np.unpackbits(
+                np.frombuffer(bytes(b), dtype=np.uint8), bitorder="little"
+            ).astype(bool)
+            live[: min(bits.size, n)] |= bits[: min(bits.size, n)]
         return pd.DataFrame(
-            [(shard, n, varint_encode(out))], columns=["shard", "n_docs", "dls"]
+            [(shard, n, varint_encode(out),
+              np.packbits(live, bitorder="little").tobytes())],
+            columns=["shard", "n_docs", "dls", "live"],
         )
 
     from functools import reduce
 
     allseg = reduce(lambda a, b: a.unionByName(b), doc_lens)
     return allseg.groupBy("shard").applyInPandas(
-        combine, schema="shard int, n_docs int, dls binary"
+        combine, schema="shard int, n_docs int, dls binary, live binary"
     )
 
 

@@ -39,7 +39,7 @@ from bloqsenjin_spark.config import DEFAULT_CONFIG, IndexConfig
 from bloqsenjin_spark.functions import bm25
 from bloqsenjin_spark.functions.codec import delta_encode, varint_encode
 
-DOC_LENS_SCHEMA = "shard int, n_docs int, dls binary"
+DOC_LENS_SCHEMA = "shard int, n_docs int, dls binary, live binary"
 
 
 def _postings_groups(
@@ -206,9 +206,15 @@ def build_doc_lens(tok: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFra
         if np.unique(local).size != local.size:
             raise ValueError(f"duplicate docIDs in shard {shard}")
         dls[local] = pdf["dl"].to_numpy().astype(np.uint64)
+        # liveness bitmap (little-endian bits by local position) — the direct
+        # descendant of the reference's page bitset (pkg/pages/bitset.go):
+        # dl=0 can mean "empty doc", only this bit means "doc exists"
+        live = np.zeros(dls.size, dtype=bool)
+        live[local] = True
         return pd.DataFrame(
-            [(shard, dls.size, varint_encode(dls))],
-            columns=["shard", "n_docs", "dls"],
+            [(shard, dls.size, varint_encode(dls),
+              np.packbits(live, bitorder="little").tobytes())],
+            columns=["shard", "n_docs", "dls", "live"],
         )
 
     return (

@@ -55,6 +55,13 @@ class IndexServer:
             int(s): varint_decode(bytes(b)).astype(np.float64)
             for s, b in zip(dl["shard"], dl["dls"])
         }
+        # logical deletes (LSM tombstones) — masked before top-k selection
+        try:
+            tt = ds.dataset(f"{index_dir}/tombstones", format="parquet").to_table()
+            self.tombstones = np.sort(np.unique(
+                np.asarray(tt.column("doc_id").to_pylist(), dtype=np.int64)))
+        except FileNotFoundError:
+            self.tombstones = np.zeros(0, dtype=np.int64)
         self._term_cache: dict[str, dict] | None = {} if cache_terms else None
 
     def _load_terms(self, terms: list[str]) -> dict:
@@ -109,6 +116,7 @@ class IndexServer:
             oq, od, os_ = score_shard_blocks(
                 int(shard), terms[m], bids[m], bmax[m], deltas[m], tfs[m],
                 self.dls[int(shard)], queries, self.idf, self.avgdl, self.cfg,
+                tombstones=self.tombstones,
             )
             q_parts.extend(oq)
             d_parts.extend(od)

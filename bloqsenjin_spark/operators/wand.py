@@ -41,7 +41,7 @@ from bloqsenjin_spark.functions.codec import delta_decode, varint_decode
 _PARTIAL_SCHEMA = "query_id long, doc_id long, score double"
 
 
-def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig):
+def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig, tombstones=None):
     from bloqsenjin_spark.functions.scoring import score_shard_blocks
 
     def score(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -63,6 +63,7 @@ def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig):
             idf_map,
             avgdl,
             cfg,
+            tombstones=tombstones,
         )
         if not out_q:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
@@ -103,6 +104,7 @@ def bm25_wand_topk(
     avgdl: float,
     queries: list[tuple[int, list[str], str, int]],
     cfg: IndexConfig = DEFAULT_CONFIG,
+    tombstones: "set[int] | list[int] | None" = None,
 ) -> DataFrame:
     """→ TOPK_RESULT. ``queries`` is the (small) reference query set — its
     terms and per-term idf are broadcast with the scorer closure; postings are
@@ -113,9 +115,16 @@ def bm25_wand_topk(
         r["term"]: float(r["idf"])
         for r in term_stats.where(F.col("term").isin(all_terms)).collect()
     }
+    import numpy as np
+
+    tomb = (
+        np.sort(np.asarray(sorted(tombstones), dtype=np.int64))
+        if tombstones else None
+    )
     pq = postings.where(F.col("term").isin(all_terms))
     partial = pq.groupby("shard").cogroup(doc_lens.groupby("shard")).applyInPandas(
-        _shard_scorer(queries, idf_map, float(avgdl), cfg), schema=_PARTIAL_SCHEMA
+        _shard_scorer(queries, idf_map, float(avgdl), cfg, tombstones=tomb),
+        schema=_PARTIAL_SCHEMA,
     )
     kmap = F.create_map(
         *[x for qid, _, _, k in queries for x in (F.lit(qid), F.lit(k))]

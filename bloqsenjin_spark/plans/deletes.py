@@ -1,0 +1,212 @@
+"""Document deletion — the engine-native form of the reference's keyed DELETE
+(/root/reference/internal/db/mariadb.go:249-268), in two LSM phases:
+
+1. ``delete_docs``   — logical: append docIDs to a ``tombstones`` table.
+   Query paths (operators/wand.py, operators/serving.py) mask tombstoned docs
+   BEFORE top-k selection. Scores of surviving docs keep the build-time stats
+   (N, df, avgdl) until a purge — the standard deferred-delete contract.
+2. ``purge_deletes`` — physical: rewrite ONLY the affected doc-range shards
+   without tombstoned postings, recompute global stats exactly
+   (df/cf decremented by decoding the deleted docs' own postings — no corpus
+   re-tokenization), refresh every block_max via the segment-merge machinery
+   (merge needs doc_lens + new avgdl for the shard-local part and the new idf
+   join for the term-global part), and truncate the tombstone table.
+
+Property-tested: purge(delete(build(docs), D)) ≡ build(docs − D) in both the
+decoded postings and the query results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bloqsenjin_spark.config import IndexConfig
+from bloqsenjin_spark.functions import bm25
+from bloqsenjin_spark.functions.codec import (
+    delta_decode,
+    delta_encode,
+    varint_decode,
+    varint_encode,
+)
+from bloqsenjin_spark.operators.merge import merge_postings
+from bloqsenjin_spark.plans.build import check_index_meta, write_index_meta
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> None:
+    """Logical delete: append tombstones (idempotent — duplicates tolerated,
+    readers dedupe)."""
+    spark.createDataFrame(
+        [(int(d),) for d in doc_ids], "doc_id long"
+    ).write.mode("append").parquet(f"{index_dir}/tombstones")
+
+
+def load_tombstones(spark: SparkSession, index_dir: str) -> set[int]:
+    try:
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{index_dir}/tombstones").collect()
+        }
+    except Exception:  # noqa: BLE001 — missing table = no deletes
+        return set()
+
+
+def purge_deletes(spark: SparkSession, index_dir: str) -> None:
+    """Physically remove tombstoned docs and restore exact global stats."""
+    tombs = load_tombstones(spark, index_dir)
+    if not tombs:
+        return
+    cfg = check_index_meta(index_dir, None)
+    dps, bdocs = cfg.docs_per_shard, cfg.block_docs
+    affected = sorted({d // dps for d in tombs})
+    btombs = spark.sparkContext.broadcast(np.sort(np.asarray(sorted(tombs), dtype=np.int64)))
+
+    post = spark.read.parquet(f"{index_dir}/postings")
+    dlens = spark.read.parquet(f"{index_dir}/doc_lens")
+
+    # --- exact stat deltas: decode ONLY the deleted docs' postings/lengths ---
+    def deltas(it):
+        for pdf in it:
+            t_out, df_out, cf_out = [], [], []
+            for r in pdf.itertuples(index=False):
+                base = r.shard * dps + r.block_id * bdocs
+                ids = delta_decode(bytes(r.doc_deltas), base=base)
+                hit = np.isin(ids, btombs.value)
+                if hit.any():
+                    tfs = varint_decode(bytes(r.tfs)).astype(np.int64)
+                    t_out.append(r.term)
+                    df_out.append(int(hit.sum()))
+                    cf_out.append(int(tfs[hit].sum()))
+            yield pd.DataFrame({"term": t_out, "df_del": df_out, "cf_del": cf_out})
+
+    stat_delta = (
+        post.where(F.col("shard").isin(affected))
+        .mapInPandas(deltas, schema="term string, df_del long, cf_del long")
+        .groupBy("term")
+        .agg(F.sum("df_del").alias("df_del"), F.sum("cf_del").alias("cf_del"))
+    )
+
+    old_ts = spark.read.parquet(f"{index_dir}/term_stats")
+    old_cs = spark.read.parquet(f"{index_dir}/corpus_stats").first()
+
+    # --- doc_lens: zero deleted LIVE positions; exact Σdl and doc-count
+    # deltas. The live bitmap is what makes purge idempotent: tombstones for
+    # nonexistent or already-purged docIDs clear nothing and change no stats.
+    def fix_dlens(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples(index=False):
+            dls = varint_decode(bytes(r.dls))
+            live = np.unpackbits(
+                np.frombuffer(bytes(r.live), dtype=np.uint8), bitorder="little"
+            ).astype(bool)[: dls.size]
+            local = btombs.value - r.shard * dps
+            local = local[(local >= 0) & (local < dls.size)]
+            local = local[live[local]]  # only genuinely-live docs count
+            removed = int(dls[local].sum())
+            dls = dls.copy()
+            dls[local] = 0
+            live = live.copy()
+            live[local] = False
+            out.append(
+                (r.shard, int(dls.size), varint_encode(dls),
+                 np.packbits(live, bitorder="little").tobytes(),
+                 removed, int(local.size))
+            )
+        return pd.DataFrame(
+            out,
+            columns=["shard", "n_docs", "dls", "live", "dl_removed", "docs_removed"],
+        )
+
+    fixed_dlens = (
+        dlens.where(F.col("shard").isin(affected))
+        .groupBy("shard")
+        .applyInPandas(
+            lambda pdf: fix_dlens(pdf),
+            schema="shard int, n_docs int, dls binary, live binary, "
+                   "dl_removed long, docs_removed long",
+        )
+    ).persist()
+    agg = fixed_dlens.agg(F.sum("dl_removed"), F.sum("docs_removed")).first()
+    dl_removed = agg[0] or 0
+    docs_removed = agg[1] or 0
+
+    n_new = int(old_cs["n_docs"]) - int(docs_removed)
+    total_dl_new = float(old_cs["avgdl"]) * int(old_cs["n_docs"]) - float(dl_removed)
+    avgdl_new = (total_dl_new / n_new) if n_new else 1.0
+    if docs_removed == 0:
+        # every tombstone was bogus/stale — drop them, touch nothing else
+        import shutil
+
+        shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+        fixed_dlens.unpersist()
+        return
+
+    new_ts = (
+        old_ts.join(stat_delta, "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce(F.col("df_del"), F.lit(0))).alias("df"),
+            (F.col("cf") - F.coalesce(F.col("cf_del"), F.lit(0))).alias("cf"),
+        )
+        .where(F.col("df") > 0)
+        .withColumn("idf", bm25.idf_col(F.col("df"), n_new))
+    ).persist()
+
+    # --- rewrite affected shards without tombstoned postings -----------------
+    def strip(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                base = r.shard * dps + r.block_id * bdocs
+                ids = delta_decode(bytes(r.doc_deltas), base=base)
+                keep = ~np.isin(ids, btombs.value)
+                if not keep.any():
+                    continue
+                tfs = varint_decode(bytes(r.tfs)).astype(np.int64)
+                rows.append(
+                    (r.term, r.shard, r.block_id, int(keep.sum()),
+                     int(ids[keep][0]), int(ids[keep][-1]),
+                     delta_encode(ids[keep], base=base),
+                     varint_encode(tfs[keep].astype(np.uint64)),
+                     int(tfs[keep].max()), float(r.block_max_score))
+                )
+            cols = ["term", "shard", "block_id", "n_docs", "first_doc",
+                    "last_doc", "doc_deltas", "tfs", "block_max_tf",
+                    "block_max_score"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    stripped_affected = post.where(F.col("shard").isin(affected)).mapInPandas(
+        strip, schema=post.schema
+    )
+    untouched = post.where(~F.col("shard").isin(affected))
+    all_dlens = fixed_dlens.select("shard", "n_docs", "dls", "live").unionByName(
+        dlens.where(~F.col("shard").isin(affected))
+    )
+    # merge pass refreshes block_max everywhere with the NEW idf/avgdl
+    merged = merge_postings(
+        stripped_affected.unionByName(untouched), all_dlens, new_ts, avgdl_new, cfg
+    )
+
+    # --- atomic-ish swap: write new tables, then replace ---------------------
+    merged.repartition(F.col("shard")).write.partitionBy("shard").mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/postings_new")
+    all_dlens.repartition(F.col("shard")).write.partitionBy("shard").mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/doc_lens_new")
+    new_ts.coalesce(8).write.mode("overwrite").parquet(f"{index_dir}/term_stats_new")
+
+    import shutil
+
+    for t in ("postings", "doc_lens", "term_stats"):
+        shutil.rmtree(f"{index_dir}/{t}")
+        shutil.move(f"{index_dir}/{t}_new", f"{index_dir}/{t}")
+    spark.createDataFrame([(n_new, avgdl_new)], "n_docs long, avgdl double").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/corpus_stats")
+    shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+    write_index_meta(spark, index_dir, cfg)
+    fixed_dlens.unpersist()
+    new_ts.unpersist()

@@ -1,0 +1,128 @@
+"""Deletion: tombstone masking at query time, and purge ≡ rebuild-from-scratch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloqsenjin_spark import corpus
+from bloqsenjin_spark.config import IndexConfig
+from bloqsenjin_spark.operators import topk, wand
+from bloqsenjin_spark.operators.postings import decode_postings
+from bloqsenjin_spark.operators.serving import IndexServer
+from bloqsenjin_spark.plans import build as B
+from bloqsenjin_spark.plans import deletes as D
+
+CFG = IndexConfig(docs_per_shard=128, block_docs=16)
+DELETED = [0, 5, 130, 131, 340, 499]  # spans shards 0, 1, 2, 3; includes a top hit
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    B.build_index_resumable(docs, d, CFG)
+    return d, docs
+
+
+def test_tombstones_masked_at_query_time(spark, built):
+    d, docs = built
+    D.delete_docs(spark, d, DELETED)
+    tombs = D.load_tombstones(spark, d)
+    assert tombs == set(DELETED)
+
+    idx = B.read_index(spark, d)
+    res = wand.bm25_wand_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        corpus.REFERENCE_QUERIES, CFG, tombstones=tombs,
+    ).collect()
+    assert res and not any(r["doc_id"] in tombs for r in res)
+    # doc 340 was the #1 hit for query 1 — its removal must promote #2 (49)
+    q1 = sorted((r for r in res if r["query_id"] == 1), key=lambda r: r["rank"])
+    assert q1[0]["doc_id"] == 49
+
+    srv = IndexServer(d)  # auto-loads tombstones
+    got = sorted(srv.query_batch(corpus.REFERENCE_QUERIES))
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in res
+    )
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+
+
+def test_purge_equals_rebuild(spark, built):
+    d, docs = built
+    D.delete_docs(spark, d, DELETED)
+    D.purge_deletes(spark, d)
+    assert D.load_tombstones(spark, d) == set()
+
+    # reference: fresh index over the surviving docs
+    kept = docs.where(~F.col("doc_id").isin(DELETED))
+    ref = B.build_index(kept, CFG)
+
+    purged = B.read_index(spark, d)
+    assert purged.n_docs == ref.n_docs == 500 - len(DELETED)
+    assert purged.avgdl == pytest.approx(ref.avgdl, rel=1e-12)
+
+    got_post = sorted(
+        (r["term"], r["doc_id"], r["tf"])
+        for r in decode_postings(purged.postings, CFG).collect()
+    )
+    want_post = sorted(
+        (r["term"], r["doc_id"], r["tf"])
+        for r in decode_postings(ref.postings, CFG).collect()
+    )
+    assert got_post == want_post
+
+    ts_got = {r["term"]: (r["df"], r["cf"]) for r in purged.term_stats.collect()}
+    ts_want = {r["term"]: (r["df"], r["cf"]) for r in ref.term_stats.collect()}
+    assert ts_got == ts_want
+
+    # query results identical to brute force over surviving docs
+    want = topk.bm25_brute_force(kept, corpus.reference_queries(spark)).orderBy(
+        "query_id", "rank"
+    ).collect()
+    got = wand.bm25_wand_topk(
+        purged.postings, purged.doc_lens, purged.term_stats, purged.avgdl,
+        corpus.REFERENCE_QUERIES, CFG,
+    ).orderBy("query_id", "rank").collect()
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert (g["query_id"], g["rank"], g["doc_id"]) == (
+            w["query_id"], w["rank"], w["doc_id"],
+        )
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+def test_bogus_and_stale_tombstones_are_stat_noops(spark, built):
+    """Tombstones for nonexistent or already-purged docIDs must not shift
+    N/avgdl/idf (live-bitmap guard)."""
+    d, _ = built
+    D.delete_docs(spark, d, [340, 49])
+    D.purge_deletes(spark, d)
+    s1 = IndexServer(d)
+    base = (s1.n_docs, s1.query(["spark"], k=3))
+
+    D.delete_docs(spark, d, [10**9])  # never existed
+    D.purge_deletes(spark, d)
+    s2 = IndexServer(d)
+    assert (s2.n_docs, s2.query(["spark"], k=3)) == base
+
+    D.delete_docs(spark, d, [340])  # already purged
+    D.purge_deletes(spark, d)
+    s3 = IndexServer(d)
+    assert (s3.n_docs, s3.query(["spark"], k=3)) == base
+    assert D.load_tombstones(spark, d) == set()
+
+
+def test_purge_noop_without_tombstones(spark, built):
+    d, _ = built
+    before = sorted(
+        (r["term"], r["shard"], r["block_id"])
+        for r in B.read_index(spark, d).postings.collect()
+    )
+    D.purge_deletes(spark, d)  # no tombstones → no-op
+    after = sorted(
+        (r["term"], r["shard"], r["block_id"])
+        for r in B.read_index(spark, d).postings.collect()
+    )
+    assert before == after

