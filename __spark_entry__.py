@@ -159,6 +159,15 @@ def _q_ann_lsh(spark, sf_dir):
     return r.withColumn("score", F.round("score", _R))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF with full probe (n_probe == n_centroids) is EXACT ⇒ reuses the
+    brute-force SQL oracle; the pruned-probe recall path is pytest-covered."""
+    emb = corpus.load_table(spark, sf_dir, "embeddings")
+    r = similarity.ann_cosine_ivf(emb, _ANN_QUERY_IDS, k=_ANN_K,
+                                  n_centroids=8, n_probe=8)
+    return r.withColumn("score", F.round("score", _R))
+
+
 def _q_asset_metadata(spark, sf_dir):
     assets = multimodal.assets_from_documents(_docs(spark, sf_dir))
     m = multimodal.asset_metadata(assets)
@@ -208,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "sim_cosine_topk": _q_cosine_topk,
         "sim_ann_lsh": _q_ann_lsh,
+        "sim_ann_ivf_fullprobe": _q_ann_ivf,
         # multimodal plumbing
         "mm_asset_metadata": _q_asset_metadata,
         "mm_fake_features": _q_multimodal_features,
@@ -260,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": oracle.fingerprint_sql(),
         "sim_cosine_topk": oracle.cosine_topk_sql(_ANN_QUERY_IDS, _ANN_K),
         # sim_ann_lsh: rows-only (approximate; recall covered in pytest)
+        "sim_ann_ivf_fullprobe": oracle.cosine_topk_sql(_ANN_QUERY_IDS, _ANN_K),
         "mm_asset_metadata": oracle.asset_metadata_sql(),
         # mm_fake_features: rows-only (stubbed decode contract)
         "term_prefix_scan": oracle.prefix_scan_sql("s", 10),

@@ -63,6 +63,104 @@ def cosine_topk(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, iters: int = 8,
+    sample: int = 2048, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic k-means (cosine space: L2-normalized) trained driver-side
+    on a deterministic sample — first `sample` vectors by vec_id. Train-on-
+    sample is the standard IVF recipe: the sample is tiny relative to the
+    corpus; assignment (the expensive part) stays distributed."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+    c = x[:n_centroids].copy()  # deterministic init: first vectors by id
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                v = x[m].mean(axis=0)
+                c[j] = v / (np.linalg.norm(v) + 1e-12)
+    return c
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, cluster): distributed nearest-centroid assignment — one
+    matmul per Arrow batch against the broadcast centroid matrix."""
+    c = centroids
+
+    def assign(it):
+        for pdf in it:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col], "cluster": (m @ c.T).argmax(axis=1).astype(np.int32)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema="vec_id long, cluster int"
+    )
+
+
+def ann_cosine_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the query's n_probe nearest centroid cells, exact
+    re-score of in-cell candidates, top-k. At scale the assignment table is
+    the partitioning key of the vector store (cluster-pruned scans); recall
+    grows with n_probe (n_probe == n_centroids → exact brute force)."""
+    cents = ivf_centroids(embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).join(assigned, "vec_id")
+    # driver-side probe list per query (query set is small + broadcast)
+    qrows = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col).collect()
+    )
+    spark = embeddings.sparkSession
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qv /= np.linalg.norm(qv) + 1e-12
+        top = np.argsort(-(cents @ qv))[:n_probe]
+        probe_rows += [(int(r[id_col]), int(cl)) for cl in top]
+    probes = spark.createDataFrame(probe_rows, "query_id long, cluster int")
+    q = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        base.join(F.broadcast(probes), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", _cosine(F.col("qv"), F.col("v")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
 def _planes(dim: int, bits: int) -> np.ndarray:
     rs = np.random.RandomState(_SEED)
     return rs.standard_normal((bits, dim))

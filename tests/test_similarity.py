@@ -61,6 +61,41 @@ def test_ann_recall_bound(spark, emb):
     assert recall >= 0.4, f"recall collapsed: {recall}"
 
 
+def test_ivf_recall_and_exact_scores(spark, emb):
+    brute = similarity.cosine_topk(emb, QIDS, k=K).collect()
+    ivf = similarity.ann_cosine_ivf(emb, QIDS, k=K, n_centroids=16, n_probe=6).collect()
+    assert len(ivf) > 0
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    for r in ivf:  # every returned score exact
+        qv, v = vecs[r["query_id"]], vecs[r["vec_id"]]
+        exact = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+        assert r["score"] == pytest.approx(exact, abs=1e-9)
+    bset = {(r["query_id"], r["vec_id"]) for r in brute}
+    iset = {(r["query_id"], r["vec_id"]) for r in ivf}
+    recall = len(bset & iset) / len(bset)
+    assert recall >= 0.4, f"ivf recall collapsed: {recall}"
+
+
+def test_ivf_full_probe_equals_brute(spark, emb):
+    """n_probe == n_centroids ⇒ every cell probed ⇒ exact brute force."""
+    brute = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in similarity.cosine_topk(emb, QIDS, k=K).collect()
+    )
+    ivf = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in similarity.ann_cosine_ivf(emb, QIDS, k=K, n_centroids=8, n_probe=8).collect()
+    )
+    assert ivf == brute
+
+
+def test_ivf_deterministic(spark, emb):
+    a = similarity.ivf_centroids(emb, n_centroids=8)
+    b = similarity.ivf_centroids(emb, n_centroids=8)
+    assert (a == b).all()
+
+
 def test_lsh_buckets_deterministic(spark, emb):
     a = {(r["vec_id"], r["band"]): r["key"] for r in similarity.lsh_signatures(emb).collect()}
     b = {(r["vec_id"], r["band"]): r["key"] for r in similarity.lsh_signatures(emb).collect()}
