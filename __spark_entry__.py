@@ -90,6 +90,24 @@ def _q_bm25_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("score", F.round("score", _R))
 
 
+PHRASES = [
+    (1, "the fast"),
+    (2, "customer order"),
+    (3, "spark group query"),
+    (4, "zebra stripes"),       # zero hits
+    (5, "The, FAST!"),          # normalization: same as phrase 1
+]
+
+
+def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    idx = build_index(docs, _SF_CFG)
+    return wand.phrase_match(
+        docs, idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        PHRASES, _SF_CFG,
+    )
+
+
 def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed index decodes back to the exact (term, doc_id, tf) relation."""
     idx = build_index(_docs(spark, sf_dir), _SF_CFG)
@@ -200,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": _q_bm25_wand,
         "bm25_topk_decorated": _q_bm25_decorated,
         "bm25_topk_serving": _q_bm25_serving,
+        "phrase_match": _q_phrase_match,
         "postings_roundtrip": _q_postings_roundtrip,
         "term_stats": _q_term_stats,
         "corpus_stats": _q_corpus_stats,
@@ -253,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
         "bm25_topk_decorated": oracle.bm25_topk_decorated_sql(corpus.REFERENCE_QUERIES),
         "bm25_topk_serving": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
+        "phrase_match": oracle.phrase_match_sql(PHRASES),
         "postings_roundtrip": (
             "WITH tok AS (SELECT doc_id, unnest(" + toks + ") AS term FROM documents) "
             "SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id"

@@ -29,6 +29,8 @@ disjunctive = OR-fold (/root/reference/pkg/auth/http/log.go:170-196).
 
 from __future__ import annotations
 
+import re as _re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -78,6 +80,51 @@ def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig, tombstones=None):
         )
 
     return score
+
+
+def phrase_match(
+    docs: DataFrame,
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    phrases: list[tuple[int, str]],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search → (query_id, doc_id).
+
+    Two-stage positionless-index plan: (1) the inverted index prunes to the
+    CONJUNCTIVE candidates of the phrase's terms (posting intersection — at
+    web scale this is the 99.9% reduction), (2) candidates verify exactly by
+    token-sequence containment against the source text (token-normalized, so
+    punctuation/case don't break matches). A positional index is the
+    round-2 upgrade path; the two-stage plan is the standard fallback and is
+    exact either way.
+    """
+    from bloqsenjin_spark.functions.text import tokens
+
+    conj = []
+    phrase_norm: dict[int, str] = {}
+    for qid, phrase in phrases:
+        toks = [t for t in _re.split("[^a-z0-9]+", phrase.lower()) if t]
+        phrase_norm[qid] = " ".join(toks)
+        conj.append((qid, sorted(set(toks)), "conjunctive", 2**31 - 1))
+    cand = bm25_wand_topk(postings, doc_lens, term_stats, avgdl, conj, cfg).select(
+        "query_id", "doc_id"
+    )
+    norm = F.concat(F.lit(" "), F.concat_ws(" ", tokens(F.col(text_col))), F.lit(" "))
+    src = docs.select(F.col(id_col).alias("doc_id"), norm.alias("_norm"))
+    pmap = F.create_map(
+        *[x for qid, p in phrase_norm.items()
+          for x in (F.lit(qid), F.lit(f" {p} "))]
+    )
+    return (
+        cand.join(src, "doc_id")
+        .where(F.col("_norm").contains(pmap[F.col("query_id")]))
+        .select("query_id", "doc_id")
+    )
 
 
 def decorate_topk(topk_results: DataFrame, docs: DataFrame,

@@ -277,6 +277,25 @@ FROM documents
 
 # ---- relational parity (TPC-H-ish tables) ---------------------------------------
 
+def phrase_match_sql(phrases: list[tuple[int, str]]) -> str:
+    import re
+
+    rows = []
+    for qid, phrase in phrases:
+        toks = [t for t in re.split("[^a-z0-9]+", phrase.lower()) if t]
+        p = " ".join(toks).replace("'", "''")
+        rows.append(f"({qid}, ' {p} ')")
+    vals = ",\n        ".join(rows)
+    norm = "' ' || " + _NORM + " || ' '"
+    return f"""
+WITH q(query_id, p) AS (VALUES
+        {vals}),
+n AS (SELECT doc_id, {norm} AS t FROM documents)
+SELECT q.query_id, n.doc_id
+FROM q JOIN n ON position(q.p IN n.t) > 0
+""".strip()
+
+
 def prefix_scan_sql(prefix: str = "s", limit: int = 10) -> str:
     toks = DUCKDB_TOKENS_SQL.format(col="text")
     return f"""
