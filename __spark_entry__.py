@@ -33,10 +33,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-k over the reference query set at sf0.001."""
+    """Flagship: the full engine path at sf0.001 — build the inverted index
+    (map-side tf → single (term,shard) shuffle → compressed block-max
+    postings) and answer the reference query set via the block-max scorer.
+    Rank-identical to the brute-force oracle (pytest + driver-verified)."""
     docs = _docs(spark, "/root/testdata/sf0.001")
-    qs = corpus.reference_queries(spark)
-    return topk.bm25_brute_force(docs, qs)
+    idx = build_index(docs, _SF_CFG)
+    return wand.bm25_wand_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        corpus.REFERENCE_QUERIES, _SF_CFG,
+    )
 
 
 # ---- query implementations ---------------------------------------------------
