@@ -93,7 +93,10 @@ _TOKEN_FINDALL = "[a-z0-9]+"  # complement of config.TOKEN_SPLIT_REGEX
 
 
 def doc_term_freqs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    doc_markers: bool = False,
 ) -> DataFrame:
     """docs → (doc_id, dl, term, tf), computed MAP-SIDE in one Arrow pass.
 
@@ -102,6 +105,11 @@ def doc_term_freqs(
     corpus-wide shuffle — at 10^12 docs that shuffle (≈ total token count in
     rows) is the single largest cost in the naive plan. Output rows feed the
     (term, shard) index shuffle directly.
+
+    ``doc_markers=True`` additionally emits one (doc_id, dl, term=NULL, tf=0)
+    row per document — INCLUDING empty docs — so the build can derive
+    corpus stats and doc_lens from the same single corpus scan instead of a
+    second tokenize pass.
 
     Tokenization here (pandas .str.findall) must stay in lock-step with
     functions/text.tokens (JVM split) and the DuckDB oracle — all three are
@@ -118,24 +126,37 @@ def doc_term_freqs(
             flat: list[str] = []
             for lst in toks:
                 flat.extend(lst)
-            if not flat:
-                continue
-            # count (doc, term) pairs via factorize + single-key np.unique —
-            # far cheaper than a pandas groupby on object keys
-            codes, uniques = pd.factorize(pd.array(flat))
-            v = len(uniques)
-            key = reps * v + codes
-            uk, counts = np.unique(key, return_counts=True)
-            gi = uk // v
-            gc = uk % v
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids[gi],
-                    "dl": dl[gi],
-                    "term": np.asarray(uniques, dtype=object)[gc],
-                    "tf": counts.astype(np.int64),
-                }
-            )
+            if flat:
+                # count (doc, term) pairs via factorize + single-key
+                # np.unique — far cheaper than pandas groupby on object keys
+                codes, uniques = pd.factorize(pd.array(flat))
+                v = len(uniques)
+                key = reps * v + codes
+                uk, counts = np.unique(key, return_counts=True)
+                gi = uk // v
+                gc = uk % v
+                out = pd.DataFrame(
+                    {
+                        "doc_id": ids[gi],
+                        "dl": dl[gi],
+                        "term": np.asarray(uniques, dtype=object)[gc],
+                        "tf": counts.astype(np.int64),
+                    }
+                )
+            else:
+                out = None
+            if doc_markers:
+                markers = pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "dl": dl,
+                        "term": np.full(len(pdf), None, dtype=object),
+                        "tf": np.zeros(len(pdf), dtype=np.int64),
+                    }
+                )
+                out = markers if out is None else pd.concat([out, markers])
+            if out is not None:
+                yield out
 
     return docs.select(id_col, text_col).mapInPandas(
         batches, schema="doc_id long, dl long, term string, tf long"

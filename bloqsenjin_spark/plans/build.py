@@ -68,20 +68,17 @@ def build_index(
     from pyspark.storagelevel import StorageLevel
 
     cached = []
-    # (doc_id, dl) pass: JVM-side tokenize + size, no shuffle — tiny persist
-    # that also serves doc_lens and corpus stats (covers dl=0 docs, which the
-    # tf relation by construction omits)
-    tok = T.tokenized(docs, text_col=text_col, id_col=id_col).select("doc_id", "dl")
+    # ONE corpus scan: map-side Arrow pass emits (doc_id, dl, term, tf) plus
+    # a term=NULL marker row per doc (incl. empty docs), so corpus stats,
+    # doc_lens AND the tf relation all derive from a single tokenization
+    raw = P.doc_term_freqs(docs, text_col=text_col, id_col=id_col, doc_markers=True)
     if cache:
-        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
-        cached.append(tok)
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(raw)
+    tok = raw.where(F.col("term").isNull()).select("doc_id", "dl")
+    tf = raw.where(F.col("term").isNotNull())
     n_docs, avgdl = tok.agg(F.count("*"), F.avg("dl")).first()
     avgdl = float(avgdl or 0.0) or 1.0
-    # (doc_id, dl, term, tf): map-side Arrow pass, no corpus-wide shuffle
-    tf = P.doc_term_freqs(docs, text_col=text_col, id_col=id_col)
-    if cache:
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-        cached.append(tf)
     term_stats = tf.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     ).withColumn("idf", bm25.idf_col(F.col("df"), int(n_docs)))
