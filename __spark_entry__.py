@@ -137,8 +137,11 @@ def _q_exact_dedup(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    # jaccard is a ratio of exact ints → bit-identical across engines, no rounding
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    # jaccard is a ratio of exact ints → bit-identical across engines, no
+    # rounding; max_shingle_df=None = exact-everywhere for oracle parity
+    # (the production default caps hot-shingle fan-out)
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8,
+                                     max_shingle_df=None)
 
 
 def _q_minhash_lsh(spark, sf_dir):
@@ -199,9 +202,19 @@ def _q_asset_metadata(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
-    # rows-only oracle: md5-derived fake features (decode stub contract)
+    """mapInPandas fake decode; features emitted as scalar f0..f7 doubles
+    (u16/65536 is exact in float32 AND double) — the driver canonicalizer
+    cannot sort/hash array columns, and scalars upgrade this row from
+    rows-only to full value-checked against the md5-derived DuckDB oracle."""
     assets = multimodal.assets_from_documents(_docs(spark, sf_dir))
-    return multimodal.fake_decode_features(assets)
+    feats = multimodal.fake_decode_features(assets)
+    return feats.select(
+        "asset_id",
+        *[
+            F.element_at("features", i + 1).cast("double").alias(f"f{i}")
+            for i in range(multimodal.FEATURE_DIM)
+        ],
+    )
 
 
 def _q_prefix_scan(spark, sf_dir):
@@ -249,7 +262,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational parity (SURVEY §2)
         "rel_select_project_filter": _rel(relational.select_project_filter, "lineitem"),
         "rel_join_groupby_view": _rel(relational.join_groupby_view, "customer", "orders"),
-        "rel_enrichment_join": _rel(relational.enrichment_join, "orders", "lineitem", "part"),
+        # part_names serialized to a '|'-joined string: the driver's pandas
+        # canonicalizer cannot sort/hash raw array columns
+        "rel_enrichment_join": lambda spark, sf_dir: _rel(
+            relational.enrichment_join, "orders", "lineitem", "part"
+        )(spark, sf_dir).withColumn("part_names", F.array_join("part_names", "|")),
         "rel_semi_join_exists": _rel(relational.semi_join_exists, "customer", "orders"),
         "rel_anti_join_guard": _rel(relational.anti_join_guard, "customer", "orders"),
         "rel_cooccurrence_pairs": _rel(relational.cooccurrence_pairs, "lineitem"),
@@ -298,7 +315,7 @@ def oracle_sql() -> dict[str, str]:
         # sim_ann_lsh: rows-only (approximate; recall covered in pytest)
         "sim_ann_ivf_fullprobe": oracle.cosine_topk_sql(_ANN_QUERY_IDS, _ANN_K),
         "mm_asset_metadata": oracle.asset_metadata_sql(),
-        # mm_fake_features: rows-only (stubbed decode contract)
+        "mm_fake_features": oracle.fake_features_sql(),
         "term_prefix_scan": oracle.prefix_scan_sql("s", 10),
     }
     out.update(oracle.RELATIONAL_SQL)

@@ -79,7 +79,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
     n: int = 3,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 10_000,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -87,7 +87,10 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_df`` drops ultra-common shingles from CANDIDATE GENERATION
     only (skew cap for web scale); verification stays exact over full sets.
-    None = exact everywhere (default; required for the oracle check).
+    The DEFAULT is a real cap: one shingle shared by d docs contributes
+    d(d-1)/2 join rows, so a single boilerplate shingle at 10^8 df is a
+    quadratic blowup — exactly the head-term skew case. Pass None for
+    exact-everywhere semantics (the oracle-parity entry does).
     """
     ex = shingles(docs, n, text_col, id_col)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -178,13 +181,16 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
     )
-    # exact verify on candidates only: count common shingles per pair
+    # exact verify on candidates only: count common shingles per pair.
+    # cand is near-dup-pair-sized (tiny vs the corpus) — broadcast it into
+    # both shingle joins so the corpus-wide shingle relation is filtered
+    # map-side instead of shuffled against a small table.
     ex = shingles(docs, n, text_col, id_col)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     e1 = ex.select(F.col("doc_id").alias("d1"), "shingle")
     e2 = ex.select(F.col("doc_id").alias("d2x"), F.col("shingle").alias("s2"))
     inter = (
-        cand.join(e1, "d1")
+        F.broadcast(cand).join(e1, "d1")
         .join(e2, (F.col("shingle") == F.col("s2")) & (F.col("d2") == F.col("d2x")))
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("inter"))

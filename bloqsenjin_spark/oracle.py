@@ -94,7 +94,7 @@ WITH tok AS (
     SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {doc_table}
 ),
 tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id)
-SELECT term, count(*) AS df, sum(tf) AS cf,
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf,
        round({idf}, {SCORE_ROUND_DECIMALS}) AS idf
 FROM tf GROUP BY term
 """.strip()
@@ -106,7 +106,7 @@ def corpus_stats_sql(doc_table: str = "documents", text_col: str = "text",
     return f"""
 WITH dl AS (SELECT {id_col} AS doc_id, len({toks}) AS dl FROM {doc_table})
 SELECT count(*) AS n_docs, round(avg(dl), {SCORE_ROUND_DECIMALS}) AS avgdl,
-       sum(dl) AS n_tokens
+       sum(dl)::BIGINT AS n_tokens
 FROM dl
 """.strip()
 
@@ -119,7 +119,9 @@ def doc_lengths_sql(doc_table: str = "documents", text_col: str = "text",
 
 # ---- dedup -------------------------------------------------------------------
 
-_NORM = "array_to_string(" + DUCKDB_TOKENS_SQL.format(col="text") + ", ' ')"
+# coalesce: Spark's concat_ws(' ', tokens(NULL)) yields '' while DuckDB's
+# array_to_string(NULL, ' ') yields NULL — both sides must hash md5('')
+_NORM = "array_to_string(" + DUCKDB_TOKENS_SQL.format(col="coalesce(text, '')") + ", ' ')"
 
 
 def exact_dedup_sql() -> str:
@@ -262,6 +264,19 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
+def fake_features_sql() -> str:
+    """Oracle for the mapInPandas fake feature extractor: md5(utf8(text)) →
+    8 little-endian uint16s / 65536. DuckDB md5_number_upper = digest bytes
+    0-7 LE (features 0-3), md5_number_lower = bytes 8-15 LE (features 4-7);
+    u/65536 is an exact dyadic rational in both float32 and double, so no
+    rounding is needed for value parity."""
+    cols = []
+    for i in range(8):
+        src = "md5_number_upper(text)" if i < 4 else "md5_number_lower(text)"
+        cols.append(f"(({src} >> {16 * (i % 4)}) & 65535) / 65536.0 AS f{i}")
+    return f"SELECT doc_id AS asset_id, {', '.join(cols)} FROM documents"
+
+
 # ---- multimodal metadata --------------------------------------------------------
 
 def asset_metadata_sql(round_to: int = SCORE_ROUND_DECIMALS) -> str:
@@ -356,7 +371,7 @@ GROUP BY c_custkey, c_name
 """.strip(),
     "rel_enrichment_join": """
 SELECT o_orderkey, o_totalprice, count(*) AS n_items,
-       list_sort(list(p_name)) AS part_names
+       array_to_string(list_sort(list(p_name)), '|') AS part_names
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 JOIN part ON l_partkey = p_partkey

@@ -227,14 +227,16 @@ def build_index_resumable(
         # repartition by shard before partitionBy write: without it every
         # write task emits one file per shard it happens to hold (tasks ×
         # shards small files → serial driver commit dominates); with it each
-        # shard is exactly one file. dynamic partitionOverwriteMode
-        # (session.py) ⇒ only `todo` partitions are replaced on resume.
-        post.repartition(F.col("shard")).write.partitionBy("shard").mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/postings")
-        dlens.repartition(F.col("shard")).write.partitionBy("shard").mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/doc_lens")
+        # shard is exactly one file. partitionOverwriteMode=dynamic is set
+        # PER WRITE, not trusted to the session: with Spark's default
+        # 'static', mode('overwrite') would delete every previously
+        # completed shard partition and silently corrupt a resumed index.
+        post.repartition(F.col("shard")).write.partitionBy("shard").option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").parquet(f"{index_dir}/postings")
+        dlens.repartition(F.col("shard")).write.partitionBy("shard").option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").parquet(f"{index_dir}/doc_lens")
 
         m = (
             spark.read.parquet(f"{index_dir}/postings")

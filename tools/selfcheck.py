@@ -1,6 +1,9 @@
 """Mimic the driver's correctness gate locally: run every __spark_entry__
 query at sf0.01 and compare row-count + column names + order-insensitive
-values against the DuckDB oracle. Usage: python tools/selfcheck.py [sf_dir]
+values against the DuckDB oracle.
+
+Usage: python tools/selfcheck.py [sf_dir] [query-substring ...]
+Extra args filter which queries run (substring match on the query name).
 """
 
 from __future__ import annotations
@@ -18,10 +21,13 @@ from bloqsenjin_spark.session import get_spark
 
 
 def norm(v):
+    # repr-faithful: the driver's value hash is dtype-sensitive (float64 26.0
+    # vs int64 26 broke it in round 1), so DON'T paper over type/precision
+    # differences with %.6g formatting
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        return repr(v)
     return str(v)
 
 
@@ -30,13 +36,15 @@ def rowset(cols, rows):
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *patterns: str) -> int:
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    if patterns:
+        qs = {k: v for k, v in qs.items() if any(p in k for p in patterns)}
     failures = 0
     for name, fn in qs.items():
         try:
