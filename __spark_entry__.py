@@ -24,6 +24,7 @@ from bloqsenjin_spark.plans.build import build_index
 _R = SCORE_ROUND_DECIMALS
 # small shard/block sizes so sf0.01 (500 docs) exercises multi-shard paths
 _SF_CFG = IndexConfig(docs_per_shard=128, block_docs=16)
+_SF_CFG_POS = IndexConfig(docs_per_shard=128, block_docs=16, positions=True)
 _ANN_QUERY_IDS = list(range(10))
 _ANN_K = 5
 
@@ -106,12 +107,12 @@ PHRASES = [
 
 
 def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-native phrase search: positional index (positions=True), phrase
+    verified by position intersection INSIDE the shard scorer — the plan
+    never touches the documents table after the build."""
     docs = _docs(spark, sf_dir)
-    idx = build_index(docs, _SF_CFG)
-    return wand.phrase_match(
-        docs, idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
-        PHRASES, _SF_CFG,
-    )
+    idx = build_index(docs, _SF_CFG_POS)
+    return wand.phrase_match_positional(idx.postings, PHRASES, _SF_CFG_POS)
 
 
 def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

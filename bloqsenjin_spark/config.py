@@ -45,6 +45,12 @@ class IndexConfig:
     b: float = BM25_B
     docs_per_shard: int = DOCS_PER_SHARD
     block_docs: int = BLOCK_DOCS
+    # Positional postings (per-doc token positions, segmented delta+varint in
+    # the block blob). Opt-in: BM25 top-k never reads positions, and carrying
+    # them costs ~total-token-count extra shuffle volume at build time —
+    # phrase queries require an index built with positions=True (Lucene-style
+    # per-field opt-in).
+    positions: bool = False
 
     def shard_of(self, doc_id: int) -> int:
         return doc_id // self.docs_per_shard

@@ -79,3 +79,42 @@ def delta_decode(buf: bytes, base: int = 0) -> np.ndarray:
         return gaps
     gaps[0] += base
     return np.cumsum(gaps)
+
+
+def segmented_delta_encode(flat: np.ndarray, seg_lengths: np.ndarray) -> bytes:
+    """Concatenated per-segment delta streams in ONE varint pass.
+
+    ``flat`` is the concatenation of per-segment ascending int arrays (e.g.
+    all token positions of a term in a block, doc by doc); ``seg_lengths``
+    gives each segment's element count. Each segment's first value is stored
+    absolute and the rest as gaps, so segments decode independently — this is
+    the positional-postings layout (positions restart at 0 per document).
+    """
+    f = np.asarray(flat, dtype=np.int64)
+    if f.size == 0:
+        return b""
+    g = np.empty(f.shape, dtype=np.int64)
+    g[0] = f[0]
+    g[1:] = f[1:] - f[:-1]
+    seg = np.asarray(seg_lengths, dtype=np.int64)
+    seg = seg[seg > 0]
+    starts = np.concatenate(([0], np.cumsum(seg)[:-1]))
+    g[starts] = f[starts]
+    return varint_encode(g.astype(np.uint64))
+
+
+def segmented_delta_decode(buf: bytes, seg_lengths: np.ndarray) -> np.ndarray:
+    """Inverse of segmented_delta_encode → flat int64 array.
+
+    Fully vectorized: one cumsum over the whole stream, then subtract each
+    segment's carried-in prefix (the cumsum value just before its start).
+    """
+    g = varint_decode(buf).astype(np.int64)
+    if g.size == 0:
+        return g
+    cs = np.cumsum(g)
+    seg = np.asarray(seg_lengths, dtype=np.int64)
+    seg = seg[seg > 0]
+    starts = np.concatenate(([0], np.cumsum(seg)[:-1]))
+    prev = np.where(starts > 0, cs[starts - 1], 0)
+    return cs - np.repeat(prev, seg)

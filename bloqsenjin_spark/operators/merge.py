@@ -29,12 +29,19 @@ from pyspark.sql import functions as F
 from bloqsenjin_spark import schemas
 from bloqsenjin_spark.config import DEFAULT_CONFIG, IndexConfig
 from bloqsenjin_spark.functions import bm25
-from bloqsenjin_spark.functions.codec import delta_decode, delta_encode, varint_decode, varint_encode
+from bloqsenjin_spark.functions.codec import (
+    delta_decode,
+    delta_encode,
+    segmented_delta_decode,
+    segmented_delta_encode,
+    varint_decode,
+    varint_encode,
+)
 
 _MERGED_SCHEMA = (
     "term string, shard int, block_id int, n_docs int, first_doc long, "
     "last_doc long, doc_deltas binary, tfs binary, block_max_tf int, "
-    "block_max_tfc double"
+    "block_max_tfc double, positions binary"
 )
 
 
@@ -104,15 +111,35 @@ def merge_postings(
         for (term, bi), grp in pl.groupby(["term", "block_id"], sort=True):
             base = shard * dps + int(bi) * bdocs
             ids_parts, tf_parts = [], []
+            pos_docs: list = []  # per-doc position arrays, pre-merge order
+            has_pos = True
             for r in grp.itertuples(index=False):
                 ids_parts.append(delta_decode(bytes(r.doc_deltas), base=base))
-                tf_parts.append(varint_decode(bytes(r.tfs)).astype(np.int64))
+                tfs_r = varint_decode(bytes(r.tfs)).astype(np.int64)
+                tf_parts.append(tfs_r)
+                rp = getattr(r, "positions", None)
+                if rp is None:
+                    has_pos = False
+                elif has_pos:
+                    flat = segmented_delta_decode(bytes(rp), tfs_r)
+                    offs = np.concatenate(([0], np.cumsum(tfs_r)))
+                    pos_docs.extend(
+                        flat[offs[j]:offs[j + 1]] for j in range(tfs_r.size)
+                    )
             ids = np.concatenate(ids_parts)
             tfs = np.concatenate(tf_parts)
             order = np.argsort(ids, kind="stable")
             ids, tfs = ids[order], tfs[order]
             if np.unique(ids).size != ids.size:
                 raise ValueError(f"docID collision merging term={term} shard={shard}")
+            if has_pos and pos_docs:
+                # positions are per-doc payloads: reorder the doc segments to
+                # the merged doc order, re-encode against the merged tfs
+                pos_blob = segmented_delta_encode(
+                    np.concatenate([pos_docs[i] for i in order]), tfs
+                )
+            else:
+                pos_blob = None  # any positionless segment ⇒ positionless merge
             tfc = bm25.tf_component_np(
                 tfs.astype(np.float64), dls[ids - shard * dps], avgdl_new, k1, b
             )
@@ -121,7 +148,7 @@ def merge_postings(
                     term, shard, int(bi), int(ids.size), int(ids[0]), int(ids[-1]),
                     delta_encode(ids, base=base),
                     varint_encode(tfs.astype(np.uint64)),
-                    int(tfs.max()), float(tfc.max()),
+                    int(tfs.max()), float(tfc.max()), pos_blob,
                 )
             )
         return pd.DataFrame(rows, columns=cols)

@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 from bloqsenjin_spark import schemas
 from bloqsenjin_spark.config import DEFAULT_CONFIG, IndexConfig
 from bloqsenjin_spark.functions import bm25
-from bloqsenjin_spark.functions.codec import delta_encode, varint_encode
+from bloqsenjin_spark.functions.codec import (
+    delta_encode,
+    segmented_delta_encode,
+    varint_encode,
+)
 
 DOC_LENS_SCHEMA = "shard int, n_docs int, dls binary, live binary"
 
@@ -48,6 +52,8 @@ def _postings_groups(
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
     k1, b = cfg.k1, cfg.b
 
+    with_pos = cfg.positions
+
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
         shard = int(pdf["shard"].iloc[0])
@@ -56,6 +62,7 @@ def _postings_groups(
         doc_ids = pdf["doc_id"].to_numpy()[order]
         tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
         dls = pdf["dl"].to_numpy()[order].astype(np.float64)
+        pos = pdf["pos"].to_numpy()[order] if with_pos else None
 
         local = doc_ids - shard * dps
         block_ids = (local // bdocs).astype(np.int64)
@@ -67,6 +74,14 @@ def _postings_groups(
         for bi, s, e in zip(uniq, bounds[:-1], bounds[1:]):
             ids = doc_ids[s:e]
             base = shard * dps + int(bi) * bdocs
+            if with_pos:
+                flat = (
+                    np.concatenate([np.asarray(p) for p in pos[s:e]])
+                    if e > s else np.zeros(0, dtype=np.int64)
+                )
+                pos_blob = segmented_delta_encode(flat, tfs[s:e])
+            else:
+                pos_blob = None
             rows.append(
                 (
                     term,
@@ -79,6 +94,7 @@ def _postings_groups(
                     varint_encode(tfs[s:e].astype(np.uint64)),
                     int(tfs[s:e].max()),
                     float(contrib[s:e].max()),
+                    pos_blob,
                 )
             )
         return pd.DataFrame(
@@ -97,8 +113,14 @@ def doc_term_freqs(
     text_col: str = "text",
     id_col: str = "doc_id",
     doc_markers: bool = False,
+    positions: bool = False,
 ) -> DataFrame:
-    """docs → (doc_id, dl, term, tf), computed MAP-SIDE in one Arrow pass.
+    """docs → (doc_id, dl, term, tf[, pos]), computed MAP-SIDE in one Arrow pass.
+
+    ``positions=True`` adds a ``pos array<int>`` column: the ascending token
+    positions of the term within the doc (len(pos) == tf) — the input to
+    positional postings. Same single scan, no extra shuffle; the cost is the
+    larger rows (≈ total token count extra ints through the index shuffle).
 
     This replaces explode → groupBy(term, doc_id): tf is a per-document
     quantity, so counting inside the document's own batch removes an entire
@@ -132,42 +154,65 @@ def doc_term_freqs(
                 codes, uniques = pd.factorize(pd.array(flat))
                 v = len(uniques)
                 key = reps * v + codes
-                uk, counts = np.unique(key, return_counts=True)
+                if positions:
+                    # token position within its doc; the stable key sort keeps
+                    # each (doc, term) group's positions ascending
+                    doc_starts = np.cumsum(dl) - dl
+                    pos_in_doc = np.arange(key.size, dtype=np.int64) - doc_starts[reps]
+                    order = np.argsort(key, kind="stable")
+                    sk = key[order]
+                    bnd = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
+                    uk = sk[bnd]
+                    counts = np.diff(np.append(bnd, sk.size))
+                    sp = pos_in_doc[order].astype(np.int32)
+                    pos_lists = np.split(sp, np.cumsum(counts)[:-1])
+                else:
+                    uk, counts = np.unique(key, return_counts=True)
+                    pos_lists = None
                 gi = uk // v
                 gc = uk % v
-                out = pd.DataFrame(
-                    {
-                        "doc_id": ids[gi],
-                        "dl": dl[gi],
-                        "term": np.asarray(uniques, dtype=object)[gc],
-                        "tf": counts.astype(np.int64),
-                    }
-                )
+                cols = {
+                    "doc_id": ids[gi],
+                    "dl": dl[gi],
+                    "term": np.asarray(uniques, dtype=object)[gc],
+                    "tf": counts.astype(np.int64),
+                }
+                if positions:
+                    cols["pos"] = pos_lists
+                out = pd.DataFrame(cols)
             else:
                 out = None
             if doc_markers:
-                markers = pd.DataFrame(
-                    {
-                        "doc_id": ids,
-                        "dl": dl,
-                        "term": np.full(len(pdf), None, dtype=object),
-                        "tf": np.zeros(len(pdf), dtype=np.int64),
-                    }
-                )
+                mcols = {
+                    "doc_id": ids,
+                    "dl": dl,
+                    "term": np.full(len(pdf), None, dtype=object),
+                    "tf": np.zeros(len(pdf), dtype=np.int64),
+                }
+                if positions:
+                    mcols["pos"] = np.full(len(pdf), None, dtype=object)
+                markers = pd.DataFrame(mcols)
                 out = markers if out is None else pd.concat([out, markers])
             if out is not None:
                 yield out
 
-    return docs.select(id_col, text_col).mapInPandas(
-        batches, schema="doc_id long, dl long, term string, tf long"
-    )
+    schema = "doc_id long, dl long, term string, tf long"
+    if positions:
+        schema += ", pos array<int>"
+    return docs.select(id_col, text_col).mapInPandas(batches, schema=schema)
 
 
-def term_freqs_with_dl(tok: DataFrame) -> DataFrame:
-    """(term, doc_id, dl, tf) — THE build intermediate. Computed once and
-    persisted by the caller: term_stats needs a full pass over it before
+def term_freqs_with_dl(tok: DataFrame, positions: bool = False) -> DataFrame:
+    """(term, doc_id, dl, tf[, pos]) — THE build intermediate. Computed once
+    and persisted by the caller: term_stats needs a full pass over it before
     postings can be built (idf is baked into block_max), so two consumers
     share one materialization instead of re-exploding the corpus."""
+    if positions:
+        ex = tok.select("doc_id", "dl", F.posexplode("tokens").alias("pos", "term"))
+        return ex.groupBy("term", "doc_id", "dl").agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).cast("array<int>").alias("pos"),
+        )
     return (
         tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id", "dl")
@@ -209,7 +254,9 @@ def build_postings(
     cfg: IndexConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """(doc_id, tokens, dl) + term_stats → POSTINGS rows (convenience path)."""
-    return build_postings_from_tf(term_freqs_with_dl(tok), term_stats, avgdl, cfg)
+    return build_postings_from_tf(
+        term_freqs_with_dl(tok, positions=cfg.positions), term_stats, avgdl, cfg
+    )
 
 
 def build_doc_lens(tok: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFrame:

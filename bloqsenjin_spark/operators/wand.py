@@ -82,7 +82,133 @@ def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig, tombstones=None):
     return score
 
 
-def phrase_match(
+def _parse_phrases(phrases: list[tuple[int, str]]) -> list[tuple[int, list[str]]]:
+    """Normalize phrases with THE tokenizer regex; empty phrases drop out
+    (the positionless oracle would match everything on ''; callers must not
+    pass empty phrases — both engine paths return no rows for them)."""
+    out = []
+    for qid, phrase in phrases:
+        toks = [t for t in _re.split("[^a-z0-9]+", phrase.lower()) if t]
+        if toks:
+            out.append((qid, toks))
+    return out
+
+
+def phrase_match_positional(
+    postings: DataFrame,
+    phrases: list[tuple[int, str]],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tombstones: "set[int] | list[int] | None" = None,
+) -> DataFrame:
+    """Exact phrase search → (query_id, doc_id), entirely inside the index.
+
+    Requires an index built with ``IndexConfig(positions=True)``. The plan
+    touches ONLY the postings table, filtered to the phrases' terms (predicate
+    pushed to the parquet scan) — no corpus scan, no re-tokenization; at
+    10^12 docs the scan cost is proportional to the phrase terms' posting
+    lists, not the corpus. Per shard (one applyInPandas group, NumPy inside):
+
+      1. candidate docs = block-aligned posting intersection of the phrase's
+         unique terms (blocks are doc-range aligned across terms, so the
+         intersection never leaves a block);
+      2. verify by position intersection: S := pos(t0); S := (S+1) ∩ pos(t1);
+         ... — nonempty S after the last token ⇒ the exact token sequence
+         occurs. Repeated-term phrases fall out naturally (same posting list
+         consulted at both offsets).
+
+    Replaces the round-1 two-stage plan (kept as ``phrase_match_twostage``)
+    whose verify stage re-scanned and re-tokenized the documents table.
+    """
+    parsed = _parse_phrases(phrases)
+    all_terms = sorted({t for _, ts in parsed for t in ts})
+    pq = postings.where(F.col("term").isin(all_terms)).select(
+        "term", "shard", "block_id", "doc_deltas", "tfs", "positions"
+    )
+    dps, bdocs = cfg.docs_per_shard, cfg.block_docs
+    tomb = (
+        np.sort(np.asarray(sorted(tombstones), dtype=np.int64))
+        if tombstones else None
+    )
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "doc_id": []}).astype(
+            {"query_id": "int64", "doc_id": "int64"}
+        )
+        if pdf.empty:
+            return empty
+        from bloqsenjin_spark.functions.codec import segmented_delta_decode
+
+        shard = int(pdf["shard"].iloc[0])
+        by_term: dict[str, dict[int, int]] = {}
+        for i, (t, b) in enumerate(zip(pdf["term"], pdf["block_id"])):
+            by_term.setdefault(t, {})[int(b)] = i
+        dd = pdf["doc_deltas"].to_numpy()
+        tfb = pdf["tfs"].to_numpy()
+        ps = pdf["positions"].to_numpy()
+        cache: dict[int, tuple] = {}
+
+        def decode(i: int, block_id: int):
+            if i not in cache:
+                if ps[i] is None:
+                    raise ValueError(
+                        "postings row has no positions payload — build the "
+                        "index with IndexConfig(positions=True) for phrase "
+                        "queries, or use phrase_match_twostage"
+                    )
+                base = shard * dps + block_id * bdocs
+                ids = delta_decode(bytes(dd[i]), base=base)
+                tfs_ = varint_decode(bytes(tfb[i])).astype(np.int64)
+                flat = segmented_delta_decode(bytes(ps[i]), tfs_)
+                offs = np.concatenate(([0], np.cumsum(tfs_)))
+                cache[i] = (ids, flat, offs)
+            return cache[i]
+
+        out_q: list[int] = []
+        out_d: list[int] = []
+        for qid, toks in parsed:
+            uniq = list(dict.fromkeys(toks))
+            maps = [by_term.get(t) for t in uniq]
+            if any(m is None for m in maps):
+                continue  # some term absent from this shard ⇒ no match here
+            blocks = set(maps[0])
+            for m in maps[1:]:
+                blocks &= set(m)
+            for bid in sorted(blocks):
+                per_term = {t: decode(m[bid], bid) for t, m in zip(uniq, maps)}
+                cand = per_term[uniq[0]][0]
+                for t in uniq[1:]:
+                    cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+                    if cand.size == 0:
+                        break
+                if tomb is not None and cand.size:
+                    cand = cand[~np.isin(cand, tomb)]
+                for d in cand:
+                    S = None
+                    for t in toks:
+                        ids, flat, offs = per_term[t]
+                        j = int(np.searchsorted(ids, d))
+                        P = flat[offs[j]:offs[j + 1]]
+                        S = P if S is None else np.intersect1d(
+                            S + 1, P, assume_unique=True
+                        )
+                        if S.size == 0:
+                            break
+                    if S is not None and S.size:
+                        out_q.append(qid)
+                        out_d.append(int(d))
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.asarray(out_q, dtype=np.int64),
+                "doc_id": np.asarray(out_d, dtype=np.int64),
+            }
+        )
+
+    return pq.groupBy("shard").applyInPandas(verify, schema="query_id long, doc_id long")
+
+
+def phrase_match_twostage(
     docs: DataFrame,
     postings: DataFrame,
     doc_lens: DataFrame,
@@ -93,15 +219,14 @@ def phrase_match(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact phrase search → (query_id, doc_id).
+    """Exact phrase search → (query_id, doc_id) over a POSITIONLESS index.
 
-    Two-stage positionless-index plan: (1) the inverted index prunes to the
-    CONJUNCTIVE candidates of the phrase's terms (posting intersection — at
-    web scale this is the 99.9% reduction), (2) candidates verify exactly by
-    token-sequence containment against the source text (token-normalized, so
-    punctuation/case don't break matches). A positional index is the
-    round-2 upgrade path; the two-stage plan is the standard fallback and is
-    exact either way.
+    Two-stage fallback plan: (1) the inverted index prunes to the
+    CONJUNCTIVE candidates of the phrase's terms (posting intersection), (2)
+    candidates verify exactly by token-sequence containment against the
+    source text. Stage 2 re-scans the documents table — at web scale prefer
+    ``phrase_match_positional`` over a positions=True index, which never
+    leaves the postings table.
     """
     from bloqsenjin_spark.functions.text import tokens
 

@@ -29,6 +29,7 @@ from bloqsenjin_spark.config import DEFAULT_CONFIG, IndexConfig
 from bloqsenjin_spark.functions import bm25
 from bloqsenjin_spark.operators import postings as P
 from bloqsenjin_spark.operators import topk as T
+from bloqsenjin_spark.plans import store as S
 
 
 @dataclass
@@ -71,7 +72,8 @@ def build_index(
     # ONE corpus scan: map-side Arrow pass emits (doc_id, dl, term, tf) plus
     # a term=NULL marker row per doc (incl. empty docs), so corpus stats,
     # doc_lens AND the tf relation all derive from a single tokenization
-    raw = P.doc_term_freqs(docs, text_col=text_col, id_col=id_col, doc_markers=True)
+    raw = P.doc_term_freqs(docs, text_col=text_col, id_col=id_col,
+                           doc_markers=True, positions=cfg.positions)
     if cache:
         raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(raw)
@@ -94,17 +96,18 @@ def build_index(
 
 
 def write_index(idx: Index, index_dir: str) -> None:
-    idx.postings.repartition(F.col("shard")).write.partitionBy("shard").mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/postings")
-    idx.doc_lens.repartition(F.col("shard")).write.partitionBy("shard").mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/doc_lens")
-    idx.term_stats.coalesce(8).write.mode("overwrite").parquet(f"{index_dir}/term_stats")
+    """Full (non-resumable) persist via the storage seam: ``index_dir`` may be
+    a filesystem path (parquet) or ``iceberg://catalog.db.name`` (Iceberg
+    tables; atomic snapshot commits) — see plans/store.py."""
     spark = idx.postings.sparkSession
-    spark.createDataFrame(
-        [(idx.n_docs, idx.avgdl)], "n_docs long, avgdl double"
-    ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+    store = S.for_index(spark, index_dir)
+    store.replace_all(idx.postings, "postings")
+    store.replace_all(idx.doc_lens, "doc_lens")
+    store.overwrite(idx.term_stats, "term_stats", coalesce=8)
+    store.overwrite(
+        spark.createDataFrame([(idx.n_docs, idx.avgdl)], "n_docs long, avgdl double"),
+        "corpus_stats",
+    )
     # lineage/metrics: per-shard docs/postings/bytes + completion checkpoint
     m = (
         idx.postings.groupBy("shard")
@@ -115,7 +118,7 @@ def write_index(idx: Index, index_dir: str) -> None:
             F.sum(F.length("doc_deltas") + F.length("tfs")).alias("bytes"),
         )
     )
-    m.write.mode("overwrite").parquet(f"{index_dir}/build_metrics")
+    store.overwrite(m, "build_metrics")
     ck = m.join(idx.doc_lens.select("shard", F.col("n_docs").alias("docs")), "shard").select(
         "shard",
         F.lit("done").alias("status"),
@@ -124,7 +127,7 @@ def write_index(idx: Index, index_dir: str) -> None:
         "bytes",
         F.current_timestamp().alias("ts"),
     )
-    ck.write.mode("overwrite").parquet(f"{index_dir}/checkpoints")
+    store.overwrite(ck, "checkpoints")
     write_index_meta(spark, index_dir, idx.cfg)
 
 
@@ -132,14 +135,28 @@ def write_index_meta(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> N
     """Persist the layout-defining config WITH the index: decoding with a
     different docs_per_shard/block_docs silently corrupts docIDs, so readers
     load (or validate against) this row instead of trusting their caller."""
-    spark.createDataFrame(
-        [(cfg.docs_per_shard, cfg.block_docs, cfg.k1, cfg.b)],
-        "docs_per_shard int, block_docs int, k1 double, b double",
-    ).write.mode("overwrite").parquet(f"{index_dir}/index_meta")
+    S.for_index(spark, index_dir).overwrite(
+        spark.createDataFrame(
+            [(cfg.docs_per_shard, cfg.block_docs, cfg.k1, cfg.b, cfg.positions)],
+            "docs_per_shard int, block_docs int, k1 double, b double, positions boolean",
+        ),
+        "index_meta",
+    )
 
 
 def read_index_meta(index_dir: str) -> IndexConfig:
-    """Read the stored IndexConfig (pyarrow — usable without a SparkSession)."""
+    """Read the stored IndexConfig (pyarrow for parquet paths — usable without
+    a SparkSession, which is what the serving tier needs; Iceberg indexes go
+    through the active session)."""
+    if index_dir.startswith(S.ICEBERG_SCHEME):
+        spark = SparkSession.getActiveSession()
+        r = S.for_index(spark, index_dir).read("index_meta").first()
+        return IndexConfig(
+            k1=float(r["k1"]), b=float(r["b"]),
+            docs_per_shard=int(r["docs_per_shard"]),
+            block_docs=int(r["block_docs"]),
+            positions=bool(r["positions"]),
+        )
     import pyarrow.dataset as ds
 
     row = ds.dataset(f"{index_dir}/index_meta", format="parquet").to_table().to_pydict()
@@ -147,6 +164,8 @@ def read_index_meta(index_dir: str) -> IndexConfig:
         k1=float(row["k1"][0]), b=float(row["b"][0]),
         docs_per_shard=int(row["docs_per_shard"][0]),
         block_docs=int(row["block_docs"][0]),
+        # pre-positional index_meta lacks the column: those builds have none
+        positions=bool(row.get("positions", [False])[0]),
     )
 
 
@@ -158,6 +177,10 @@ def check_index_meta(index_dir: str, cfg: IndexConfig) -> IndexConfig:
         if cfg is None:
             raise
         return cfg  # pre-meta index (or meta not written): trust the caller
+    except Exception:  # noqa: BLE001 — Iceberg table-not-found surfaces as AnalysisException
+        if cfg is None:
+            raise
+        return cfg
     if cfg is None:
         return stored
     if (cfg.docs_per_shard, cfg.block_docs) != (stored.docs_per_shard, stored.block_docs):
@@ -179,12 +202,12 @@ def completed_shards(spark: SparkSession, index_dir: str) -> set[int]:
     try:
         return {
             r["shard"]
-            for r in spark.read.parquet(f"{index_dir}/checkpoints")
+            for r in S.for_index(spark, index_dir).read("checkpoints")
             .where(F.col("status") == "done")
             .select("shard")
             .collect()
         }
-    except Exception:  # noqa: BLE001 — path-not-found on first run
+    except Exception:  # noqa: BLE001 — table-not-found on first run
         return set()
 
 
@@ -215,31 +238,27 @@ def build_index_resumable(
     todo = sorted(planned - done)
 
     # global stats always (re)written — cheap, snapshot-invariant
-    idx.term_stats.coalesce(8).write.mode("overwrite").parquet(f"{index_dir}/term_stats")
-    spark.createDataFrame(
-        [(idx.n_docs, idx.avgdl)], "n_docs long, avgdl double"
-    ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+    store = S.for_index(spark, index_dir)
+    store.overwrite(idx.term_stats, "term_stats", coalesce=8)
+    store.overwrite(
+        spark.createDataFrame([(idx.n_docs, idx.avgdl)], "n_docs long, avgdl double"),
+        "corpus_stats",
+    )
     write_index_meta(spark, index_dir, cfg)
 
     if todo:
         post = idx.postings.where(F.col("shard").isin(todo))
         dlens = idx.doc_lens.where(F.col("shard").isin(todo))
-        # repartition by shard before partitionBy write: without it every
-        # write task emits one file per shard it happens to hold (tasks ×
-        # shards small files → serial driver commit dominates); with it each
-        # shard is exactly one file. partitionOverwriteMode=dynamic is set
-        # PER WRITE, not trusted to the session: with Spark's default
-        # 'static', mode('overwrite') would delete every previously
-        # completed shard partition and silently corrupt a resumed index.
-        post.repartition(F.col("shard")).write.partitionBy("shard").option(
-            "partitionOverwriteMode", "dynamic"
-        ).mode("overwrite").parquet(f"{index_dir}/postings")
-        dlens.repartition(F.col("shard")).write.partitionBy("shard").option(
-            "partitionOverwriteMode", "dynamic"
-        ).mode("overwrite").parquet(f"{index_dir}/doc_lens")
+        # overwrite_shards replaces exactly the `todo` partitions — dynamic
+        # partition overwrite set PER WRITE (parquet) / overwritePartitions
+        # snapshot commit (Iceberg). With Spark's default 'static' overwrite a
+        # resumed write would delete every previously completed shard
+        # partition; one file per shard via repartition(shard).
+        store.overwrite_shards(post, "postings")
+        store.overwrite_shards(dlens, "doc_lens")
 
         m = (
-            spark.read.parquet(f"{index_dir}/postings")
+            store.read("postings")
             .where(F.col("shard").isin(todo))
             .groupBy("shard")
             .agg(
@@ -250,7 +269,7 @@ def build_index_resumable(
             )
         )
         ck = m.join(
-            spark.read.parquet(f"{index_dir}/doc_lens")
+            store.read("doc_lens")
             .where(F.col("shard").isin(todo))
             .select("shard", F.col("n_docs").alias("docs")),
             "shard",
@@ -262,17 +281,20 @@ def build_index_resumable(
             "bytes",
             F.current_timestamp().alias("ts"),
         )
-        ck.write.mode("append").parquet(f"{index_dir}/checkpoints")
+        # parquet: append (completed_shards dedupes on read); Iceberg:
+        # MERGE INTO keyed on shard — a true atomic checkpoint upsert
+        store.upsert_checkpoints(ck)
     idx.unpersist()
 
 
 def read_index(spark: SparkSession, index_dir: str, cfg: IndexConfig | None = None) -> Index:
     cfg = check_index_meta(index_dir, cfg)
-    cs = spark.read.parquet(f"{index_dir}/corpus_stats").first()
+    store = S.for_index(spark, index_dir)
+    cs = store.read("corpus_stats").first()
     return Index(
-        postings=spark.read.parquet(f"{index_dir}/postings"),
-        doc_lens=spark.read.parquet(f"{index_dir}/doc_lens"),
-        term_stats=spark.read.parquet(f"{index_dir}/term_stats"),
+        postings=store.read("postings"),
+        doc_lens=store.read("doc_lens"),
+        term_stats=store.read("term_stats"),
         n_docs=int(cs["n_docs"]),
         avgdl=float(cs["avgdl"]),
         cfg=cfg,

@@ -156,7 +156,13 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> None:
 
     # --- rewrite affected shards without tombstoned postings -----------------
     def strip(it):
+        from bloqsenjin_spark.functions.codec import (
+            segmented_delta_decode,
+            segmented_delta_encode,
+        )
+
         for pdf in it:
+            has_pos_col = "positions" in pdf.columns
             rows = []
             for r in pdf.itertuples(index=False):
                 base = r.shard * dps + r.block_id * bdocs
@@ -165,17 +171,35 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> None:
                 if not keep.any():
                     continue
                 tfs = varint_decode(bytes(r.tfs)).astype(np.int64)
+                rp = r.positions if has_pos_col else None
+                if rp is not None:
+                    # drop the deleted docs' position segments, keep the rest
+                    flat = segmented_delta_decode(bytes(rp), tfs)
+                    offs = np.concatenate(([0], np.cumsum(tfs)))
+                    kept = [
+                        flat[offs[j]:offs[j + 1]]
+                        for j in np.flatnonzero(keep)
+                    ]
+                    pos_blob = segmented_delta_encode(
+                        np.concatenate(kept), tfs[keep]
+                    )
+                else:
+                    pos_blob = None
                 rows.append(
                     (r.term, r.shard, r.block_id, int(keep.sum()),
                      int(ids[keep][0]), int(ids[keep][-1]),
                      delta_encode(ids[keep], base=base),
                      varint_encode(tfs[keep].astype(np.uint64)),
-                     int(tfs[keep].max()), float(r.block_max_score))
+                     int(tfs[keep].max()), float(r.block_max_score),
+                     pos_blob)
                 )
             cols = ["term", "shard", "block_id", "n_docs", "first_doc",
                     "last_doc", "doc_deltas", "tfs", "block_max_tf",
-                    "block_max_score"]
-            yield pd.DataFrame(rows, columns=cols)
+                    "block_max_score", "positions"]
+            out = pd.DataFrame(rows, columns=cols)
+            if not has_pos_col:
+                out = out.drop(columns=["positions"])
+            yield out
 
     stripped_affected = post.where(F.col("shard").isin(affected)).mapInPandas(
         strip, schema=post.schema

@@ -1,0 +1,163 @@
+"""Index storage backends — the writer/reader seam of the build plan.
+
+The index is five tables (postings, doc_lens, term_stats, corpus_stats,
+checkpoints) plus index_meta. Two backends implement the same small surface:
+
+* ``ParquetStore`` — path-based parquet directories. Per-shard idempotence
+  comes from dynamic partition overwrite; checkpoint upsert is append +
+  read-side dedup. This is the local/test backend and the fallback whenever
+  no Iceberg catalog is configured.
+* ``IcebergStore`` — catalog tables ``USING iceberg``. Per-shard idempotence
+  comes from ``overwritePartitions`` (an atomic snapshot commit), checkpoint
+  upsert is ``MERGE INTO`` keyed on shard, resume reads are snapshot-isolated,
+  and ``expire_snapshots`` bounds metadata growth. This is the 100 TB
+  deployment shape named by the build contract (BASELINE.json north_rule:
+  "over Iceberg tables"); exactly-once of the reference's saga pattern
+  (/root/reference/internal/models/bloq.go:277-306) becomes snapshot commit +
+  retry.
+
+``for_index(spark, index_dir)`` picks the backend: an ``iceberg://cat.ns``
+index_dir selects IcebergStore (requires the catalog on the session), any
+filesystem path selects ParquetStore. The rest of plans/build.py is
+backend-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ICEBERG_SCHEME = "iceberg://"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff an Iceberg SparkCatalog is importable in this JVM."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:  # noqa: BLE001 — class not on the classpath
+        return False
+
+
+def for_index(spark: SparkSession, index_dir: str):
+    if index_dir.startswith(ICEBERG_SCHEME):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                f"{index_dir} needs the Iceberg runtime on the Spark classpath "
+                "(spark.jars.packages org.apache.iceberg:iceberg-spark-runtime-..., "
+                "plus a spark.sql.catalog.<name> SparkCatalog config)"
+            )
+        return IcebergStore(spark, index_dir[len(ICEBERG_SCHEME):])
+    return ParquetStore(spark, index_dir)
+
+
+class ParquetStore:
+    """Path-based parquet tables; the local + fallback backend."""
+
+    kind = "parquet"
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+
+    def _p(self, table: str) -> str:
+        return f"{self.index_dir}/{table}"
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._p(table))
+
+    def overwrite(self, df: DataFrame, table: str, coalesce: int | None = None) -> None:
+        if coalesce:
+            df = df.coalesce(coalesce)
+        df.write.mode("overwrite").parquet(self._p(table))
+
+    def overwrite_shards(self, df: DataFrame, table: str) -> None:
+        """Replace exactly the shard partitions present in df (idempotent
+        per-shard retry). repartition(shard) ⇒ one file per shard partition."""
+        df.repartition(F.col("shard")).write.partitionBy("shard").option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").parquet(self._p(table))
+
+    def replace_all(self, df: DataFrame, table: str) -> None:
+        """Full-table replace, still shard-partitioned (fresh write_index)."""
+        df.repartition(F.col("shard")).write.partitionBy("shard").mode(
+            "overwrite"
+        ).parquet(self._p(table))
+
+    def upsert_checkpoints(self, df: DataFrame, table: str = "checkpoints") -> None:
+        """Append-only; completed_shards dedupes on read (a shard row may
+        appear twice after a crashed-then-retried round — harmless)."""
+        df.write.mode("append").parquet(self._p(table))
+
+    def compact(self) -> None:  # nothing to do for plain parquet dirs
+        return
+
+
+class IcebergStore:
+    """Iceberg catalog tables. ``namespace`` is ``catalog.db.index_name``;
+    each index table is ``<namespace>_<table>``."""
+
+    kind = "iceberg"
+
+    def __init__(self, spark: SparkSession, namespace: str):
+        self.spark = spark
+        self.ns = namespace
+        db = namespace.rsplit(".", 1)[0]
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {db}")
+
+    def _t(self, table: str) -> str:
+        return f"{self.ns}_{table}"
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.table(self._t(table))
+
+    def overwrite(self, df: DataFrame, table: str, coalesce: int | None = None) -> None:
+        if coalesce:
+            df = df.coalesce(coalesce)
+        df.writeTo(self._t(table)).using("iceberg").createOrReplace()
+
+    def overwrite_shards(self, df: DataFrame, table: str) -> None:
+        """Atomic snapshot commit replacing only the shard partitions present
+        in df — Iceberg's native form of dynamic partition overwrite."""
+        t = self._t(table)
+        if not self.spark.catalog.tableExists(t):
+            df.repartition(F.col("shard")).writeTo(t).using("iceberg").partitionedBy(
+                F.col("shard")
+            ).create()
+            return
+        df.repartition(F.col("shard")).writeTo(t).overwritePartitions()
+
+    def replace_all(self, df: DataFrame, table: str) -> None:
+        """Full-table replace as ONE snapshot commit."""
+        df.repartition(F.col("shard")).writeTo(self._t(table)).using(
+            "iceberg"
+        ).partitionedBy(F.col("shard")).createOrReplace()
+
+    def upsert_checkpoints(self, df: DataFrame, table: str = "checkpoints") -> None:
+        """True keyed upsert: MERGE INTO on shard (the reference's
+        read-modify-write checkpoint row, done as one atomic commit)."""
+        t = self._t(table)
+        if not self.spark.catalog.tableExists(t):
+            df.writeTo(t).using("iceberg").create()
+            return
+        df.createOrReplaceTempView("_ck_src")
+        self.spark.sql(
+            f"""
+            MERGE INTO {t} dst USING _ck_src src ON dst.shard = src.shard
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+
+    def compact(self, retain_last: int = 5) -> None:
+        """Snapshot expiry so 10^5 incremental commits don't accrete
+        unbounded metadata (CALL <catalog>.system.expire_snapshots)."""
+        cat = self.ns.split(".", 1)[0]
+        for table in ("postings", "doc_lens", "term_stats", "corpus_stats",
+                      "checkpoints", "build_metrics", "index_meta"):
+            t = self._t(table)
+            if self.spark.catalog.tableExists(t):
+                self.spark.sql(
+                    f"CALL {cat}.system.expire_snapshots("
+                    f"table => '{t}', retain_last => {retain_last})"
+                )

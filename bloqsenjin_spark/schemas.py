@@ -49,6 +49,11 @@ POSTINGS = T.StructType(
         # max BM25 contribution of this term over docs in the block (pinned
         # k1/b/idf at build time) — the block-max WAND skip bound.
         T.StructField("block_max_score", T.DoubleType(), False),
+        # positional payload (IndexConfig.positions=True builds only): per doc
+        # in doc order, this term's token positions, segmented delta+varint
+        # (codec.segmented_delta_encode; tfs give the segment lengths). NULL
+        # in positionless builds — BM25 scoring never touches it.
+        T.StructField("positions", T.BinaryType(), True),
     ]
 )
 

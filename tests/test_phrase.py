@@ -1,56 +1,192 @@
-"""Phrase search: index-pruned candidates + exact sequence verification."""
+"""Phrase search: positional index (position-intersection verify, no corpus
+scan) + the positionless two-stage fallback — both must agree with the
+substring-on-normalized-text reference semantics."""
 
 from __future__ import annotations
 
+import numpy as np
+import pytest
+
 from bloqsenjin_spark import corpus
 from bloqsenjin_spark.config import IndexConfig
+from bloqsenjin_spark.functions.codec import (
+    segmented_delta_decode,
+    segmented_delta_encode,
+)
 from bloqsenjin_spark.operators import wand
 from bloqsenjin_spark.plans.build import build_index
 
 CFG = IndexConfig(docs_per_shard=128, block_docs=16)
+CFG_POS = IndexConfig(docs_per_shard=128, block_docs=16, positions=True)
+# tiny blocks/shards so phrase hits straddle block AND shard boundaries
+CFG_POS_TINY = IndexConfig(docs_per_shard=4, block_docs=2, positions=True)
 
 
-def _run(spark, docs, phrases):
-    idx = build_index(docs, CFG)
+def _run_twostage(spark, docs, phrases, cfg=CFG):
+    idx = build_index(docs, cfg)
     return {
         (r["query_id"], r["doc_id"])
-        for r in wand.phrase_match(
+        for r in wand.phrase_match_twostage(
             docs, idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
-            phrases, CFG,
+            phrases, cfg,
         ).collect()
     }
 
 
-def test_phrase_semantics(spark):
-    docs = spark.createDataFrame(
-        [
-            (0, "alpha beta gamma"),
-            (1, "beta alpha gamma"),          # terms present, order wrong
-            (2, "x alpha beta y"),
-            (3, "Alpha... BETA!"),            # normalization
-            (4, "alpha x beta"),              # not adjacent
-            (5, "alpha"),                     # missing term
-            (6, ""),
-        ],
-        "doc_id long, text string",
-    )
-    got = _run(spark, docs, [(1, "alpha beta")])
-    assert got == {(1, 0), (1, 2), (1, 3)}
+def _run_positional(spark, docs, phrases, cfg=CFG_POS):
+    idx = build_index(docs, cfg)
+    return {
+        (r["query_id"], r["doc_id"])
+        for r in wand.phrase_match_positional(idx.postings, phrases, cfg).collect()
+    }
 
 
-def test_phrase_vs_python_reference(spark):
-    docs_df = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
-    phrases = [(1, "the fast"), (2, "customer order"), (3, "zebra stripes")]
-    got = _run(spark, docs_df, phrases)
+def _reference(docs_rows, phrases):
     import re
 
     want = set()
-    for r in docs_df.collect():
-        norm = " " + " ".join(t for t in re.split("[^a-z0-9]+", r["text"].lower()) if t) + " "
+    for r in docs_rows:
+        text = r["text"] or ""
+        norm = " " + " ".join(t for t in re.split("[^a-z0-9]+", text.lower()) if t) + " "
         for qid, p in phrases:
             pn = " " + " ".join(t for t in re.split("[^a-z0-9]+", p.lower()) if t) + " "
-            if pn in norm:
+            if pn.strip() and pn in norm:
                 want.add((qid, r["doc_id"]))
+    return want
+
+
+SEMANTICS_DOCS = [
+    (0, "alpha beta gamma"),
+    (1, "beta alpha gamma"),          # terms present, order wrong
+    (2, "x alpha beta y"),
+    (3, "Alpha... BETA!"),            # normalization
+    (4, "alpha x beta"),              # not adjacent
+    (5, "alpha"),                     # missing term
+    (6, ""),
+]
+
+
+@pytest.mark.parametrize("runner", [_run_twostage, _run_positional])
+def test_phrase_semantics(spark, runner):
+    docs = spark.createDataFrame(SEMANTICS_DOCS, "doc_id long, text string")
+    got = runner(spark, docs, [(1, "alpha beta")])
+    assert got == {(1, 0), (1, 2), (1, 3)}
+
+
+def test_phrase_repeated_term_and_long(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the the end"),
+            (1, "the end the"),         # 'the the' not adjacent
+            (2, "a b a b a"),
+            (3, "b a b"),
+            (4, "one two three four"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = [(1, "the the"), (2, "a b a b"), (3, "two three four")]
+    got = _run_positional(spark, docs, phrases)
+    assert got == {(1, 0), (2, 2), (3, 4)}
+
+
+def test_phrase_across_block_and_shard_boundaries(spark):
+    # 10 docs, docs_per_shard=4, block_docs=2 → matches in shards 0,1,2 and
+    # several distinct blocks; also a doc long enough that positions span
+    # multiple varint bytes (positions > 127)
+    rows = []
+    for d in range(10):
+        filler = " ".join(f"w{d}x{i}" for i in range(130))
+        text = f"{filler} needle point {filler}" if d % 3 == 0 else f"{filler} needle x point"
+        rows.append((d, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    phrases = [(7, "needle point")]
+    got = _run_positional(spark, docs, phrases, cfg=CFG_POS_TINY)
+    assert got == {(7, d) for d in range(10) if d % 3 == 0}
+
+
+@pytest.mark.parametrize("runner", [_run_twostage, _run_positional])
+def test_phrase_vs_python_reference(spark, runner):
+    docs_df = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    phrases = [(1, "the fast"), (2, "customer order"), (3, "zebra stripes")]
+    got = runner(spark, docs_df, phrases)
+    want = _reference(docs_df.collect(), phrases)
     assert got == want
     assert any(q == 1 for q, _ in got)  # corpus really contains 'the fast'
     assert not any(q == 3 for q, _ in got)
+
+
+def test_positional_plan_never_scans_corpus(spark):
+    """The physical plan of the positional phrase query must read ONLY the
+    postings relation — no documents scan, no second tokenize."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, CFG_POS)
+    out = wand.phrase_match_positional(idx.postings, [(1, "the fast")], CFG_POS)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the documents parquet appears only via the build subtree feeding
+    # postings; the phrase query side is FlatMapGroupsInPandas over the
+    # postings relation. Assert no scan of the documents table text column
+    # above the posting construction: the two-stage plan contained a
+    # BroadcastHashJoin against a tokenized corpus projection.
+    assert "FlatMapGroupsInPandas" in plan
+    assert "contains(" not in plan  # two-stage verify predicate is gone
+
+
+def test_phrase_positional_survives_merge(spark):
+    """merge(build(A), build(B)) must carry positions: phrase results on the
+    merged index == reference over A ∪ B."""
+    from bloqsenjin_spark.operators.merge import merge_indexes
+
+    rows = [(d, f"pad{d} needle point tail{d}" if d % 2 else f"pad{d} needle tail{d}")
+            for d in range(10)]
+    a = spark.createDataFrame(rows[:5], "doc_id long, text string")
+    b = spark.createDataFrame(rows[5:], "doc_id long, text string")
+    merged = merge_indexes(
+        build_index(a, CFG_POS_TINY), build_index(b, CFG_POS_TINY), CFG_POS_TINY
+    )
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in wand.phrase_match_positional(
+            merged.postings, [(1, "needle point")], CFG_POS_TINY
+        ).collect()
+    }
+    assert got == {(1, d) for d in range(10) if d % 2}
+
+
+def test_phrase_positional_survives_purge(spark, tmp_path):
+    """Tombstone purge rewrites shards; surviving docs' positions must stay
+    intact and deleted docs must stop matching."""
+    from bloqsenjin_spark.plans.build import build_index_resumable, read_index
+    from bloqsenjin_spark.plans.deletes import delete_docs, purge_deletes
+
+    rows = [(d, f"pad{d} needle point tail{d}") for d in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "posidx")
+    build_index_resumable(docs, d, CFG_POS_TINY)
+    delete_docs(spark, d, [2, 5])
+    purge_deletes(spark, d)
+    idx = read_index(spark, d)
+    assert idx.cfg.positions
+    got = {
+        r["doc_id"]
+        for r in wand.phrase_match_positional(
+            idx.postings, [(1, "needle point")], idx.cfg
+        ).collect()
+    }
+    assert got == {0, 1, 3, 4, 6, 7}
+
+
+def test_segmented_codec_roundtrip():
+    rng = np.random.RandomState(7)
+    for _ in range(50):
+        n_seg = rng.randint(1, 9)
+        segs = [
+            np.sort(rng.choice(20000, size=rng.randint(1, 40), replace=False))
+            for _ in range(n_seg)
+        ]
+        flat = np.concatenate(segs)
+        lens = np.array([len(s) for s in segs])
+        blob = segmented_delta_encode(flat, lens)
+        back = segmented_delta_decode(blob, lens)
+        assert np.array_equal(back, flat)
+    # empty
+    assert segmented_delta_decode(b"", np.array([])).size == 0
