@@ -161,20 +161,20 @@ def ann_cosine_ivf(
     )
 
 
-def _planes(dim: int, bits: int) -> np.ndarray:
-    rs = np.random.RandomState(_SEED)
+def _planes(dim: int, bits: int, seed: int = _SEED) -> np.ndarray:
+    rs = np.random.RandomState(seed)
     return rs.standard_normal((bits, dim))
 
 
 def lsh_signatures(
     embeddings: DataFrame, bands: int = 8, bits_per_band: int = 4,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = _SEED,
 ) -> DataFrame:
     """→ (vec_id, band int, key int): banded random-hyperplane signatures —
     one Arrow pass, one matrix multiply per batch. A pair collides if ANY
     band's sign pattern matches (OR-amplification: recall 1-(1-p^b)^B)."""
     first = embeddings.select(F.size(vec_col).alias("d")).first()
-    planes = _planes(int(first["d"]), bands * bits_per_band)
+    planes = _planes(int(first["d"]), bands * bits_per_band, seed)
 
     def sig(it):
         for pdf in it:
@@ -204,12 +204,13 @@ def ann_cosine_lsh(
     bits_per_band: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = _SEED,
 ) -> DataFrame:
     """→ (query_id, rank, vec_id, score): approximate top-k — candidates from
     banded LSH bucket joins, exact cosine re-score, top-k. Approximate by
     construction; recall floor is property-tested, and every returned score
     is exact (re-scored), so precision of returned pairs is 1."""
-    sig = lsh_signatures(embeddings, bands, bits_per_band, id_col, vec_col)
+    sig = lsh_signatures(embeddings, bands, bits_per_band, id_col, vec_col, seed)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

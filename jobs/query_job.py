@@ -2,9 +2,15 @@
 
     spark-submit --py-files bloqsenjin_spark.zip jobs/query_job.py \
         --index-dir <dir> --out <result parquet> \
-        [--queries <parquet with (query_id, terms, mode, k)>]
+        [--queries <query set: .parquet | .json(l) | .pb>] \
+        [--queries-format parquet|json|protobuf] \
+        [--proto-descriptor <protoc descriptor_set file>]
 
-Without --queries, runs the built-in reference query set.
+Query-set contract (sources/queries.py): columns/fields
+(query_id long, terms array<string>, mode conjunctive|disjunctive, k int);
+terms are re-normalized with the engine tokenizer on ingest. Protobuf needs
+the spark-protobuf package on the classpath. Without --queries, runs the
+built-in reference query set.
 """
 
 from __future__ import annotations
@@ -19,6 +25,9 @@ def main() -> None:
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--queries", default=None)
+    ap.add_argument("--queries-format", default=None,
+                    choices=["parquet", "json", "protobuf"])
+    ap.add_argument("--proto-descriptor", default=None)
     ap.add_argument("--docs-per-shard", type=int, default=None)
     ap.add_argument("--block-docs", type=int, default=None)
     args = ap.parse_args()
@@ -27,6 +36,7 @@ def main() -> None:
     from bloqsenjin_spark.corpus import REFERENCE_QUERIES
     from bloqsenjin_spark.operators.wand import bm25_wand_topk
     from bloqsenjin_spark.plans.build import read_index
+    from bloqsenjin_spark.sources.queries import load_query_set
 
     spark = SparkSession.builder.appName("bloqsenjin-query").getOrCreate()
     cfg = IndexConfig(
@@ -34,10 +44,8 @@ def main() -> None:
         block_docs=args.block_docs or DEFAULT_CONFIG.block_docs,
     )
     if args.queries:
-        qs = [
-            (int(r["query_id"]), list(r["terms"]), r["mode"], int(r["k"]))
-            for r in spark.read.parquet(args.queries).collect()
-        ]
+        qs = load_query_set(spark, args.queries, fmt=args.queries_format,
+                            proto_descriptor=args.proto_descriptor)
     else:
         qs = REFERENCE_QUERIES
     idx = read_index(spark, args.index_dir, cfg)

@@ -49,16 +49,26 @@ def test_ann_scores_match_exact_pairs(spark, emb):
         assert r["score"] == pytest.approx(exact, abs=1e-9)
 
 
-def test_ann_recall_bound(spark, emb):
+@pytest.mark.parametrize("seed", [42, 7, 123])
+def test_ann_recall_bound(spark, emb, seed):
+    """Recall@k floor across independent hyperplane draws (measured 0.64-0.74
+    on this fixture), and every returned pair carries the exact cosine —
+    plane-seed dependence must not hide a broken bucketing path."""
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
     brute = similarity.cosine_topk(emb, QIDS, k=K).collect()
-    ann = similarity.ann_cosine_lsh(emb, QIDS, k=K).collect()
+    ann = similarity.ann_cosine_lsh(emb, QIDS, k=K, seed=seed).collect()
+    for r in ann:  # precision of returned pairs is 1: scores exact per pair
+        qv, v = vecs[r["query_id"]], vecs[r["vec_id"]]
+        exact = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+        assert r["score"] == pytest.approx(exact, abs=1e-9)
     bset = {(r["query_id"], r["vec_id"]) for r in brute}
     aset = {(r["query_id"], r["vec_id"]) for r in ann}
     recall = len(bset & aset) / len(bset)
     # banded hyperplane LSH (8×4 bits) on isotropic random vectors: pin a
     # floor so regressions (e.g. broken bucketing) are caught; real clustered
     # embeddings sit far above this
-    assert recall >= 0.4, f"recall collapsed: {recall}"
+    assert recall >= 0.5, f"recall collapsed at seed {seed}: {recall}"
 
 
 def test_ivf_recall_and_exact_scores(spark, emb):
