@@ -74,6 +74,35 @@ def test_simhash_signature_deterministic(spark, dup_docs):
     assert a[0] == a[1] == a[2]
 
 
+def test_hot_shingle_cap_bounds_candidate_blowup(spark):
+    """One boilerplate shingle shared by all n docs ⇒ the uncapped candidate
+    self-join materializes n(n-1)/2 pairs; with the (default-on) cap the hot
+    shingle is excluded from candidate generation and the join stays empty.
+    This is the head-term-skew failure mode of web boilerplate at 10^12 docs.
+    """
+    from pyspark.sql import functions as F
+
+    n = 80
+    rows = [(d, f"common boiler plate u{d}a u{d}b u{d}c u{d}d") for d in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ex = dedup.shingles(docs)
+
+    def cand_pairs(src):
+        a, b = src.alias("a"), src.alias("b")
+        return a.join(
+            b, (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ).count()
+
+    uncapped = cand_pairs(ex)
+    assert uncapped >= n * (n - 1) // 2  # the blowup is real
+    hot = ex.groupBy("shingle").count().where(F.col("count") > 10)
+    capped = cand_pairs(ex.join(hot.select("shingle"), "shingle", "left_anti"))
+    assert capped == 0
+    # and the production default itself returns no false pairs here
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
 def test_hot_shingle_cap_preserves_planted_dups(spark):
     """Skew cap drops only candidate shingles; planted J≈0.99 pairs survive."""
     docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
