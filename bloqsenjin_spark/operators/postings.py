@@ -46,63 +46,128 @@ from bloqsenjin_spark.functions.codec import (
 DOC_LENS_SCHEMA = "shard int, n_docs int, dls binary, live binary"
 
 
-def _postings_groups(
-    cfg: IndexConfig, avgdl: float
-) -> "callable[[pd.DataFrame], pd.DataFrame]":
+def _encode_group(
+    term, shard: int, doc_ids, tfs, contrib, pos, cfg: IndexConfig
+) -> list[tuple]:
+    """One (term, shard) posting list (doc-ordered) → POSTINGS row tuples.
+    Inputs are NumPy slices; contrib is the precomputed per-posting BM25
+    contribution (idf × tf component)."""
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
+    local = doc_ids - shard * dps
+    block_ids = (local // bdocs).astype(np.int64)
+    rows = []
+    uniq, starts = np.unique(block_ids, return_index=True)
+    bounds = np.append(starts, doc_ids.size)
+    for bi, s, e in zip(uniq, bounds[:-1], bounds[1:]):
+        ids = doc_ids[s:e]
+        base = shard * dps + int(bi) * bdocs
+        if pos is not None:
+            flat = (
+                np.concatenate([np.asarray(p) for p in pos[s:e]])
+                if e > s else np.zeros(0, dtype=np.int64)
+            )
+            pos_blob = segmented_delta_encode(flat, tfs[s:e])
+        else:
+            pos_blob = None
+        rows.append(
+            (
+                term,
+                shard,
+                int(bi),
+                int(e - s),
+                int(ids[0]),
+                int(ids[-1]),
+                delta_encode(ids, base=base),
+                varint_encode(tfs[s:e].astype(np.uint64)),
+                int(tfs[s:e].max()),
+                float(contrib[s:e].max()),
+                pos_blob,
+            )
+        )
+    return rows
+
+
+def _postings_batches(cfg: IndexConfig, avgdl: float):
+    """Stitched mapInPandas posting builder.
+
+    Input contract: rows repartitioned by (term, shard) and sorted within
+    each partition by (term, shard, doc_id) — every (term, shard) group is a
+    contiguous, doc-ordered run. Arrow batches can cut a run, so the tail run
+    of each batch is held back and prepended to the next (buffer bounded by
+    the group bound: ≤ docs_per_shard rows).
+
+    Why not groupBy(term, shard).applyInPandas: grouped-map ships EVERY group
+    as its own Arrow record batch + pandas frame — at small shards that is
+    ~vocab × shards tiny batches and pure dispatch overhead (measured 65s of
+    the 93s two-core build at 500k docs). Stitching keeps the identical
+    grouping semantics and per-group memory bound while amortizing Arrow
+    overhead over full-size batches.
+    """
     k1, b = cfg.k1, cfg.b
-
     with_pos = cfg.positions
+    out_cols = [f.name for f in schemas.POSTINGS.fields]
 
-    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        idf = float(pdf["idf"].iloc[0])
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-        dls = pdf["dl"].to_numpy()[order].astype(np.float64)
-        pos = pdf["pos"].to_numpy()[order] if with_pos else None
-
-        local = doc_ids - shard * dps
-        block_ids = (local // bdocs).astype(np.int64)
-        contrib = idf * bm25.tf_component_np(tfs.astype(np.float64), dls, avgdl, k1, b)
-
-        rows = []
-        uniq, starts = np.unique(block_ids, return_index=True)
-        bounds = np.append(starts, doc_ids.size)
-        for bi, s, e in zip(uniq, bounds[:-1], bounds[1:]):
-            ids = doc_ids[s:e]
-            base = shard * dps + int(bi) * bdocs
-            if with_pos:
-                flat = (
-                    np.concatenate([np.asarray(p) for p in pos[s:e]])
-                    if e > s else np.zeros(0, dtype=np.int64)
-                )
-                pos_blob = segmented_delta_encode(flat, tfs[s:e])
-            else:
-                pos_blob = None
-            rows.append(
-                (
-                    term,
-                    shard,
-                    int(bi),
-                    int(e - s),
-                    int(ids[0]),
-                    int(ids[-1]),
-                    delta_encode(ids, base=base),
-                    varint_encode(tfs[s:e].astype(np.uint64)),
-                    int(tfs[s:e].max()),
-                    float(contrib[s:e].max()),
-                    pos_blob,
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        t = pdf["term"].to_numpy()
+        sh = pdf["shard"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy()
+        tfs = pdf["tf"].to_numpy().astype(np.int64)
+        dls = pdf["dl"].to_numpy().astype(np.float64)
+        idfs = pdf["idf"].to_numpy().astype(np.float64)
+        pos = pdf["pos"].to_numpy() if with_pos else None
+        # whole-batch vectorized BM25 contribution, sliced per group below
+        contrib = idfs * bm25.tf_component_np(tfs.astype(np.float64), dls, avgdl, k1, b)
+        change = np.flatnonzero((t[1:] != t[:-1]) | (sh[1:] != sh[:-1])) + 1
+        bounds = np.concatenate(([0], change, [len(pdf)]))
+        rows: list[tuple] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            rows.extend(
+                _encode_group(
+                    t[s], int(sh[s]), doc_ids[s:e], tfs[s:e], contrib[s:e],
+                    pos[s:e] if with_pos else None, cfg,
                 )
             )
-        return pd.DataFrame(
-            rows,
-            columns=[f.name for f in schemas.POSTINGS.fields],
-        )
+        return pd.DataFrame(rows, columns=out_cols) if rows else None
 
-    return build_group
+    def run(batches):
+        # held: chunks of the current tail run (ONE (term, shard) group that
+        # may span batches). Kept as a list and concatenated once at flush so
+        # a docs_per_shard-sized head-term group costs O(n), not O(n²).
+        held: list[pd.DataFrame] = []
+        held_key = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            t = pdf["term"].to_numpy()
+            sh = pdf["shard"].to_numpy()
+            if held and (t[0], sh[0]) == held_key:
+                cont = (t == t[0]) & (sh == sh[0])
+                n_cont = int(cont.sum())  # sorted ⇒ the run is a prefix
+                held.append(pdf.iloc[:n_cont])
+                if n_cont == len(pdf):
+                    continue  # whole batch extends the held run
+                pdf = pdf.iloc[n_cont:]
+                t, sh = t[n_cont:], sh[n_cont:]
+            if held:
+                out = emit(pd.concat(held, ignore_index=True))
+                if out is not None:
+                    yield out
+                held, held_key = [], None
+            # hold back this batch's (contiguous) tail run — it may continue
+            tail = (t == t[-1]) & (sh == sh[-1])
+            cut = len(pdf) - int(tail.sum())
+            held = [pdf.iloc[cut:]]
+            held_key = (t[-1], sh[-1])
+            if cut:
+                out = emit(pdf.iloc[:cut])
+                if out is not None:
+                    yield out
+        if held:
+            out = emit(pd.concat(held, ignore_index=True))
+            if out is not None:
+                yield out
+
+    return run
 
 
 _TOKEN_FINDALL = "[a-z0-9]+"  # complement of config.TOKEN_SPLIT_REGEX
@@ -230,7 +295,11 @@ def build_postings_from_tf(
     """(term, doc_id, dl, tf) + term_stats → POSTINGS rows.
 
     One shuffle on (term, shard); block_max_score is computed at build time
-    with the pinned (k1, b, idf, avgdl), as in standard BMW indexes.
+    with the pinned (k1, b, idf, avgdl), as in standard BMW indexes. The
+    shuffle is expressed as repartition(term, shard) + partition-local sort +
+    stitched mapInPandas — identical grouping semantics and memory bounds as
+    groupBy(term, shard).applyInPandas, without one-Arrow-batch-per-group
+    dispatch (see _postings_batches).
     """
     stats = term_stats.select("term", "idf")
     if broadcast_stats:
@@ -242,9 +311,10 @@ def build_postings_from_tf(
     enriched = tf.withColumn(
         "shard", (F.col("doc_id") / cfg.docs_per_shard).cast("int")
     ).join(stats, "term")
-    return enriched.groupBy("term", "shard").applyInPandas(
-        _postings_groups(cfg, avgdl), schema=schemas.POSTINGS
+    clustered = enriched.repartition(F.col("term"), F.col("shard")).sortWithinPartitions(
+        "term", "shard", "doc_id"
     )
+    return clustered.mapInPandas(_postings_batches(cfg, avgdl), schema=schemas.POSTINGS)
 
 
 def build_postings(

@@ -78,6 +78,12 @@ def build_index(
         raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(raw)
     tok = raw.where(F.col("term").isNull()).select("doc_id", "dl")
+    if cache:
+        # tok is doc-count-sized (tiny vs raw) but consumed twice (corpus
+        # stats + doc_lens) — caching it saves two full scans of the big
+        # cached tf relation
+        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(tok)
     tf = raw.where(F.col("term").isNotNull())
     n_docs, avgdl = tok.agg(F.count("*"), F.avg("dl")).first()
     avgdl = float(avgdl or 0.0) or 1.0

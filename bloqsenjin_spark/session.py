@@ -32,6 +32,12 @@ def get_spark(
         master = f"local[{cores}]"
         n = cores
     if shuffle_partitions is None:
+        # Local-test default, measured best at the bench corpus size. At real
+        # data scale SIZE THIS BY DATA (~128 MB per reduce partition): AQE can
+        # COALESCE an over-partitioned shuffle down to advisoryPartitionSize
+        # but can never split an under-partitioned one, and oversized reduce
+        # partitions cross into external-sort spill. Cluster deployments set
+        # spark.sql.shuffle.partitions in spark-defaults accordingly.
         shuffle_partitions = max(2 * n, 8)
     b = (
         SparkSession.builder.appName(app_name)
@@ -43,7 +49,8 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow transport for every pandas UDF / applyInPandas hot path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "16384"))
         # Idempotent per-shard re-writes on resume (see plans/build.py):
         # overwrite only the partitions present in the incoming DataFrame.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

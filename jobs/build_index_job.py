@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--docs-per-shard", type=int, default=None)
     ap.add_argument("--block-docs", type=int, default=None)
+    ap.add_argument("--positions", action="store_true",
+                    help="build a positional index (enables phrase queries; "
+                         "adds ~token-count ints to the index shuffle)")
     ap.add_argument("--from-documents", action="store_true",
                     help="input is documents-shaped (doc_id, text, ...): skip extraction + docID assignment")
     args = ap.parse_args()
@@ -40,15 +43,23 @@ def main() -> None:
     cfg = IndexConfig(
         docs_per_shard=args.docs_per_shard or DEFAULT_CONFIG.docs_per_shard,
         block_docs=args.block_docs or DEFAULT_CONFIG.block_docs,
+        positions=args.positions,
     )
-    src = spark.read.parquet(args.pages)
+    # --pages may be a parquet path or an iceberg://catalog.db.table ref —
+    # the index output (--index-dir) routes the same way via plans/store.py
+    if args.pages.startswith("iceberg://"):
+        src = spark.read.table(args.pages[len("iceberg://"):])
+    else:
+        src = spark.read.parquet(args.pages)
     if args.from_documents:
         docs = src
     else:
         ranked = assign_doc_ids(src.select("url", "html", "lang"))
         docs = ranked.select("doc_id", "url", extract_text("html").alias("text"), "lang")
     build_index_resumable(docs, args.index_dir, cfg)
-    n = spark.read.parquet(f"{args.index_dir}/corpus_stats").first()
+    from bloqsenjin_spark.plans.store import for_index
+
+    n = for_index(spark, args.index_dir).read("corpus_stats").first()
     print(f"index built: n_docs={n['n_docs']} avgdl={n['avgdl']:.3f} -> {args.index_dir}")
 
 
