@@ -149,6 +149,14 @@ def _q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.9)
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    """Semantic (embedding-cosine) near-dup pairs; exact method for oracle
+    parity — the LSH-bucketed scale path is recall-pinned in pytest."""
+    emb = corpus.load_table(spark, sf_dir, "embeddings")
+    r = dedup.embedding_near_dup_pairs(emb, threshold=0.45, method="exact")
+    return r.withColumn("score", F.round("score", _R))
+
+
 def _q_simhash(spark, sf_dir):
     # rows-only oracle: signature values are xxhash64-dependent
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
@@ -248,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
+        "dedup_embedding_cosine": _q_embedding_near_dup,
         # text analysis
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
@@ -308,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(0.8),
         "dedup_minhash_lsh": oracle.ngram_jaccard_sql(0.9),
         # dedup_simhash: rows-only (xxhash64-seeded signatures)
+        "dedup_embedding_cosine": oracle.embedding_near_dup_sql(0.45),
         "text_token_count": oracle.token_count_sql(),
         "text_quality": oracle.quality_score_sql(STOPWORDS),
         "text_lang_id": oracle.lang_id_sql(LANG_MARKERS),

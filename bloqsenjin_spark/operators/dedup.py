@@ -204,6 +204,61 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int | None = None,
+) -> DataFrame:
+    """→ (d1, d2, score): embedding-cosine near-duplicate pairs (d1 < d2,
+    cosine ≥ threshold). The semantic-dedup leg of the pipeline (exact/
+    Jaccard/MinHash/SimHash catch surface dups; embedding cosine catches
+    paraphrases).
+
+    ``method="exact"``: all-pairs upper triangle — O(n²), the oracle/
+    verification path (zero-Python Catalyst fold, same kernel as
+    similarity.cosine_topk).
+    ``method="lsh"``: random-hyperplane band buckets (similarity.
+    lsh_signatures) generate candidates, exact cosine verifies — the scale
+    path: the self-join touches same-bucket pairs only, and every returned
+    score is exact (precision 1; recall pinned in tests).
+    """
+    from bloqsenjin_spark.operators.similarity import _SEED, _cosine, lsh_signatures
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    if method == "exact":
+        a = base.select(F.col("vec_id").alias("d1"), F.col("v").alias("va"))
+        b = base.select(F.col("vec_id").alias("d2"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).where(F.col("d1") < F.col("d2"))
+    elif method == "lsh":
+        sig = lsh_signatures(embeddings, id_col=id_col, vec_col=vec_col,
+                             seed=_SEED if seed is None else seed)
+        x, y = sig.alias("x"), sig.alias("y")
+        cand = (
+            x.join(y, (F.col("x.band") == F.col("y.band"))
+                   & (F.col("x.key") == F.col("y.key"))
+                   & (F.col("x.vec_id") < F.col("y.vec_id")))
+            .select(F.col("x.vec_id").alias("d1"), F.col("y.vec_id").alias("d2"))
+            .distinct()
+        )
+        pairs = (
+            cand.join(base.select(F.col("vec_id").alias("d1"), F.col("v").alias("va")), "d1")
+            .join(base.select(F.col("vec_id").alias("d2"), F.col("v").alias("vb")), "d2")
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        pairs.withColumn("score", _cosine(F.col("va"), F.col("vb")))
+        .where(F.col("score") >= threshold)
+        .select("d1", "d2", "score")
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """→ (doc_id, simhash long): tf-weighted 64-bit SimHash, map-side only."""
     t = tokens(F.col(text_col))

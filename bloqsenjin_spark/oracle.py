@@ -264,6 +264,24 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
+def embedding_near_dup_sql(threshold: float,
+                           round_to: int = SCORE_ROUND_DECIMALS) -> str:
+    """All-pairs cosine ≥ threshold over the embeddings table (d1 < d2) —
+    the exact oracle for the embedding near-dup leg of the dedup suite."""
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS score
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+)
+SELECT d1, d2, round(score, {round_to}) AS score
+FROM pairs WHERE score >= {threshold}
+""".strip()
+
+
 def fake_features_sql() -> str:
     """Oracle for the mapInPandas fake feature extractor: md5(utf8(text)) →
     8 little-endian uint16s / 65536. DuckDB md5_number_upper = digest bytes

@@ -74,6 +74,28 @@ def test_simhash_signature_deterministic(spark, dup_docs):
     assert a[0] == a[1] == a[2]
 
 
+@pytest.mark.parametrize("seed", [42, 7, 123])
+def test_embedding_near_dup_lsh_vs_exact(spark, seed):
+    """LSH-bucketed semantic near-dup: returned pairs ⊆ exact (precision 1,
+    scores exact per pair), recall ≥ pinned floor across plane seeds."""
+    emb = corpus.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["d1"], r["d2"]): r["score"]
+        for r in dedup.embedding_near_dup_pairs(emb, 0.45, method="exact").collect()
+    }
+    assert len(exact) >= 5  # fixture really has near-threshold pairs
+    lsh = {
+        (r["d1"], r["d2"]): r["score"]
+        for r in dedup.embedding_near_dup_pairs(emb, 0.45, method="lsh",
+                                                seed=seed).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == pytest.approx(exact[k], abs=1e-9)
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.4, f"semantic near-dup recall collapsed at seed {seed}: {recall}"
+
+
 def test_hot_shingle_cap_bounds_candidate_blowup(spark):
     """One boilerplate shingle shared by all n docs ⇒ the uncapped candidate
     self-join materializes n(n-1)/2 pairs; with the (default-on) cap the hot
