@@ -363,18 +363,26 @@ def build_doc_lens(tok: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFra
     )
 
 
-def decode_postings(postings: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Inverse of build_postings for property tests: POSTINGS → (term, doc_id, tf).
+def decode_postings(postings: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG,
+                    positions: bool = False) -> DataFrame:
+    """Inverse of build_postings for property tests: POSTINGS →
+    (term, doc_id, tf[, pos]).
 
     mapInPandas (no shuffle): each block row decodes independently.
+    ``positions=True`` additionally decodes the positional payload back to
+    per-doc position arrays (requires a positions=True build).
     """
-    from bloqsenjin_spark.functions.codec import delta_decode, varint_decode
+    from bloqsenjin_spark.functions.codec import (
+        delta_decode,
+        segmented_delta_decode,
+        varint_decode,
+    )
 
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
 
     def explode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_t, out_d, out_f = [], [], []
+            out_t, out_d, out_f, out_p = [], [], [], []
             for r in pdf.itertuples(index=False):
                 base = r.shard * dps + r.block_id * bdocs
                 ids = delta_decode(bytes(r.doc_deltas), base=base)
@@ -382,13 +390,26 @@ def decode_postings(postings: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> D
                 out_t.extend([r.term] * ids.size)
                 out_d.append(ids)
                 out_f.append(tfs)
+                if positions:
+                    if r.positions is None:
+                        raise ValueError("positions requested but block has no payload")
+                    flat = segmented_delta_decode(bytes(r.positions), tfs)
+                    offs = np.concatenate(([0], np.cumsum(tfs)))
+                    out_p.extend(
+                        flat[offs[j]:offs[j + 1]].astype(np.int32)
+                        for j in range(tfs.size)
+                    )
             if out_t:
-                yield pd.DataFrame(
-                    {
-                        "term": out_t,
-                        "doc_id": np.concatenate(out_d),
-                        "tf": np.concatenate(out_f),
-                    }
-                )
+                cols = {
+                    "term": out_t,
+                    "doc_id": np.concatenate(out_d),
+                    "tf": np.concatenate(out_f),
+                }
+                if positions:
+                    cols["pos"] = out_p
+                yield pd.DataFrame(cols)
 
-    return postings.mapInPandas(explode_blocks, schema="term string, doc_id long, tf long")
+    schema = "term string, doc_id long, tf long"
+    if positions:
+        schema += ", pos array<int>"
+    return postings.mapInPandas(explode_blocks, schema=schema)

@@ -175,6 +175,28 @@ def test_phrase_positional_survives_purge(spark, tmp_path):
     assert got == {0, 1, 3, 4, 6, 7}
 
 
+def test_positional_postings_roundtrip(spark):
+    """decode(build(docs, positions=True)) returns the exact (term, doc_id,
+    tf, positions) relation — positions must equal the tokenizer's ground
+    truth for every posting."""
+    import re
+
+    from bloqsenjin_spark.operators.postings import decode_postings
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, CFG_POS)
+    got = {
+        (r["term"], r["doc_id"]): list(r["pos"])
+        for r in decode_postings(idx.postings, CFG_POS, positions=True).collect()
+    }
+    want: dict = {}
+    for r in docs.collect():
+        toks = [t for t in re.split("[^a-z0-9]+", (r["text"] or "").lower()) if t]
+        for i, t in enumerate(toks):
+            want.setdefault((t, r["doc_id"]), []).append(i)
+    assert got == want
+
+
 def test_segmented_codec_roundtrip():
     rng = np.random.RandomState(7)
     for _ in range(50):

@@ -61,6 +61,36 @@ def test_windowed_event_metrics_batch_semantics(spark):
         assert r["window_start"] < r["window_end"]
 
 
+def test_stream_ingest_positional_phrase(spark, tmp_path):
+    """Positional segments survive streaming ingest + compaction: phrase
+    queries answer correctly from the compacted index with no corpus scan."""
+    cfg = IndexConfig(docs_per_shard=64, block_docs=8, positions=True)
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    in_dir, seg_dir, ck_dir = (str(tmp_path / d) for d in ("in", "seg", "ck"))
+    docs.where(F.col("doc_id") < 250).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    ingest.start_ingest(spark, in_dir, seg_dir, ck_dir, cfg=cfg).awaitTermination(120)
+    docs.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(in_dir)
+    ingest.start_ingest(spark, in_dir, seg_dir, ck_dir, cfg=cfg).awaitTermination(120)
+    merged = ingest.compact(spark, seg_dir, cfg)
+
+    import re
+
+    got = {
+        r["doc_id"]
+        for r in wand.phrase_match_positional(
+            merged.postings, [(1, "the fast")], cfg
+        ).collect()
+    }
+    want = {
+        r["doc_id"] for r in docs.collect()
+        if " the fast " in " " + " ".join(
+            t for t in re.split("[^a-z0-9]+", r["text"].lower()) if t) + " "
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stream_ingest_idempotent_batch_replay(spark, tmp_path):
     """Re-running the drained stream (same checkpoint) adds nothing."""
     docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents").select(
