@@ -293,7 +293,12 @@ def bm25_wand_topk(
         np.sort(np.asarray(sorted(tombstones), dtype=np.int64))
         if tombstones else None
     )
-    pq = postings.where(F.col("term").isin(all_terms))
+    # explicit projection: BM25 scoring never reads the positional payload —
+    # without the select, a positions=True index would drag positions blobs
+    # (≈ token-count bytes) through the cogroup exchange for every query
+    pq = postings.select(
+        "term", "shard", "block_id", "block_max_score", "doc_deltas", "tfs"
+    ).where(F.col("term").isin(all_terms))
     partial = pq.groupby("shard").cogroup(doc_lens.groupby("shard")).applyInPandas(
         _shard_scorer(queries, idf_map, float(avgdl), cfg, tombstones=tomb),
         schema=_PARTIAL_SCHEMA,

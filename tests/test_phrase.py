@@ -175,6 +175,29 @@ def test_phrase_positional_survives_purge(spark, tmp_path):
     assert got == {0, 1, 3, 4, 6, 7}
 
 
+def test_wand_scan_prunes_positions(spark, tmp_path):
+    """BM25 scoring over a positional index must not read the positional
+    payload: the postings FileScan schema excludes `positions` and the
+    term IN (...) filter reaches the scan."""
+    from bloqsenjin_spark.plans.build import build_index_resumable, read_index
+
+    d = str(tmp_path / "pidx")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    build_index_resumable(docs, d, CFG_POS)
+    idx = read_index(spark, d)
+    out = wand.bm25_wand_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        corpus.REFERENCE_QUERIES, idx.cfg,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the postings scan is the FileScan carrying doc_deltas (plan lines
+    # truncate before the file path)
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l and "doc_deltas" in l]
+    assert scan_lines, plan
+    assert all("positions" not in l for l in scan_lines)
+    assert "INSET" in plan or "In(term" in plan  # pushed term filter
+
+
 def test_positional_postings_roundtrip(spark):
     """decode(build(docs, positions=True)) returns the exact (term, doc_id,
     tf, positions) relation — positions must equal the tokenizer's ground
