@@ -130,3 +130,78 @@ class IndexServer:
 
     def query(self, terms: list[str], mode: str = "disjunctive", k: int = 10):
         return self.query_batch([(0, terms, mode, k)])
+
+    def phrase_batch(self, phrases: list[tuple[int, str]]) -> list[tuple[int, int]]:
+        """→ [(query_id, doc_id)] — exact phrase matches, identical results to
+        operators/wand.phrase_match_positional on the same index. Requires a
+        positions=True index; the positional payload is read ONLY here (the
+        BM25 path never touches it)."""
+        from bloqsenjin_spark.functions.codec import segmented_delta_decode
+        from bloqsenjin_spark.operators.wand import _parse_phrases
+
+        if not self.cfg.positions:
+            raise ValueError(
+                "phrase serving needs a positional index — build with "
+                "IndexConfig(positions=True)"
+            )
+        parsed = _parse_phrases(phrases)
+        all_terms = sorted({t for _, toks in parsed for t in toks})
+        if not all_terms:
+            return []
+        tbl = self._postings.to_table(
+            filter=self._ds.field("term").isin(all_terms),
+            columns=["term", "shard", "block_id", "doc_deltas", "tfs", "positions"],
+        ).to_pydict()
+        by_term: dict[str, dict[tuple[int, int], int]] = {}
+        for i, (t, s, b) in enumerate(zip(tbl["term"], tbl["shard"], tbl["block_id"])):
+            by_term.setdefault(t, {})[(int(s), int(b))] = i
+        dps, bdocs = self.cfg.docs_per_shard, self.cfg.block_docs
+        cache: dict[int, tuple] = {}
+
+        def decode(i: int, shard: int, bid: int):
+            if i not in cache:
+                base = shard * dps + bid * bdocs
+                gaps = varint_decode(bytes(tbl["doc_deltas"][i])).astype(np.int64)
+                gaps[0] += base
+                ids = np.cumsum(gaps)
+                tfs = varint_decode(bytes(tbl["tfs"][i])).astype(np.int64)
+                flat = segmented_delta_decode(bytes(tbl["positions"][i]), tfs)
+                offs = np.concatenate(([0], np.cumsum(tfs)))
+                cache[i] = (ids, flat, offs)
+            return cache[i]
+
+        out: list[tuple[int, int]] = []
+        for qid, toks in parsed:
+            uniq = list(dict.fromkeys(toks))
+            maps = [by_term.get(t) for t in uniq]
+            if any(m is None for m in maps):
+                continue
+            blocks = set(maps[0])
+            for m in maps[1:]:
+                blocks &= set(m)
+            for shard, bid in sorted(blocks):
+                per_term = {
+                    t: decode(m[(shard, bid)], shard, bid)
+                    for t, m in zip(uniq, maps)
+                }
+                cand = per_term[uniq[0]][0]
+                for t in uniq[1:]:
+                    cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+                    if cand.size == 0:
+                        break
+                if self.tombstones.size and cand.size:
+                    cand = cand[~np.isin(cand, self.tombstones)]
+                for d in cand:
+                    S = None
+                    for t in toks:
+                        ids, flat, offs = per_term[t]
+                        j = int(np.searchsorted(ids, d))
+                        P = flat[offs[j]:offs[j + 1]]
+                        S = P if S is None else np.intersect1d(
+                            S + 1, P, assume_unique=True
+                        )
+                        if S.size == 0:
+                            break
+                    if S is not None and S.size:
+                        out.append((qid, int(d)))
+        return sorted(out)

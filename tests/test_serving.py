@@ -74,3 +74,32 @@ def test_serving_latency_and_cache(spark, index_dir):
     per_batch = (time.perf_counter() - t0) / n
     # 12 queries per batch from a warm server: must be far under a Spark job
     assert per_batch < 0.5, f"serving too slow: {per_batch:.3f}s/batch"
+
+
+CFG_POS = IndexConfig(docs_per_shard=128, block_docs=16, positions=True)
+
+
+@pytest.fixture(scope="module")
+def pos_index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("serve_pidx"))
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    B.build_index_resumable(docs, d, CFG_POS)
+    return d
+
+
+def test_serving_phrase_matches_spark_path(spark, pos_index_dir):
+    phrases = [(1, "the fast"), (2, "customer order"), (3, "zebra stripes"),
+               (4, "The, FAST!")]
+    idx = B.read_index(spark, pos_index_dir)
+    want = sorted(
+        (r["query_id"], r["doc_id"])
+        for r in wand.phrase_match_positional(idx.postings, phrases, idx.cfg).collect()
+    )
+    got = IndexServer(pos_index_dir).phrase_batch(phrases)
+    assert got == want
+    assert any(q == 1 for q, _ in got)
+
+
+def test_serving_phrase_requires_positions(spark, index_dir):
+    with pytest.raises(ValueError, match="positional"):
+        IndexServer(index_dir, CFG).phrase_batch([(1, "the fast")])
