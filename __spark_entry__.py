@@ -115,6 +115,21 @@ def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand.phrase_match_positional(idx.postings, PHRASES, _SF_CFG_POS)
 
 
+PHRASE_TOPK = [(1, "the fast", 10), (2, "customer order", 10),
+               (3, "The, FAST!", 5), (4, "zebra stripes", 10)]
+
+
+def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-filtered BM25 ranking: exact matches from the positional index,
+    ranked by BM25 over the phrase terms — composition of the two operators."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG_POS)
+    res = wand.phrase_bm25_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        PHRASE_TOPK, _SF_CFG_POS,
+    )
+    return res.withColumn("score", F.round("score", _R))
+
+
 def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed index decodes back to the exact (term, doc_id, tf) relation."""
     idx = build_index(_docs(spark, sf_dir), _SF_CFG)
@@ -247,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_decorated": _q_bm25_decorated,
         "bm25_topk_serving": _q_bm25_serving,
         "phrase_match": _q_phrase_match,
+        "phrase_topk": _q_phrase_topk,
         "postings_roundtrip": _q_postings_roundtrip,
         "term_stats": _q_term_stats,
         "corpus_stats": _q_corpus_stats,
@@ -306,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_decorated": oracle.bm25_topk_decorated_sql(corpus.REFERENCE_QUERIES),
         "bm25_topk_serving": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
         "phrase_match": oracle.phrase_match_sql(PHRASES),
+        "phrase_topk": oracle.phrase_topk_sql(PHRASE_TOPK),
         "postings_roundtrip": (
             "WITH tok AS (SELECT doc_id, unnest(" + toks + ") AS term FROM documents) "
             "SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id"

@@ -208,6 +208,46 @@ def phrase_match_positional(
     return pq.groupBy("shard").applyInPandas(verify, schema="query_id long, doc_id long")
 
 
+def phrase_bm25_topk(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    phrases: list[tuple[int, str, int]],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tombstones: "set[int] | list[int] | None" = None,
+) -> DataFrame:
+    """Phrase-filtered BM25 top-k → (query_id, rank, doc_id, score): exact
+    phrase matches (positional index) ranked by BM25 over the phrase's
+    deduped terms. Pure composition of the two index operators — one
+    positional verify pass + one conjunctive scoring pass, both reading only
+    the phrase terms' postings; the join side (phrase matches) is tiny and
+    broadcast. Scoring k is unbounded inside the conjunctive pass because the
+    filter set isn't known until the positional verify lands — the pass is
+    still conjunctive-match-bounded, never corpus-bounded."""
+    matches = phrase_match_positional(
+        postings, [(qid, p) for qid, p, _ in phrases], cfg, tombstones=tombstones
+    )
+    conj = [
+        (qid, sorted({t for t in _re.split("[^a-z0-9]+", p.lower()) if t}),
+         "conjunctive", 1 << 30)
+        for qid, p, _ in phrases
+    ]
+    scored = bm25_wand_topk(
+        postings, doc_lens, term_stats, avgdl, conj, cfg, tombstones=tombstones
+    ).select("query_id", "doc_id", "score")
+    kmap = F.create_map(
+        *[x for qid, _, k in phrases for x in (F.lit(qid), F.lit(k))]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(F.broadcast(matches), ["query_id", "doc_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kmap[F.col("query_id")])
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def phrase_match_twostage(
     docs: DataFrame,
     postings: DataFrame,

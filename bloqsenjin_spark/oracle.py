@@ -28,11 +28,17 @@ def bm25_topk_sql(
     doc_table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
+    round_score: bool = True,
 ) -> str:
-    """Full BM25 top-k over the given literal query set, on DuckDB."""
+    """Full BM25 top-k over the given literal query set, on DuckDB.
+    ``round_score=False`` keeps raw doubles — needed when a caller re-ranks
+    on the score (rounding before a rank would change tie-breaks)."""
     toks = DUCKDB_TOKENS_SQL.format(col=text_col)
     tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
     idf = idf_sql("ts.df", "cs.n")
+    score_out = (
+        f"round(score, {SCORE_ROUND_DECIMALS})" if round_score else "score"
+    )
     return f"""
 WITH q(query_id, terms, mode, k) AS (VALUES
         {_queries_values(queries)}),
@@ -71,7 +77,7 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, rank::INT AS rank, doc_id,
-       round(score, {SCORE_ROUND_DECIMALS}) AS score
+       {score_out} AS score
 FROM ranked WHERE rank <= k
 """.strip()
 
@@ -326,6 +332,41 @@ WITH q(query_id, p) AS (VALUES
 n AS (SELECT doc_id, {norm} AS t FROM documents)
 SELECT q.query_id, n.doc_id
 FROM q JOIN n ON position(q.p IN n.t) > 0
+""".strip()
+
+
+def phrase_topk_sql(phrases: list[tuple[int, str, int]],
+                    round_to: int = SCORE_ROUND_DECIMALS) -> str:
+    """Phrase-filtered BM25 top-k: exact-phrase matches ranked by BM25 over
+    the phrase's (deduped) terms. Ranks computed on UNROUNDED scores (same
+    tie-break as the engine); rounding only in the final projection."""
+    import re
+
+    conj = []
+    for qid, phrase, _k in phrases:
+        toks = [t for t in re.split("[^a-z0-9]+", phrase.lower()) if t]
+        conj.append((qid, sorted(set(toks)), "conjunctive", 1 << 30))
+    base = bm25_topk_sql(conj, round_score=False)
+    pm = phrase_match_sql([(qid, p) for qid, p, _ in phrases])
+    kvals = ", ".join(f"({qid}, {k})" for qid, _, k in phrases)
+    return f"""
+WITH scored AS ({base}),
+pm AS ({pm}),
+ks(query_id, k) AS (VALUES {kvals}),
+j AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scored s JOIN pm ON s.query_id = pm.query_id AND s.doc_id = pm.doc_id
+),
+r AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM j
+)
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id,
+       round(r.score, {round_to}) AS score
+FROM r JOIN ks ON r.query_id = ks.query_id
+WHERE r.rank <= ks.k
 """.strip()
 
 

@@ -175,6 +175,41 @@ def test_phrase_positional_survives_purge(spark, tmp_path):
     assert got == {0, 1, 3, 4, 6, 7}
 
 
+def test_phrase_bm25_topk_composition(spark):
+    """phrase_bm25_topk == (exact phrase matches) ∩ (brute-force BM25 over the
+    phrase terms), re-ranked — verified against the independent brute scorer."""
+    import pytest as _pt
+
+    from bloqsenjin_spark.operators import topk
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, CFG_POS)
+    phrases = [(1, "the fast", 5), (2, "customer order", 3)]
+    got = wand.phrase_bm25_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, phrases, CFG_POS
+    ).collect()
+    matches = _reference(docs.collect(), [(q, p) for q, p, _ in phrases])
+    conj = [(q, sorted({t for t in p.lower().split()}), "conjunctive", 10**6)
+            for q, p, _ in phrases]
+    brute = topk.bm25_brute_force(
+        docs, spark.createDataFrame(conj, "query_id long, terms array<string>, "
+                                    "mode string, k int"))
+    scores = {(r["query_id"], r["doc_id"]): r["score"] for r in brute.collect()}
+    want = {}
+    for (q, d), s in scores.items():
+        if (q, d) in matches:
+            want.setdefault(q, []).append((-s, d))
+    expect = []
+    for q, _, k in phrases:
+        for rank, (neg_s, d) in enumerate(sorted(want.get(q, []))[:k], start=1):
+            expect.append((q, rank, d, -neg_s))
+    got_t = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in got)
+    assert len(got_t) == len(expect) > 0
+    for g, w in zip(got_t, sorted(expect)):
+        assert g[:3] == w[:3]
+        assert g[3] == _pt.approx(w[3], abs=1e-9)
+
+
 def test_wand_scan_prunes_positions(spark, tmp_path):
     """BM25 scoring over a positional index must not read the positional
     payload: the postings FileScan schema excludes `positions` and the
