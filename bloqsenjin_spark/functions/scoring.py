@@ -130,6 +130,42 @@ def score_shard_blocks(
     return out_q, out_d, out_s
 
 
+def phrase_verify_block(
+    per_term: dict, toks: list[str], base: int
+) -> "np.ndarray":
+    """Vectorized exact-phrase verification for ONE doc-range-aligned block.
+
+    ``per_term[t] = (doc_ids, flat_positions, offsets)`` — the decoded
+    positional posting list of term t restricted to this block (offsets
+    segment flat_positions per doc). Every (doc, position) pair becomes one
+    int64 key ``(doc_id - base) << 34 | pos`` (blocks span < 2^34 docs and
+    int32 positions < 2^31, so keys are collision-free and ``key + 1``
+    never carries); the phrase then verifies as a chain of sorted-set
+    intersections over ALL docs in the block at once:
+
+        S ← K(t0);  S ← (S + 1) ∩ K(t_i)  for each following token
+
+    — no per-candidate-doc Python loop, and the conjunctive doc intersection
+    falls out of the key intersection for free. Returns matching doc_ids.
+    """
+    shift = np.int64(34)
+
+    def keys(t):
+        ids, flat, offs = per_term[t]
+        local = (np.asarray(ids, dtype=np.int64) - base)
+        reps = np.repeat(local, np.diff(offs))
+        return (reps << shift) | np.asarray(flat, dtype=np.int64)
+
+    S = keys(toks[0])
+    for t in toks[1:]:
+        if S.size == 0:
+            break
+        S = np.intersect1d(S + 1, keys(t), assume_unique=True)
+    if S.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return base + np.unique(S >> shift)
+
+
 def global_topk(
     qids: np.ndarray, docs: np.ndarray, scores: np.ndarray,
     queries: list[tuple[int, list[str], str, int]],

@@ -170,6 +170,8 @@ class IndexServer:
                 cache[i] = (ids, flat, offs)
             return cache[i]
 
+        from bloqsenjin_spark.functions.scoring import phrase_verify_block
+
         out: list[tuple[int, int]] = []
         for qid, toks in parsed:
             uniq = list(dict.fromkeys(toks))
@@ -184,24 +186,9 @@ class IndexServer:
                     t: decode(m[(shard, bid)], shard, bid)
                     for t, m in zip(uniq, maps)
                 }
-                cand = per_term[uniq[0]][0]
-                for t in uniq[1:]:
-                    cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
-                    if cand.size == 0:
-                        break
-                if self.tombstones.size and cand.size:
-                    cand = cand[~np.isin(cand, self.tombstones)]
-                for d in cand:
-                    S = None
-                    for t in toks:
-                        ids, flat, offs = per_term[t]
-                        j = int(np.searchsorted(ids, d))
-                        P = flat[offs[j]:offs[j + 1]]
-                        S = P if S is None else np.intersect1d(
-                            S + 1, P, assume_unique=True
-                        )
-                        if S.size == 0:
-                            break
-                    if S is not None and S.size:
-                        out.append((qid, int(d)))
+                base = shard * dps + bid * bdocs
+                hits = phrase_verify_block(per_term, toks, base)
+                if self.tombstones.size and hits.size:
+                    hits = hits[~np.isin(hits, self.tombstones)]
+                out.extend((qid, int(d)) for d in hits)
         return sorted(out)

@@ -163,6 +163,8 @@ def phrase_match_positional(
                 cache[i] = (ids, flat, offs)
             return cache[i]
 
+        from bloqsenjin_spark.functions.scoring import phrase_verify_block
+
         out_q: list[int] = []
         out_d: list[int] = []
         for qid, toks in parsed:
@@ -175,27 +177,13 @@ def phrase_match_positional(
                 blocks &= set(m)
             for bid in sorted(blocks):
                 per_term = {t: decode(m[bid], bid) for t, m in zip(uniq, maps)}
-                cand = per_term[uniq[0]][0]
-                for t in uniq[1:]:
-                    cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
-                    if cand.size == 0:
-                        break
-                if tomb is not None and cand.size:
-                    cand = cand[~np.isin(cand, tomb)]
-                for d in cand:
-                    S = None
-                    for t in toks:
-                        ids, flat, offs = per_term[t]
-                        j = int(np.searchsorted(ids, d))
-                        P = flat[offs[j]:offs[j + 1]]
-                        S = P if S is None else np.intersect1d(
-                            S + 1, P, assume_unique=True
-                        )
-                        if S.size == 0:
-                            break
-                    if S is not None and S.size:
-                        out_q.append(qid)
-                        out_d.append(int(d))
+                base = shard * dps + bid * bdocs
+                # whole-block vectorized verify — no per-candidate-doc loop
+                hits = phrase_verify_block(per_term, toks, base)
+                if tomb is not None and hits.size:
+                    hits = hits[~np.isin(hits, tomb)]
+                out_q.extend([qid] * hits.size)
+                out_d.extend(int(d) for d in hits)
         if not out_q:
             return empty
         return pd.DataFrame(
