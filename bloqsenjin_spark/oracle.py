@@ -9,7 +9,7 @@ comparison — ranking itself always uses unrounded doubles.
 
 from __future__ import annotations
 
-from bloqsenjin_spark.config import SCORE_ROUND_DECIMALS
+from bloqsenjin_spark.config import SCORE_ROUND_DECIMALS, TOKEN_SPLIT_REGEX
 from bloqsenjin_spark.functions.bm25 import idf_sql, tf_component_sql
 from bloqsenjin_spark.functions.text import DUCKDB_TOKENS_SQL
 
@@ -321,7 +321,7 @@ def phrase_match_sql(phrases: list[tuple[int, str]]) -> str:
 
     rows = []
     for qid, phrase in phrases:
-        toks = [t for t in re.split("[^a-z0-9]+", phrase.lower()) if t]
+        toks = [t for t in re.split(TOKEN_SPLIT_REGEX, phrase.lower()) if t]
         p = " ".join(toks).replace("'", "''")
         rows.append(f"({qid}, ' {p} ')")
     vals = ",\n        ".join(rows)
@@ -344,7 +344,7 @@ def phrase_topk_sql(phrases: list[tuple[int, str, int]],
 
     conj = []
     for qid, phrase, _k in phrases:
-        toks = [t for t in re.split("[^a-z0-9]+", phrase.lower()) if t]
+        toks = [t for t in re.split(TOKEN_SPLIT_REGEX, phrase.lower()) if t]
         conj.append((qid, sorted(set(toks)), "conjunctive", 1 << 30))
     base = bm25_topk_sql(conj, round_score=False)
     pm = phrase_match_sql([(qid, p) for qid, p, _ in phrases])

@@ -156,6 +156,12 @@ def read_index_meta(index_dir: str) -> IndexConfig:
     through the active session)."""
     if index_dir.startswith(S.ICEBERG_SCHEME):
         spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"reading index meta for {index_dir} requires an active "
+                "SparkSession (Iceberg catalogs live on the session); only "
+                "plain-path parquet indexes are readable session-free"
+            )
         r = S.for_index(spark, index_dir).read("index_meta").first()
         return IndexConfig(
             k1=float(r["k1"]), b=float(r["b"]),
@@ -177,14 +183,24 @@ def read_index_meta(index_dir: str) -> IndexConfig:
 
 def check_index_meta(index_dir: str, cfg: IndexConfig) -> IndexConfig:
     """cfg=None → stored config; explicit cfg must match the stored layout."""
+    from pyspark.errors import AnalysisException
+
     try:
         stored = read_index_meta(index_dir)
     except FileNotFoundError:
         if cfg is None:
             raise
         return cfg  # pre-meta index (or meta not written): trust the caller
-    except Exception:  # noqa: BLE001 — Iceberg table-not-found surfaces as AnalysisException
-        if cfg is None:
+    except AnalysisException as e:
+        # ONLY Iceberg/catalog table-not-found may fall back to the caller's
+        # cfg — any other analysis error (corrupt meta, permission mapped to
+        # AnalysisException, schema drift) must propagate: silently returning
+        # cfg would bypass the layout-mismatch guard this function exists for
+        # and decode docIDs with the wrong docs_per_shard/block_docs.
+        notfound = ("TABLE_OR_VIEW_NOT_FOUND" in str(e)
+                    or "PATH_NOT_FOUND" in str(e)
+                    or "cannot be found" in str(e))
+        if not notfound or cfg is None:
             raise
         return cfg
     if cfg is None:

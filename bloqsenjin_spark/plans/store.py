@@ -136,18 +136,26 @@ class IcebergStore:
     def upsert_checkpoints(self, df: DataFrame, table: str = "checkpoints") -> None:
         """True keyed upsert: MERGE INTO on shard (the reference's
         read-modify-write checkpoint row, done as one atomic commit)."""
+        import uuid
+
         t = self._t(table)
         if not self.spark.catalog.tableExists(t):
             df.writeTo(t).using("iceberg").create()
             return
-        df.createOrReplaceTempView("_ck_src")
-        self.spark.sql(
-            f"""
-            MERGE INTO {t} dst USING _ck_src src ON dst.shard = src.shard
-            WHEN MATCHED THEN UPDATE SET *
-            WHEN NOT MATCHED THEN INSERT *
-            """
-        )
+        # per-call view name: concurrent builds sharing one session must not
+        # clobber each other's MERGE source
+        view = f"_ck_src_{uuid.uuid4().hex}"
+        df.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(
+                f"""
+                MERGE INTO {t} dst USING {view} src ON dst.shard = src.shard
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *
+                """
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def compact(self, retain_last: int = 5) -> None:
         """Snapshot expiry so 10^5 incremental commits don't accrete
