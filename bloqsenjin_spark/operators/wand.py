@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bloqsenjin_spark.config import DEFAULT_CONFIG, IndexConfig
+from bloqsenjin_spark.config import DEFAULT_CONFIG, TOKEN_SPLIT_REGEX, IndexConfig
 from bloqsenjin_spark.functions import bm25
 from bloqsenjin_spark.functions.codec import delta_decode, varint_decode
 
@@ -88,10 +88,44 @@ def _parse_phrases(phrases: list[tuple[int, str]]) -> list[tuple[int, list[str]]
     pass empty phrases — both engine paths return no rows for them)."""
     out = []
     for qid, phrase in phrases:
-        toks = [t for t in _re.split("[^a-z0-9]+", phrase.lower()) if t]
+        toks = [t for t in _re.split(TOKEN_SPLIT_REGEX, phrase.lower()) if t]
         if toks:
             out.append((qid, toks))
     return out
+
+
+def _positional_ctx(pdf: pd.DataFrame, shard: int, dps: int, bdocs: int):
+    """Shared scaffolding for the positional-verify passes: per-(term, block)
+    row lookup plus a memoizing decoder → (doc_ids, flat_positions, offsets).
+    One decode per consulted block, reused across phrases and (in the top-k
+    variant) between verification and scoring."""
+    from bloqsenjin_spark.functions.codec import segmented_delta_decode
+
+    by_term: dict[str, dict[int, int]] = {}
+    for i, (t, b) in enumerate(zip(pdf["term"], pdf["block_id"])):
+        by_term.setdefault(t, {})[int(b)] = i
+    dd = pdf["doc_deltas"].to_numpy()
+    tfb = pdf["tfs"].to_numpy()
+    ps = pdf["positions"].to_numpy()
+    cache: dict[int, tuple] = {}
+
+    def decode(i: int, block_id: int):
+        if i not in cache:
+            if ps[i] is None:
+                raise ValueError(
+                    "postings row has no positions payload — build the "
+                    "index with IndexConfig(positions=True) for phrase "
+                    "queries, or use phrase_match_twostage"
+                )
+            base = shard * dps + block_id * bdocs
+            ids = delta_decode(bytes(dd[i]), base=base)
+            tfs_ = varint_decode(bytes(tfb[i])).astype(np.int64)
+            flat = segmented_delta_decode(bytes(ps[i]), tfs_)
+            offs = np.concatenate(([0], np.cumsum(tfs_)))
+            cache[i] = (ids, flat, offs)
+        return cache[i]
+
+    return by_term, decode
 
 
 def phrase_match_positional(
@@ -136,32 +170,8 @@ def phrase_match_positional(
         )
         if pdf.empty:
             return empty
-        from bloqsenjin_spark.functions.codec import segmented_delta_decode
-
         shard = int(pdf["shard"].iloc[0])
-        by_term: dict[str, dict[int, int]] = {}
-        for i, (t, b) in enumerate(zip(pdf["term"], pdf["block_id"])):
-            by_term.setdefault(t, {})[int(b)] = i
-        dd = pdf["doc_deltas"].to_numpy()
-        tfb = pdf["tfs"].to_numpy()
-        ps = pdf["positions"].to_numpy()
-        cache: dict[int, tuple] = {}
-
-        def decode(i: int, block_id: int):
-            if i not in cache:
-                if ps[i] is None:
-                    raise ValueError(
-                        "postings row has no positions payload — build the "
-                        "index with IndexConfig(positions=True) for phrase "
-                        "queries, or use phrase_match_twostage"
-                    )
-                base = shard * dps + block_id * bdocs
-                ids = delta_decode(bytes(dd[i]), base=base)
-                tfs_ = varint_decode(bytes(tfb[i])).astype(np.int64)
-                flat = segmented_delta_decode(bytes(ps[i]), tfs_)
-                offs = np.concatenate(([0], np.cumsum(tfs_)))
-                cache[i] = (ids, flat, offs)
-            return cache[i]
+        by_term, decode = _positional_ctx(pdf, shard, dps, bdocs)
 
         from bloqsenjin_spark.functions.scoring import phrase_verify_block
 
@@ -196,6 +206,120 @@ def phrase_match_positional(
     return pq.groupBy("shard").applyInPandas(verify, schema="query_id long, doc_id long")
 
 
+def phrase_score_partials(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    phrases: list[tuple[int, str, int]],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tombstones: "set[int] | list[int] | None" = None,
+) -> DataFrame:
+    """Per-shard (query_id, doc_id, score) partials for phrase-filtered BM25
+    top-k, in ONE pass over the phrase terms' postings.
+
+    Verification and scoring happen in the same cogrouped Arrow group: the
+    positional intersection finds the exact phrase matches of a block, and
+    BM25 is computed for just those matches from the SAME decoded block (the
+    position offsets double as the tf arrays), summed in sorted-unique-term
+    order — the exact float64 operation sequence of the brute-force oracle,
+    so scores are bit-identical to bm25_wand_topk / operators/topk.py.
+
+    Each per-(query, shard) partial is truncated to that query's k, so the
+    downstream global rank window reads at most shards × Σk rows — and never
+    more than the phrase-match count. This replaces the round-2 composition
+    (unbounded k=2^30 conjunctive scoring pass + corpus-scale window before
+    the match join), which was correct but a plan-level scale killer for
+    phrases made of common terms.
+    """
+    parsed = _parse_phrases([(qid, p) for qid, p, _ in phrases])
+    kmap_py = {qid: int(k) for qid, _, k in phrases}
+    all_terms = sorted({t for _, ts in parsed for t in ts})
+    idf_map = {
+        r["term"]: float(r["idf"])
+        for r in term_stats.where(F.col("term").isin(all_terms)).collect()
+    }
+    pq = postings.where(F.col("term").isin(all_terms)).select(
+        "term", "shard", "block_id", "doc_deltas", "tfs", "positions"
+    )
+    dps, bdocs = cfg.docs_per_shard, cfg.block_docs
+    k1, b = cfg.k1, cfg.b
+    avgdl = float(avgdl)
+    tomb = (
+        np.sort(np.asarray(sorted(tombstones), dtype=np.int64))
+        if tombstones else None
+    )
+
+    def score_verify(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+            {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+        )
+        if pl.empty or dl_pdf.empty:
+            return empty
+        from bloqsenjin_spark.functions.scoring import phrase_verify_block
+
+        shard = int(pl["shard"].iloc[0])
+        shard_base = shard * dps
+        dls = varint_decode(bytes(dl_pdf["dls"].iloc[0])).astype(np.float64)
+        by_term, decode = _positional_ctx(pl, shard, dps, bdocs)
+
+        out_q: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for qid, toks in parsed:
+            uniq = list(dict.fromkeys(toks))
+            maps = [by_term.get(t) for t in uniq]
+            if any(m is None for m in maps):
+                continue  # some term absent from this shard ⇒ no match here
+            blocks = set(maps[0])
+            for m in maps[1:]:
+                blocks &= set(m)
+            q_docs: list[np.ndarray] = []
+            q_scores: list[np.ndarray] = []
+            for bid in sorted(blocks):
+                per_term = {t: decode(m[bid], bid) for t, m in zip(uniq, maps)}
+                base = shard_base + bid * bdocs
+                hits = phrase_verify_block(per_term, toks, base)
+                if tomb is not None and hits.size:
+                    hits = hits[~np.isin(hits, tomb)]
+                if hits.size == 0:
+                    continue
+                score = np.zeros(hits.size, dtype=np.float64)
+                dl_h = dls[hits - shard_base]
+                for t in sorted(uniq):  # lexicographic = oracle's sum order
+                    ids_t, _flat, offs_t = per_term[t]
+                    tf_t = np.diff(offs_t).astype(np.float64)
+                    score += idf_map[t] * bm25.tf_component_np(
+                        tf_t[np.searchsorted(ids_t, hits)], dl_h, avgdl, k1, b
+                    )
+                q_docs.append(hits)
+                q_scores.append(score)
+            if not q_docs:
+                continue
+            docs = np.concatenate(q_docs)
+            scs = np.concatenate(q_scores)
+            k = kmap_py[qid]
+            if docs.size > k:  # exact: every global winner wins its shard
+                order = np.lexsort((docs, -scs))[:k]
+                docs, scs = docs[order], scs[order]
+            out_q.append(np.full(docs.size, qid, dtype=np.int64))
+            out_d.append(docs)
+            out_s.append(scs)
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return pq.groupby("shard").cogroup(doc_lens.groupby("shard")).applyInPandas(
+        score_verify, schema=_PARTIAL_SCHEMA
+    )
+
+
 def phrase_bm25_topk(
     postings: DataFrame,
     doc_lens: DataFrame,
@@ -205,32 +329,21 @@ def phrase_bm25_topk(
     cfg: IndexConfig = DEFAULT_CONFIG,
     tombstones: "set[int] | list[int] | None" = None,
 ) -> DataFrame:
-    """Phrase-filtered BM25 top-k → (query_id, rank, doc_id, score): exact
-    phrase matches (positional index) ranked by BM25 over the phrase's
-    deduped terms. Pure composition of the two index operators — one
-    positional verify pass + one conjunctive scoring pass, both reading only
-    the phrase terms' postings; the join side (phrase matches) is tiny and
-    broadcast. Scoring k is unbounded inside the conjunctive pass because the
-    filter set isn't known until the positional verify lands — the pass is
-    still conjunctive-match-bounded, never corpus-bounded."""
-    matches = phrase_match_positional(
-        postings, [(qid, p) for qid, p, _ in phrases], cfg, tombstones=tombstones
+    """Phrase-filtered BM25 top-k → (query_id, rank, doc_id, score).
+
+    Single-pass plan: verify + score inside one cogrouped pass over the
+    phrase terms' postings (phrase_score_partials), then a global rank window
+    whose input is per-shard-k-truncated phrase matches only — O(shards · Σk)
+    rows, never conjunctive- or corpus-scale."""
+    partial = phrase_score_partials(
+        postings, doc_lens, term_stats, avgdl, phrases, cfg, tombstones=tombstones
     )
-    conj = [
-        (qid, sorted({t for t in _re.split("[^a-z0-9]+", p.lower()) if t}),
-         "conjunctive", 1 << 30)
-        for qid, p, _ in phrases
-    ]
-    scored = bm25_wand_topk(
-        postings, doc_lens, term_stats, avgdl, conj, cfg, tombstones=tombstones
-    ).select("query_id", "doc_id", "score")
     kmap = F.create_map(
         *[x for qid, _, k in phrases for x in (F.lit(qid), F.lit(k))]
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.join(F.broadcast(matches), ["query_id", "doc_id"])
-        .withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= kmap[F.col("query_id")])
         .select("query_id", "rank", "doc_id", "score")
     )
@@ -261,7 +374,7 @@ def phrase_match_twostage(
     conj = []
     phrase_norm: dict[int, str] = {}
     for qid, phrase in phrases:
-        toks = [t for t in _re.split("[^a-z0-9]+", phrase.lower()) if t]
+        toks = [t for t in _re.split(TOKEN_SPLIT_REGEX, phrase.lower()) if t]
         phrase_norm[qid] = " ".join(toks)
         conj.append((qid, sorted(set(toks)), "conjunctive", 2**31 - 1))
     cand = bm25_wand_topk(postings, doc_lens, term_stats, avgdl, conj, cfg).select(

@@ -210,6 +210,51 @@ def test_phrase_bm25_topk_composition(spark):
         assert g[3] == _pt.approx(w[3], abs=1e-9)
 
 
+def test_phrase_topk_window_input_is_match_bounded(spark, tmp_path):
+    """Scale property of the single-pass phrase top-k plan: the global rank
+    window reads ONLY per-shard-k-truncated PHRASE-MATCH partials — bounded by
+    min(|phrase matches|, shards × k) — never the conjunctive match set of
+    the phrase's terms (the round-2 plan scored every doc containing {the,
+    fast} with k=2^30 before filtering; that set is corpus-scale for common
+    terms)."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, CFG_POS)
+    phrases = [(1, "the fast", 3), (2, "customer order", 2)]
+    partial = wand.phrase_score_partials(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, phrases, CFG_POS
+    ).collect()
+    matches = _reference(docs.collect(), [(q, p) for q, p, _ in phrases])
+    assert len(matches) > 5  # non-degenerate fixture
+    # every partial row IS a phrase match…
+    assert {(r["query_id"], r["doc_id"]) for r in partial} <= matches
+    # …and per (query, shard) the partial is k-truncated
+    from collections import Counter
+
+    per = Counter(
+        (r["query_id"], r["doc_id"] // CFG_POS.docs_per_shard) for r in partial
+    )
+    kmap = {q: k for q, _, k in phrases}
+    assert all(c <= kmap[q] for (q, _s), c in per.items())
+    # conjunctive candidates of {the, fast} are corpus-scale vs the match set:
+    # the window input must be ≤ |matches| (strictly smaller here thanks to
+    # the per-shard truncation)
+    assert len(partial) <= len(matches)
+    # plan shape over a persisted index (no build subtree in the plan): ONE
+    # cogrouped pass feeding the window — no separate match pass, no join
+    from bloqsenjin_spark.plans.build import build_index_resumable, read_index
+
+    d = str(tmp_path / "pidx")
+    build_index_resumable(docs, d, CFG_POS)
+    ridx = read_index(spark, d)
+    out = wand.phrase_bm25_topk(
+        ridx.postings, ridx.doc_lens, ridx.term_stats, ridx.avgdl, phrases, ridx.cfg
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert "FlatMapGroupsInPandas" not in plan  # no separate match pass
+    assert "Join" not in plan
+
+
 def test_wand_scan_prunes_positions(spark, tmp_path):
     """BM25 scoring over a positional index must not read the positional
     payload: the postings FileScan schema excludes `positions` and the
