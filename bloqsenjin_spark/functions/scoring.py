@@ -29,16 +29,19 @@ def score_shard_blocks(
     idf_map: dict[str, float],
     avgdl: float,
     cfg: IndexConfig,
-    tombstones: np.ndarray | None = None,
+    tomb_mask: np.ndarray | None = None,
 ) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
     """Score every query against one shard's (query-term-filtered) block rows.
 
     Returns (query_id arrays, doc_id arrays, score arrays) — per-query partial
     top-k, exact under block-max pruning.
 
-    ``tombstones``: sorted int64 array of logically-deleted docIDs — masked
-    out BEFORE top-k selection (LSM delete semantics: scores of surviving
-    docs use the stats baked at build time until a purge refreshes them).
+    ``tomb_mask``: THIS shard's tombstone bitmap as a shard-local boolean
+    array (index = doc_id − shard·docs_per_shard; True = logically deleted)
+    — masked out BEFORE top-k selection (LSM delete semantics: scores of
+    surviving docs use the stats baked at build time until a purge refreshes
+    them). Per-shard bitmaps instead of a global docID array so the caller
+    never has to collect or broadcast the full tombstone set.
     """
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
     k1, b = cfg.k1, cfg.b
@@ -106,9 +109,8 @@ def score_shard_blocks(
                 matched[off] += 1
             sel = matched == len(need) if conj else matched > 0
             offs = np.flatnonzero(sel)
-            if offs.size and tombstones is not None and tombstones.size:
-                keep = ~np.isin(offs + block_base, tombstones, assume_unique=False)
-                offs = offs[keep]
+            if offs.size and tomb_mask is not None:
+                offs = offs[~tomb_mask[offs + (block_base - shard_base)]]
             if offs.size == 0:
                 continue
             docs_acc.append(offs + block_base)

@@ -55,13 +55,22 @@ class IndexServer:
             int(s): varint_decode(bytes(b)).astype(np.float64)
             for s, b in zip(dl["shard"], dl["dls"])
         }
-        # logical deletes (LSM tombstones) — masked before top-k selection
+        # logical deletes (LSM tombstones) — per-SHARD boolean masks, the
+        # serving-side form of plans.deletes.tombstone_bitmap_df: a server
+        # owning a doc-range slice holds only its own shards' masks (same
+        # bound as its doc_lens arrays), masked before top-k selection
+        self.tomb_masks: dict[int, np.ndarray] = {}
+        dps = self.cfg.docs_per_shard
         try:
             tt = ds.dataset(f"{index_dir}/tombstones", format="parquet").to_table()
-            self.tombstones = np.sort(np.unique(
-                np.asarray(tt.column("doc_id").to_pylist(), dtype=np.int64)))
+            ids = np.unique(
+                np.asarray(tt.column("doc_id").to_pylist(), dtype=np.int64))
+            for s in np.unique(ids // dps):
+                m = np.zeros(dps, dtype=bool)
+                m[ids[ids // dps == s] - s * dps] = True
+                self.tomb_masks[int(s)] = m
         except FileNotFoundError:
-            self.tombstones = np.zeros(0, dtype=np.int64)
+            pass
         self._term_cache: dict[str, dict] | None = {} if cache_terms else None
 
     def _load_terms(self, terms: list[str]) -> dict:
@@ -116,7 +125,7 @@ class IndexServer:
             oq, od, os_ = score_shard_blocks(
                 int(shard), terms[m], bids[m], bmax[m], deltas[m], tfs[m],
                 self.dls[int(shard)], queries, self.idf, self.avgdl, self.cfg,
-                tombstones=self.tombstones,
+                tomb_mask=self.tomb_masks.get(int(shard)),
             )
             q_parts.extend(oq)
             d_parts.extend(od)
@@ -188,7 +197,8 @@ class IndexServer:
                 }
                 base = shard * dps + bid * bdocs
                 hits = phrase_verify_block(per_term, toks, base)
-                if self.tombstones.size and hits.size:
-                    hits = hits[~np.isin(hits, self.tombstones)]
+                tm = self.tomb_masks.get(shard)
+                if tm is not None and hits.size:
+                    hits = hits[~tm[hits - shard * dps]]
                 out.extend((qid, int(d)) for d in hits)
         return sorted(out)

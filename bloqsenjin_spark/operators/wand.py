@@ -43,7 +43,30 @@ from bloqsenjin_spark.functions.codec import delta_decode, varint_decode
 _PARTIAL_SCHEMA = "query_id long, doc_id long, score double"
 
 
-def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig, tombstones=None):
+def _unpack_tomb(pdf: pd.DataFrame) -> "np.ndarray | None":
+    """Shard-local tombstone mask from a cogrouped/joined ``tomb`` bitmap
+    column (None column or missing column = no deletes in this shard)."""
+    if "tomb" not in pdf.columns or pdf.empty:
+        return None
+    blob = pdf["tomb"].iloc[0]
+    if blob is None:
+        return None
+    return np.unpackbits(
+        np.frombuffer(bytes(blob), dtype=np.uint8), bitorder="little"
+    ).astype(bool)
+
+
+def _with_tomb(doc_lens: DataFrame, tomb_map: "DataFrame | None") -> DataFrame:
+    """Attach the per-shard tombstone bitmap beside doc_lens: one left join on
+    shard (both sides one-row-per-shard; co-partitioned with the cogroup) —
+    the scale-safe replacement for collecting tombstoned docIDs to the driver
+    and shipping them inside the scorer closure."""
+    if tomb_map is None:
+        return doc_lens
+    return doc_lens.join(tomb_map, "shard", "left")
+
+
+def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig):
     from bloqsenjin_spark.functions.scoring import score_shard_blocks
 
     def score(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -53,6 +76,7 @@ def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig, tombstones=None):
             )
         shard = int(pl["shard"].iloc[0])
         dls = varint_decode(bytes(dl_pdf["dls"].iloc[0])).astype(np.float64)
+        tomb_mask = _unpack_tomb(dl_pdf)
         out_q, out_d, out_s = score_shard_blocks(
             shard,
             pl["term"].to_numpy(),
@@ -65,7 +89,7 @@ def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig, tombstones=None):
             idf_map,
             avgdl,
             cfg,
-            tombstones=tombstones,
+            tomb_mask=tomb_mask,
         )
         if not out_q:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
@@ -132,9 +156,13 @@ def phrase_match_positional(
     postings: DataFrame,
     phrases: list[tuple[int, str]],
     cfg: IndexConfig = DEFAULT_CONFIG,
-    tombstones: "set[int] | list[int] | None" = None,
+    tomb_map: "DataFrame | None" = None,
 ) -> DataFrame:
     """Exact phrase search → (query_id, doc_id), entirely inside the index.
+
+    ``tomb_map``: optional (shard, tomb-bitmap) table
+    (plans.deletes.tombstone_bitmap_df) cogrouped in by shard — logically
+    deleted docs never match; no tombstone set crosses the driver.
 
     Requires an index built with ``IndexConfig(positions=True)``. The plan
     touches ONLY the postings table, filtered to the phrases' terms (predicate
@@ -159,18 +187,16 @@ def phrase_match_positional(
         "term", "shard", "block_id", "doc_deltas", "tfs", "positions"
     )
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
-    tomb = (
-        np.sort(np.asarray(sorted(tombstones), dtype=np.int64))
-        if tombstones else None
-    )
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+    def verify(pdf: pd.DataFrame, tomb_pdf: "pd.DataFrame | None" = None) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": [], "doc_id": []}).astype(
             {"query_id": "int64", "doc_id": "int64"}
         )
         if pdf.empty:
             return empty
         shard = int(pdf["shard"].iloc[0])
+        shard_base = shard * dps
+        tomb_mask = _unpack_tomb(tomb_pdf) if tomb_pdf is not None else None
         by_term, decode = _positional_ctx(pdf, shard, dps, bdocs)
 
         from bloqsenjin_spark.functions.scoring import phrase_verify_block
@@ -190,8 +216,8 @@ def phrase_match_positional(
                 base = shard * dps + bid * bdocs
                 # whole-block vectorized verify — no per-candidate-doc loop
                 hits = phrase_verify_block(per_term, toks, base)
-                if tomb is not None and hits.size:
-                    hits = hits[~np.isin(hits, tomb)]
+                if tomb_mask is not None and hits.size:
+                    hits = hits[~tomb_mask[hits - shard_base]]
                 out_q.extend([qid] * hits.size)
                 out_d.extend(int(d) for d in hits)
         if not out_q:
@@ -203,7 +229,14 @@ def phrase_match_positional(
             }
         )
 
-    return pq.groupBy("shard").applyInPandas(verify, schema="query_id long, doc_id long")
+    if tomb_map is None:
+        # single-arg wrapper: a two-param function would receive (key, pdf)
+        return pq.groupBy("shard").applyInPandas(
+            lambda pdf: verify(pdf), schema="query_id long, doc_id long"
+        )
+    return pq.groupby("shard").cogroup(tomb_map.groupby("shard")).applyInPandas(
+        verify, schema="query_id long, doc_id long"
+    )
 
 
 def phrase_score_partials(
@@ -213,7 +246,7 @@ def phrase_score_partials(
     avgdl: float,
     phrases: list[tuple[int, str, int]],
     cfg: IndexConfig = DEFAULT_CONFIG,
-    tombstones: "set[int] | list[int] | None" = None,
+    tomb_map: "DataFrame | None" = None,
 ) -> DataFrame:
     """Per-shard (query_id, doc_id, score) partials for phrase-filtered BM25
     top-k, in ONE pass over the phrase terms' postings.
@@ -245,10 +278,6 @@ def phrase_score_partials(
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
     k1, b = cfg.k1, cfg.b
     avgdl = float(avgdl)
-    tomb = (
-        np.sort(np.asarray(sorted(tombstones), dtype=np.int64))
-        if tombstones else None
-    )
 
     def score_verify(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
@@ -261,6 +290,7 @@ def phrase_score_partials(
         shard = int(pl["shard"].iloc[0])
         shard_base = shard * dps
         dls = varint_decode(bytes(dl_pdf["dls"].iloc[0])).astype(np.float64)
+        tomb_mask = _unpack_tomb(dl_pdf)
         by_term, decode = _positional_ctx(pl, shard, dps, bdocs)
 
         out_q: list[np.ndarray] = []
@@ -280,8 +310,8 @@ def phrase_score_partials(
                 per_term = {t: decode(m[bid], bid) for t, m in zip(uniq, maps)}
                 base = shard_base + bid * bdocs
                 hits = phrase_verify_block(per_term, toks, base)
-                if tomb is not None and hits.size:
-                    hits = hits[~np.isin(hits, tomb)]
+                if tomb_mask is not None and hits.size:
+                    hits = hits[~tomb_mask[hits - shard_base]]
                 if hits.size == 0:
                     continue
                 score = np.zeros(hits.size, dtype=np.float64)
@@ -315,7 +345,8 @@ def phrase_score_partials(
             }
         )
 
-    return pq.groupby("shard").cogroup(doc_lens.groupby("shard")).applyInPandas(
+    dl = _with_tomb(doc_lens, tomb_map)
+    return pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
         score_verify, schema=_PARTIAL_SCHEMA
     )
 
@@ -327,7 +358,7 @@ def phrase_bm25_topk(
     avgdl: float,
     phrases: list[tuple[int, str, int]],
     cfg: IndexConfig = DEFAULT_CONFIG,
-    tombstones: "set[int] | list[int] | None" = None,
+    tomb_map: "DataFrame | None" = None,
 ) -> DataFrame:
     """Phrase-filtered BM25 top-k → (query_id, rank, doc_id, score).
 
@@ -336,7 +367,7 @@ def phrase_bm25_topk(
     whose input is per-shard-k-truncated phrase matches only — O(shards · Σk)
     rows, never conjunctive- or corpus-scale."""
     partial = phrase_score_partials(
-        postings, doc_lens, term_stats, avgdl, phrases, cfg, tombstones=tombstones
+        postings, doc_lens, term_stats, avgdl, phrases, cfg, tomb_map=tomb_map
     )
     kmap = F.create_map(
         *[x for qid, _, k in phrases for x in (F.lit(qid), F.lit(k))]
@@ -417,31 +448,31 @@ def bm25_wand_topk(
     avgdl: float,
     queries: list[tuple[int, list[str], str, int]],
     cfg: IndexConfig = DEFAULT_CONFIG,
-    tombstones: "set[int] | list[int] | None" = None,
+    tomb_map: "DataFrame | None" = None,
 ) -> DataFrame:
     """→ TOPK_RESULT. ``queries`` is the (small) reference query set — its
     terms and per-term idf are broadcast with the scorer closure; postings are
     filtered to query terms so only the needed term shards are ever scanned
-    (predicate pushdown on the postings table's ``term`` column)."""
+    (predicate pushdown on the postings table's ``term`` column).
+
+    ``tomb_map``: optional per-shard tombstone bitmap table
+    (plans.deletes.tombstone_bitmap_df), joined beside doc_lens and unpacked
+    inside the shard scorer — deleted docs are masked before top-k selection
+    without any driver-side tombstone materialization."""
     all_terms = sorted({t for _, ts, _, _ in queries for t in ts})
     idf_map = {
         r["term"]: float(r["idf"])
         for r in term_stats.where(F.col("term").isin(all_terms)).collect()
     }
-    import numpy as np
-
-    tomb = (
-        np.sort(np.asarray(sorted(tombstones), dtype=np.int64))
-        if tombstones else None
-    )
     # explicit projection: BM25 scoring never reads the positional payload —
     # without the select, a positions=True index would drag positions blobs
     # (≈ token-count bytes) through the cogroup exchange for every query
     pq = postings.select(
         "term", "shard", "block_id", "block_max_score", "doc_deltas", "tfs"
     ).where(F.col("term").isin(all_terms))
-    partial = pq.groupby("shard").cogroup(doc_lens.groupby("shard")).applyInPandas(
-        _shard_scorer(queries, idf_map, float(avgdl), cfg, tombstones=tomb),
+    dl = _with_tomb(doc_lens, tomb_map)
+    partial = pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
+        _shard_scorer(queries, idf_map, float(avgdl), cfg),
         schema=_PARTIAL_SCHEMA,
     )
     kmap = F.create_map(

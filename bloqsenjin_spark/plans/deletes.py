@@ -44,6 +44,8 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> None
 
 
 def load_tombstones(spark: SparkSession, index_dir: str) -> set[int]:
+    """Diagnostics/tests only — query paths use ``tombstone_bitmap_df`` (no
+    driver-side materialization of the tombstone set)."""
     try:
         return {
             r["doc_id"]
@@ -53,15 +55,68 @@ def load_tombstones(spark: SparkSession, index_dir: str) -> set[int]:
         return set()
 
 
+def tombstone_bitmap_df(
+    spark: SparkSession, index_dir: str, cfg: IndexConfig | None = None
+) -> DataFrame | None:
+    """→ (shard int, tomb binary) — one row per shard that has tombstones,
+    ``tomb`` = docs_per_shard-bit little-endian bitmap by shard-local docID.
+
+    Derived DISTRIBUTIVELY from the append-only tombstone log (one groupBy
+    on shard, each group ≤ docs_per_shard ids) — nothing rides through the
+    driver. Query paths cogroup/join these rows by shard next to doc_lens,
+    so masking cost per task is one unpackbits, and total tombstone traffic
+    is ≤ affected_shards × docs_per_shard/8 bytes regardless of delete count.
+    Returns None when no tombstone table exists.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        log = spark.read.parquet(f"{index_dir}/tombstones")
+    except AnalysisException:  # missing table = no deletes
+        return None
+    cfg = check_index_meta(index_dir, cfg)
+    dps = cfg.docs_per_shard
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        local = (pdf["doc_id"].to_numpy().astype(np.int64) - shard * dps)
+        m = np.zeros(dps, dtype=bool)
+        m[local] = True  # duplicates tolerated (idempotent delete log)
+        return pd.DataFrame(
+            [(shard, np.packbits(m, bitorder="little").tobytes())],
+            columns=["shard", "tomb"],
+        )
+
+    return (
+        log.withColumn("shard", (F.col("doc_id") / dps).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(pack, schema="shard int, tomb binary")
+    )
+
+
 def purge_deletes(spark: SparkSession, index_dir: str) -> None:
-    """Physically remove tombstoned docs and restore exact global stats."""
-    tombs = load_tombstones(spark, index_dir)
-    if not tombs:
-        return
+    """Physically remove tombstoned docs and restore exact global stats.
+
+    Tombstones travel as per-shard bitmaps: the broadcast below holds the
+    AFFECTED shards' bitmaps (docs_per_shard/8 bytes each, built by the
+    distributed ``tombstone_bitmap_df`` job), never a global docID array —
+    bounded by touched shards, not by delete count."""
     cfg = check_index_meta(index_dir, None)
+    tomb_map = tombstone_bitmap_df(spark, index_dir, cfg)
+    if tomb_map is None:
+        return
+    rows = tomb_map.collect()
+    if not rows:
+        return
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
-    affected = sorted({d // dps for d in tombs})
-    btombs = spark.sparkContext.broadcast(np.sort(np.asarray(sorted(tombs), dtype=np.int64)))
+    masks = {
+        int(r["shard"]): np.unpackbits(
+            np.frombuffer(bytes(r["tomb"]), dtype=np.uint8), bitorder="little"
+        ).astype(bool)
+        for r in rows
+    }
+    affected = sorted(masks)
+    bmasks = spark.sparkContext.broadcast(masks)
 
     post = spark.read.parquet(f"{index_dir}/postings")
     dlens = spark.read.parquet(f"{index_dir}/doc_lens")
@@ -73,7 +128,7 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> None:
             for r in pdf.itertuples(index=False):
                 base = r.shard * dps + r.block_id * bdocs
                 ids = delta_decode(bytes(r.doc_deltas), base=base)
-                hit = np.isin(ids, btombs.value)
+                hit = bmasks.value[r.shard][ids - r.shard * dps]
                 if hit.any():
                     tfs = varint_decode(bytes(r.tfs)).astype(np.int64)
                     t_out.append(r.term)
@@ -101,9 +156,12 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> None:
             live = np.unpackbits(
                 np.frombuffer(bytes(r.live), dtype=np.uint8), bitorder="little"
             ).astype(bool)[: dls.size]
-            local = btombs.value - r.shard * dps
-            local = local[(local >= 0) & (local < dls.size)]
-            local = local[live[local]]  # only genuinely-live docs count
+            m = bmasks.value.get(int(r.shard))
+            if m is None:
+                local = np.zeros(0, dtype=np.int64)
+            else:
+                # only genuinely-live docs count (bogus/stale tombstones noop)
+                local = np.flatnonzero(m[: dls.size] & live)
             removed = int(dls[local].sum())
             dls = dls.copy()
             dls[local] = 0
@@ -167,7 +225,7 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> None:
             for r in pdf.itertuples(index=False):
                 base = r.shard * dps + r.block_id * bdocs
                 ids = delta_decode(bytes(r.doc_deltas), base=base)
-                keep = ~np.isin(ids, btombs.value)
+                keep = ~bmasks.value[r.shard][ids - r.shard * dps]
                 if not keep.any():
                     continue
                 tfs = varint_decode(bytes(r.tfs)).astype(np.int64)

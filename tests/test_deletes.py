@@ -30,11 +30,14 @@ def test_tombstones_masked_at_query_time(spark, built):
     D.delete_docs(spark, d, DELETED)
     tombs = D.load_tombstones(spark, d)
     assert tombs == set(DELETED)
+    # per-shard bitmap table covers exactly the touched shards
+    tomb_map = D.tombstone_bitmap_df(spark, d, CFG)
+    assert {r["shard"] for r in tomb_map.collect()} == {x // 128 for x in DELETED}
 
     idx = B.read_index(spark, d)
     res = wand.bm25_wand_topk(
         idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
-        corpus.REFERENCE_QUERIES, CFG, tombstones=tombs,
+        corpus.REFERENCE_QUERIES, CFG, tomb_map=tomb_map,
     ).collect()
     assert res and not any(r["doc_id"] in tombs for r in res)
     # doc 340 was the #1 hit for query 1 — its removal must promote #2 (49)
@@ -47,6 +50,37 @@ def test_tombstones_masked_at_query_time(spark, built):
         (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in res
     )
     assert [g[:3] for g in got] == [w[:3] for w in want]
+
+
+def test_tombstones_masked_in_phrase_paths(spark, tmp_path):
+    """Phrase match and phrase top-k must mask logically deleted docs via the
+    cogrouped per-shard bitmaps (pre-purge)."""
+    cfg = IndexConfig(docs_per_shard=4, block_docs=2, positions=True)
+    rows = [(i, f"pad{i} needle point tail{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "pidx")
+    B.build_index_resumable(docs, d, cfg)
+    D.delete_docs(spark, d, [3, 7])
+    tomb_map = D.tombstone_bitmap_df(spark, d, cfg)
+    idx = B.read_index(spark, d)
+    got = {
+        r["doc_id"]
+        for r in wand.phrase_match_positional(
+            idx.postings, [(1, "needle point")], cfg, tomb_map=tomb_map
+        ).collect()
+    }
+    assert got == {0, 1, 2, 4, 5, 6, 8, 9}
+    topk_docs = {
+        r["doc_id"]
+        for r in wand.phrase_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            [(1, "needle point", 10)], cfg, tomb_map=tomb_map,
+        ).collect()
+    }
+    assert topk_docs == got
+    # serving tier masks from the same per-shard bitmaps
+    srv = IndexServer(d)
+    assert {doc for _, doc in srv.phrase_batch([(1, "needle point")])} == got
 
 
 def test_purge_equals_rebuild(spark, built):
