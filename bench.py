@@ -136,12 +136,16 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
 
         srv = IndexServer(idx_dir, cfg)
         srv.query_batch(corpus.REFERENCE_QUERIES)  # warm term cache
-        slat = []
-        for q in corpus.REFERENCE_QUERIES:
-            t0 = time.perf_counter()
-            srv.query_batch([q])
-            slat.append(time.perf_counter() - t0)
-        slat.sort()
+        # min-of-3 interleaved, same discipline as the Spark-path queries —
+        # the driver runs bench on a loaded box and a single pass is
+        # steal-noise-dominated at these ~100 ms latencies
+        s_trials: dict[int, list[float]] = {q[0]: [] for q in corpus.REFERENCE_QUERIES}
+        for _ in range(3):
+            for q in corpus.REFERENCE_QUERIES:
+                t0 = time.perf_counter()
+                srv.query_batch([q])
+                s_trials[q[0]].append(time.perf_counter() - t0)
+        slat = sorted(min(ts) for ts in s_trials.values())
         p95_serving = slat[min(len(slat) - 1, int(0.95 * len(slat)))]
         timings["serving_batch"] = sum(slat)
     finally:

@@ -33,7 +33,8 @@ class IndexServer:
     with predicate pushdown (optionally memoized via ``cache_terms``)."""
 
     def __init__(self, index_dir: str, cfg: IndexConfig | None = None,
-                 cache_terms: bool = True):
+                 cache_terms: bool = True, max_cached_terms: int = 65536,
+                 max_cached_blocks: int = 8192):
         import pyarrow.dataset as ds
 
         from bloqsenjin_spark.plans.build import check_index_meta
@@ -71,34 +72,55 @@ class IndexServer:
                 self.tomb_masks[int(s)] = m
         except FileNotFoundError:
             pass
-        self._term_cache: dict[str, dict] | None = {} if cache_terms else None
+        from collections import OrderedDict
 
-    def _load_terms(self, terms: list[str]) -> dict:
-        """term-filtered block rows grouped by shard → column arrays."""
-        need = [t for t in terms if self._term_cache is None or t not in self._term_cache]
+        # LRU caches, bounded so a long-lived server over a web-scale
+        # vocabulary can't grow without limit: per-term posting rows for the
+        # BM25 path and (separately, positional columns) for the phrase path,
+        # plus decoded positional blocks reused across phrase_batch calls.
+        self.max_cached_terms = max_cached_terms
+        self.max_cached_blocks = max_cached_blocks
+        self._term_cache: "OrderedDict[str, dict] | None" = (
+            OrderedDict() if cache_terms else None
+        )
+        self._pos_term_cache: "OrderedDict[str, dict] | None" = (
+            OrderedDict() if cache_terms else None
+        )
+        self._block_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+
+    _BM25_COLS = ("term", "shard", "block_id", "block_max_score",
+                  "doc_deltas", "tfs")
+    _POS_COLS = ("term", "shard", "block_id", "doc_deltas", "tfs", "positions")
+
+    def _load_terms(self, terms: list[str], positional: bool = False) -> dict:
+        """term-filtered block rows → column arrays, via a bounded per-term
+        LRU (separate caches for the BM25 and positional column sets)."""
+        cache = self._pos_term_cache if positional else self._term_cache
+        cols = self._POS_COLS if positional else self._BM25_COLS
+        if cache is None and not terms:
+            return {k: [] for k in cols}
+        need = [t for t in terms if cache is None or t not in cache]
         if need:
             tbl = self._postings.to_table(
-                filter=self._ds.field("term").isin(need),
-                columns=["term", "shard", "block_id", "block_max_score",
-                         "doc_deltas", "tfs"],
+                filter=self._ds.field("term").isin(need), columns=list(cols)
             ).to_pydict()
-            if self._term_cache is not None:
-                by_term: dict[str, dict] = {t: {k: [] for k in tbl} for t in need}
-                for i, t in enumerate(tbl["term"]):
-                    for k in tbl:
-                        by_term[t][k].append(tbl[k][i])
-                for t in need:
-                    self._term_cache[t] = by_term.get(t, {k: [] for k in tbl})
-            else:
+            if cache is None:
                 return tbl
-        merged: dict[str, list] = {k: [] for k in
-                                   ("term", "shard", "block_id", "block_max_score",
-                                    "doc_deltas", "tfs")}
+            by_term: dict[str, dict] = {t: {k: [] for k in tbl} for t in need}
+            for i, t in enumerate(tbl["term"]):
+                for k in tbl:
+                    by_term[t][k].append(tbl[k][i])
+            for t in need:
+                cache[t] = by_term.get(t, {k: [] for k in tbl})
+        merged: dict[str, list] = {k: [] for k in cols}
         for t in terms:
-            part = self._term_cache.get(t)
-            if part:
+            part = cache.get(t)
+            if part is not None:
+                cache.move_to_end(t)
                 for k in merged:
                     merged[k].extend(part[k])
+        while len(cache) > self.max_cached_terms:
+            cache.popitem(last=False)
         return merged
 
     def query_batch(
@@ -157,18 +179,18 @@ class IndexServer:
         all_terms = sorted({t for _, toks in parsed for t in toks})
         if not all_terms:
             return []
-        tbl = self._postings.to_table(
-            filter=self._ds.field("term").isin(all_terms),
-            columns=["term", "shard", "block_id", "doc_deltas", "tfs", "positions"],
-        ).to_pydict()
+        tbl = self._load_terms(all_terms, positional=True)
         by_term: dict[str, dict[tuple[int, int], int]] = {}
         for i, (t, s, b) in enumerate(zip(tbl["term"], tbl["shard"], tbl["block_id"])):
             by_term.setdefault(t, {})[(int(s), int(b))] = i
         dps, bdocs = self.cfg.docs_per_shard, self.cfg.block_docs
-        cache: dict[int, tuple] = {}
 
-        def decode(i: int, shard: int, bid: int):
-            if i not in cache:
+        def decode(i: int, term: str, shard: int, bid: int):
+            # decoded-block LRU persists ACROSS phrase_batch calls (keyed by
+            # (term, shard, block) — row indices are call-local)
+            key = (term, shard, bid)
+            got = self._block_cache.get(key)
+            if got is None:
                 base = shard * dps + bid * bdocs
                 gaps = varint_decode(bytes(tbl["doc_deltas"][i])).astype(np.int64)
                 gaps[0] += base
@@ -176,8 +198,12 @@ class IndexServer:
                 tfs = varint_decode(bytes(tbl["tfs"][i])).astype(np.int64)
                 flat = segmented_delta_decode(bytes(tbl["positions"][i]), tfs)
                 offs = np.concatenate(([0], np.cumsum(tfs)))
-                cache[i] = (ids, flat, offs)
-            return cache[i]
+                got = self._block_cache[key] = (ids, flat, offs)
+                while len(self._block_cache) > self.max_cached_blocks:
+                    self._block_cache.popitem(last=False)
+            else:
+                self._block_cache.move_to_end(key)
+            return got
 
         from bloqsenjin_spark.functions.scoring import phrase_verify_block
 
@@ -192,7 +218,7 @@ class IndexServer:
                 blocks &= set(m)
             for shard, bid in sorted(blocks):
                 per_term = {
-                    t: decode(m[(shard, bid)], shard, bid)
+                    t: decode(m[(shard, bid)], t, shard, bid)
                     for t, m in zip(uniq, maps)
                 }
                 base = shard * dps + bid * bdocs

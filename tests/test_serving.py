@@ -76,6 +76,20 @@ def test_serving_latency_and_cache(spark, index_dir):
     assert per_batch < 0.5, f"serving too slow: {per_batch:.3f}s/batch"
 
 
+def test_serving_caches_are_lru_bounded(spark, index_dir):
+    """A long-lived server over a many-distinct-term query stream must not
+    grow its caches without bound — and eviction must not change results."""
+    srv = IndexServer(index_dir, CFG, max_cached_terms=4)
+    ref = IndexServer(index_dir, CFG, cache_terms=False)
+    vocab = sorted(srv.idf)  # every indexed term, >> cache cap
+    assert len(vocab) > 8
+    for t in vocab:  # stream of distinct single-term queries
+        assert srv.query([t], k=3) == ref.query([t], k=3)
+        assert len(srv._term_cache) <= 4
+    # re-querying an evicted term still answers correctly (reload path)
+    assert srv.query([vocab[0]], k=3) == ref.query([vocab[0]], k=3)
+
+
 CFG_POS = IndexConfig(docs_per_shard=128, block_docs=16, positions=True)
 
 
@@ -95,9 +109,21 @@ def test_serving_phrase_matches_spark_path(spark, pos_index_dir):
         (r["query_id"], r["doc_id"])
         for r in wand.phrase_match_positional(idx.postings, phrases, idx.cfg).collect()
     )
-    got = IndexServer(pos_index_dir).phrase_batch(phrases)
+    srv = IndexServer(pos_index_dir)
+    got = srv.phrase_batch(phrases)
     assert got == want
     assert any(q == 1 for q, _ in got)
+    # decoded positional blocks persist across calls (bounded LRU) and a
+    # warm repeat is result-identical
+    n_blocks = len(srv._block_cache)
+    assert 0 < n_blocks <= srv.max_cached_blocks
+    assert srv.phrase_batch(phrases) == want
+    assert len(srv._block_cache) == n_blocks
+
+    # tiny block-cache cap: still correct, never exceeds the cap
+    small = IndexServer(pos_index_dir, max_cached_blocks=2)
+    assert small.phrase_batch(phrases) == want
+    assert len(small._block_cache) <= 2
 
 
 def test_serving_phrase_requires_positions(spark, index_dir):
