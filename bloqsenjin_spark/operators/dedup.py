@@ -41,6 +41,20 @@ def _perm_params() -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _drop_hot_buckets(df: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
+    """Candidate-generation skew guard shared by the LSH-family dedups: drop
+    bucket keys whose df exceeds ``cap`` BEFORE the self-join. A single
+    degenerate bucket shared by d docs yields d(d−1)/2 candidate rows — the
+    head-term skew case (e.g. near-empty docs all hashing to one SimHash
+    chunk). Documented lossiness, same contract as ngram_jaccard_pairs'
+    max_shingle_df: pairs reachable ONLY through a dropped bucket are missed;
+    verification of surviving candidates stays exact. cap=None = keep all."""
+    if cap is None:
+        return df
+    hot = df.groupBy(*key_cols).count().where(F.col("count") > cap)
+    return df.join(hot.select(*key_cols), key_cols, "left_anti")
+
+
 def normalized_text(col) -> F.Column:
     """Dedup normalization: lowercase, collapse token runs (tokenizer-aligned)."""
     return F.concat_ws(" ", tokens(col))
@@ -152,11 +166,19 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_df: int | None = 10_000,
+    broadcast_max_pairs: int = 2_000_000,
 ) -> DataFrame:
     """→ (d1, d2, jaccard): LSH candidates (band-bucket join) verified by
     EXACT n-gram Jaccard ≥ threshold. With 16 bands × 4 rows, a true pair at
     J=0.9 is missed with p≈4e-8 — treat results as exact at thresholds ≥0.9
-    (verification removes all false positives; recall note in docstring)."""
+    (verification removes all false positives; recall note in docstring).
+
+    ``max_bucket_df`` caps band-bucket fan-out (see _drop_hot_buckets);
+    ``broadcast_max_pairs`` bounds the candidate broadcast into the shingle
+    verify joins — beyond it (dup-heavy corpora where candidate pairs are
+    legitimately huge) the joins degrade gracefully to shuffle joins instead
+    of failing on the broadcast limit."""
     sig = minhash_signatures(docs, n, text_col, id_col)
     rows = MINHASH_K // MINHASH_BANDS
     bands = sig.select(
@@ -173,6 +195,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+    bands = _drop_hot_buckets(bands, ["band", "key"], max_bucket_df)
     c1, c2 = bands.alias("x"), bands.alias("y")
     cand = (
         c1.join(c2, (F.col("x.band") == F.col("y.band"))
@@ -182,15 +205,22 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verify on candidates only: count common shingles per pair.
-    # cand is near-dup-pair-sized (tiny vs the corpus) — broadcast it into
-    # both shingle joins so the corpus-wide shingle relation is filtered
-    # map-side instead of shuffled against a small table.
+    # cand is usually near-dup-pair-sized (tiny vs the corpus) — broadcast it
+    # into both shingle joins so the corpus-wide shingle relation is filtered
+    # map-side instead of shuffled against a small table; but bucket skew can
+    # make cand quadratic-large, so only broadcast under a measured bound
+    # (one cheap count over the persisted candidate set).
+    from pyspark import StorageLevel
+
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    if cand.count() <= broadcast_max_pairs:
+        cand = F.broadcast(cand)
     ex = shingles(docs, n, text_col, id_col)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     e1 = ex.select(F.col("doc_id").alias("d1"), "shingle")
     e2 = ex.select(F.col("doc_id").alias("d2x"), F.col("shingle").alias("s2"))
     inter = (
-        F.broadcast(cand).join(e1, "d1")
+        cand.join(e1, "d1")
         .join(e2, (F.col("shingle") == F.col("s2")) & (F.col("d2") == F.col("d2x")))
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("inter"))
@@ -211,6 +241,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int | None = None,
+    max_bucket_df: int | None = 10_000,
 ) -> DataFrame:
     """→ (d1, d2, score): embedding-cosine near-duplicate pairs (d1 < d2,
     cosine ≥ threshold). The semantic-dedup leg of the pipeline (exact/
@@ -223,7 +254,9 @@ def embedding_near_dup_pairs(
     ``method="lsh"``: random-hyperplane band buckets (similarity.
     lsh_signatures) generate candidates, exact cosine verifies — the scale
     path: the self-join touches same-bucket pairs only, and every returned
-    score is exact (precision 1; recall pinned in tests).
+    score is exact (precision 1; recall pinned in tests). ``max_bucket_df``
+    caps per-bucket fan-out (see _drop_hot_buckets) so one degenerate bucket
+    can't go quadratic; ignored by method="exact".
     """
     from bloqsenjin_spark.operators.similarity import _SEED, _cosine, lsh_signatures
 
@@ -238,6 +271,7 @@ def embedding_near_dup_pairs(
     elif method == "lsh":
         sig = lsh_signatures(embeddings, id_col=id_col, vec_col=vec_col,
                              seed=_SEED if seed is None else seed)
+        sig = _drop_hot_buckets(sig, ["band", "key"], max_bucket_df)
         x, y = sig.alias("x"), sig.alias("y")
         cand = (
             x.join(y, (F.col("x.band") == F.col("y.band"))
@@ -285,10 +319,13 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_bucket_df: int | None = 10_000) -> DataFrame:
     """→ (d1, d2, hamming ≤ max_hamming). Band trick: with 4 × 16-bit chunks,
     Hamming ≤ 3 guarantees ≥1 identical chunk — candidates from chunk-bucket
-    joins, then exact popcount verify."""
+    joins, then exact popcount verify. ``max_bucket_df`` caps chunk-bucket
+    fan-out (see _drop_hot_buckets): a degenerate 16-bit chunk shared by d
+    docs would otherwise emit d(d−1)/2 candidates."""
     sig = simhash64(docs, text_col, id_col)
     # shiftrightunsigned takes a Python int shift — build the 4 chunk structs
     # with a comprehension, not a transform lambda
@@ -305,6 +342,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             ])
         ).alias("ck"),
     ).select("doc_id", "simhash", "ck.chunk", "ck.key")
+    chunks = _drop_hot_buckets(chunks, ["chunk", "key"], max_bucket_df)
     x, y = chunks.alias("x"), chunks.alias("y")
     cand = (
         x.join(y, (F.col("x.chunk") == F.col("y.chunk")) & (F.col("x.key") == F.col("y.key"))

@@ -136,3 +136,41 @@ def test_hot_shingle_cap_preserves_planted_dups(spark):
         for r in dedup.ngram_jaccard_pairs(docs, threshold=0.95, max_shingle_df=50).collect()
     )
     assert capped == full
+
+
+def test_hot_bucket_cap_bounds_simhash_and_lsh_blowup(spark):
+    """Degenerate buckets (all docs identical ⇒ identical SimHash chunks /
+    MinHash bands / hyperplane signs) must not go quadratic when the cap is
+    on: candidate generation drops the hot bucket entirely."""
+    n = 60
+    rows = [(d, "same exact tiny doc body here") for d in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: every pair is a candidate AND verifies (hamming 0)
+    assert dedup.simhash_pairs(docs, max_bucket_df=None).count() == n * (n - 1) // 2
+    # capped: the single hot chunk bucket is dropped ⇒ zero candidates
+    assert dedup.simhash_pairs(docs, max_bucket_df=10).count() == 0
+    # minhash band buckets: same shape, same guard
+    assert dedup.minhash_lsh_pairs(docs, threshold=0.9, max_bucket_df=10).count() == 0
+
+    vecs = [(d, [1.0, 0.0, 0.5, 0.25] * 4) for d in range(n)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    uncapped = dedup.embedding_near_dup_pairs(emb, threshold=0.9, method="lsh",
+                                              max_bucket_df=None).count()
+    assert uncapped == n * (n - 1) // 2
+    capped = dedup.embedding_near_dup_pairs(emb, threshold=0.9, method="lsh",
+                                            max_bucket_df=10).count()
+    assert capped == 0
+
+
+def test_hot_bucket_cap_preserves_planted_dups(spark):
+    """Default caps leave the sf0.001 planted near-dups untouched (no bucket
+    there is hot): capped results == uncapped results."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = sorted(
+        (r["d1"], r["d2"])
+        for r in dedup.simhash_pairs(docs, max_bucket_df=None).collect()
+    )
+    dflt = sorted(
+        (r["d1"], r["d2"]) for r in dedup.simhash_pairs(docs).collect()
+    )
+    assert dflt == base and len(base) > 0
