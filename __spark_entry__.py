@@ -241,6 +241,15 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_decode_pixels(spark, sf_dir):
+    """REAL image decode: deterministic 24-bit BMP payloads synthesized per
+    doc, decoded by the pure-NumPy BMP kernel (no image library), reduced to
+    exact integer pixel statistics — fully value-checked against the
+    closed-form oracle over generate_series."""
+    assets = multimodal.synthetic_bmp_assets(_docs(spark, sf_dir))
+    return multimodal.decode_image_stats(assets)
+
+
 def _q_prefix_scan(spark, sf_dir):
     """S9/T1: KV prefix scan with limit over the term dictionary."""
     tok = topk.tokenized(_docs(spark, sf_dir))
@@ -285,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "mm_asset_metadata": _q_asset_metadata,
         "mm_fake_features": _q_multimodal_features,
+        "mm_decode_pixels": _q_decode_pixels,
         # relational parity (SURVEY §2)
         "rel_select_project_filter": _rel(relational.select_project_filter, "lineitem"),
         "rel_join_groupby_view": _rel(relational.join_groupby_view, "customer", "orders"),
@@ -344,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_ivf_fullprobe": oracle.cosine_topk_sql(_ANN_QUERY_IDS, _ANN_K),
         "mm_asset_metadata": oracle.asset_metadata_sql(),
         "mm_fake_features": oracle.fake_features_sql(),
+        "mm_decode_pixels": oracle.decode_pixels_sql(),
         "term_prefix_scan": oracle.prefix_scan_sql("s", 10),
     }
     out.update(oracle.RELATIONAL_SQL)

@@ -1,15 +1,19 @@
 """Multimodal columns: image/audio/video as opaque `binary` + typed metadata.
 
-The Spark-side plumbing (schemas, Arrow batch shapes, partitioning, UDF
-signatures) is real and tested; the actual codec decode is STUBBED because
-image/audio libraries are not in this container:
+The image decode path is REAL: 24-bit BI_RGB BMP payloads decode through a
+pure-NumPy kernel (_decode_bmp; encode_bmp is the matching writer used to
+synthesize payloads at any SF), grayscale + nearest-neighbor resize are
+library-free, and decode_image_stats exposes exact integer statistics that a
+closed-form SQL oracle value-checks. Only non-BMP codecs (JPEG/PNG/audio)
+remain import-gated:
 
-* ``decode_image`` raises NotImplementedError unless PIL is importable
-  (import-try gate) — the call site, batching, and output schema are real.
-* ``fake_decode_features`` is the deterministic stand-in used by tests and
-  the driver queries: md5(payload) → 8 float32s in [0,1). Deterministic,
-  library-free, and shaped exactly like a real feature extractor so swapping
-  PIL/librosa in later changes one function body, not the pipeline.
+* ``decode_image`` uses the NumPy BMP kernel for BMP payloads everywhere;
+  other formats fall back to PIL when importable, else raise
+  NotImplementedError per payload (the documented lib gate).
+* ``fake_decode_features`` is the deterministic feature-extractor stand-in:
+  md5(payload) → 8 float32s in [0,1). Deterministic, library-free, and
+  shaped exactly like a real extractor so swapping a model in changes one
+  function body, not the pipeline.
 
 Reference analog: the multipart image pipeline (upload → ImageMagick convert
 → 3 fixed-size variants, /root/reference/pkg/image/image.go:41-135) — a
@@ -87,34 +91,165 @@ def fake_decode_features(assets: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(assets: DataFrame, size: tuple[int, int] = (64, 64)) -> DataFrame:
-    """(asset_id, pixels array<float>) — REAL decode path; gated on PIL.
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit BI_RGB BMP bytes (bottom-up rows, 4-byte
+    row padding). Library-free writer; the inverse of _decode_bmp — used to
+    synthesize real image payloads for the real decode path at any SF."""
+    import struct
 
-    Raises NotImplementedError in environments without an image library
-    (clearly-marked stub per the build contract). The batching/schema below
-    is what the real implementation uses as-is.
-    """
-    if not HAS_PIL:
-        raise NotImplementedError(
-            "image decoding requires PIL; not available in this container. "
-            "Use fake_decode_features for pipeline plumbing."
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[..., ::-1].reshape(h, w * 3)  # RGB→BGR
+    px = rows[::-1].tobytes()  # bottom-up
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                       2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 54)
+    return hdr + info + px
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed (BI_RGB) BMP → (H, W, 3) uint8 RGB. Pure NumPy —
+    the container has no image library, so this IS the real decode kernel
+    for BMP payloads (bottom-up and top-down, padded rows). Other formats
+    need PIL (import-gated in decode_image)."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size = struct.unpack_from("<I", buf, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    comp = struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP: bpp={bpp} compression={comp} (24-bit BI_RGB only)"
         )
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
+    if flip:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+
+def _gray_u8(rgb: np.ndarray) -> np.ndarray:
+    """ITU-R 601-2 integer luma (PIL 'L' convention): (299R+587G+114B)//1000.
+    Exactly v for gray inputs (R=G=B=v) — what makes the decode oracle-able."""
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+
+def _nearest_resize(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize of a 2-D array to (width, height) — the
+    deterministic, library-free resample."""
+    tw, th = size
+    h, w = img.shape
+    yi = np.arange(th) * h // th
+    xi = np.arange(tw) * w // tw
+    return img[yi][:, xi]
+
+
+def decode_image(assets: DataFrame, size: "tuple[int, int] | None" = (64, 64)) -> DataFrame:
+    """(asset_id, pixels array<float>): grayscale pixels in [0,1], resized to
+    ``size`` (width, height) by nearest-neighbor; size=None keeps native dims.
+
+    REAL decode path: 24-bit BMP payloads decode through the pure-NumPy
+    kernel (_decode_bmp — runs everywhere, no libraries); other formats fall
+    back to PIL when importable, else raise NotImplementedError per payload
+    (the documented lib gate). Reference analog: the upload→ImageMagick
+    convert→fixed-size-variants pipeline
+    (/root/reference/pkg/image/image.go:41-135)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
-
-        from PIL import Image as _I
 
         for pdf in it:
             out = []
             for p in pdf["payload"]:
-                img = _I.open(io.BytesIO(bytes(p))).convert("L").resize(size)
-                out.append((np.asarray(img, dtype=np.float32) / 255.0).ravel())
+                b = bytes(p)
+                if b[:2] == b"BM":
+                    g = _gray_u8(_decode_bmp(b))
+                elif HAS_PIL:  # pragma: no cover — PIL absent in container
+                    from PIL import Image as _I
+
+                    g = np.asarray(_I.open(io.BytesIO(b)).convert("L"),
+                                   dtype=np.uint8)
+                else:
+                    raise NotImplementedError(
+                        "non-BMP image decoding requires PIL; not available "
+                        "in this container. BMP payloads decode natively; "
+                        "use fake_decode_features for pipeline plumbing."
+                    )
+                if size is not None:
+                    g = _nearest_resize(g, size)
+                out.append((g.astype(np.float32) / np.float32(255.0)).ravel())
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "pixels": out})
 
     return assets.select("asset_id", "payload").mapInPandas(
         run, schema="asset_id long, pixels array<float>"
     )
+
+
+def decode_image_stats(assets: DataFrame) -> DataFrame:
+    """(asset_id, height, width, px_sum, px_wsum): exact integer statistics of
+    the REAL decoded grayscale at native size — px_sum = Σ v, px_wsum =
+    Σ v·(row·width + col). All-integer outputs so the decode kernel is fully
+    value-checked against a closed-form SQL oracle (no float tolerance)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for a, p in zip(pdf["asset_id"], pdf["payload"]):
+                g = _gray_u8(_decode_bmp(bytes(p))).astype(np.int64)
+                h, w = g.shape
+                flat = g.ravel()
+                idx = np.arange(flat.size, dtype=np.int64)
+                rows.append((int(a), h, w, int(flat.sum()),
+                             int((flat * idx).sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "height", "width", "px_sum", "px_wsum"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run,
+        schema="asset_id long, height int, width int, px_sum long, px_wsum long",
+    )
+
+
+def synthetic_bmp_assets(docs: DataFrame, width: int = 8, height: int = 6,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL image payloads at any SF: one 24-bit BMP per doc
+    with pixel(i, j) = (doc_id·7 + 13i + 31j) mod 256 on all three channels
+    (gray ⇒ luma == pixel value exactly) — so decode_image_stats has a
+    closed-form SQL oracle over generate_series."""
+    i = np.arange(height, dtype=np.int64)[:, None]
+    j = np.arange(width, dtype=np.int64)[None, :]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf[id_col]:
+                v = ((int(d) * 7 + 13 * i + 31 * j) % 256).astype(np.uint8)
+                rgb = np.repeat(v[:, :, None], 3, axis=2)
+                rows.append((int(d), "image/bmp", encode_bmp(rgb), width, height))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "payload", "width", "height"]
+            )
+
+    return docs.select(id_col).mapInPandas(run, schema=ASSET_SCHEMA)
 
 
 def frame_sample_indices(assets: DataFrame, n_frames: int = 4,

@@ -301,6 +301,27 @@ def fake_features_sql() -> str:
     return f"SELECT doc_id AS asset_id, {', '.join(cols)} FROM documents"
 
 
+def decode_pixels_sql(width: int = 8, height: int = 6) -> str:
+    """Oracle for the REAL BMP decode (operators/multimodal.decode_image_stats
+    over synthetic_bmp_assets): pixel(i, j) = (doc_id·7 + 13i + 31j) mod 256
+    on all channels ⇒ integer luma == pixel value, so the decoded statistics
+    are closed-form over a generate_series grid — every byte the NumPy BMP
+    kernel produces is value-checked, no float tolerance."""
+    return f"""
+WITH px AS (
+    SELECT d.doc_id AS asset_id, i.i, j.j,
+           (d.doc_id * 7 + 13 * i.i + 31 * j.j) % 256 AS v
+    FROM documents d, range({height}) i(i), range({width}) j(j)
+)
+SELECT asset_id,
+       {height} AS height,
+       {width} AS width,
+       sum(v)::BIGINT AS px_sum,
+       sum(v * (i * {width} + j))::BIGINT AS px_wsum
+FROM px GROUP BY asset_id
+""".strip()
+
+
 # ---- multimodal metadata --------------------------------------------------------
 
 def asset_metadata_sql(round_to: int = SCORE_ROUND_DECIMALS) -> str:
