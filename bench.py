@@ -148,6 +148,47 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
         slat = sorted(min(ts) for ts in s_trials.values())
         p95_serving = slat[min(len(slat) - 1, int(0.95 * len(slat)))]
         timings["serving_batch"] = sum(slat)
+
+        # ---- phrase path: positional build + match/top-k latency -------------
+        # Reported as a SEPARATE sub-dict (not in `value`/p95) so the headline
+        # metrics stay comparable across rounds; this documents the round-3
+        # single-pass phrase_topk plan's measured cost at bench scale.
+        pidx_dir = tempfile.mkdtemp(prefix="bench_pidx_")
+        try:
+            pcfg = IndexConfig(docs_per_shard=4096, block_docs=512,
+                               positions=True)
+            t0 = time.perf_counter()
+            B.build_index_resumable(docs, pidx_dir, pcfg)
+            phrase_build = time.perf_counter() - t0
+            pidx = B.read_index(spark, pidx_dir, pcfg)
+            pidx.postings.persist(StorageLevel.MEMORY_AND_DISK).count()
+            pidx.doc_lens.persist(StorageLevel.MEMORY_AND_DISK).count()
+            phrases = [(1, "the fast", 10), (2, "customer order", 10)]
+            pm_ts, pt_ts = [], []
+            topk_rows = 0
+            for _ in range(3):  # min-of-3 interleaved, as everywhere
+                t0 = time.perf_counter()
+                wand.phrase_match_positional(
+                    pidx.postings, [(q, p) for q, p, _ in phrases], pcfg
+                ).count()
+                pm_ts.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                topk_rows = wand.phrase_bm25_topk(
+                    pidx.postings, pidx.doc_lens, pidx.term_stats,
+                    pidx.avgdl, phrases, pcfg,
+                ).count()
+                pt_ts.append(time.perf_counter() - t0)
+            phrase = {
+                "build_sec": round(phrase_build, 3),
+                "build_docs_per_sec": round(n_docs / phrase_build, 1),
+                "match_sec": round(min(pm_ts), 4),
+                "topk_sec": round(min(pt_ts), 4),
+                "topk_rows": topk_rows,
+            }
+            pidx.postings.unpersist()
+            pidx.doc_lens.unpersist()
+        finally:
+            shutil.rmtree(pidx_dir, ignore_errors=True)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -164,6 +205,7 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
         "p50_query_sec": round(p50, 4),
         "p95_query_sec": round(p95, 4),
         "p95_serving_sec": round(p95_serving, 5),
+        "phrase": phrase,
         "wand_rows": n_wand,
         "brute_rows": n_brute,
         "replication": replication,

@@ -162,23 +162,20 @@ class IndexServer:
     def query(self, terms: list[str], mode: str = "disjunctive", k: int = 10):
         return self.query_batch([(0, terms, mode, k)])
 
-    def phrase_batch(self, phrases: list[tuple[int, str]]) -> list[tuple[int, int]]:
-        """→ [(query_id, doc_id)] — exact phrase matches, identical results to
-        operators/wand.phrase_match_positional on the same index. Requires a
-        positions=True index; the positional payload is read ONLY here (the
-        BM25 path never touches it)."""
+    def _phrase_hit_blocks(self, parsed):
+        """Shared phrase machinery: yields (qid, uniq_terms, shard, hits,
+        per_term) for every block with ≥1 verified, tombstone-masked match."""
         from bloqsenjin_spark.functions.codec import segmented_delta_decode
-        from bloqsenjin_spark.operators.wand import _parse_phrases
+        from bloqsenjin_spark.functions.scoring import phrase_verify_block
 
         if not self.cfg.positions:
             raise ValueError(
                 "phrase serving needs a positional index — build with "
                 "IndexConfig(positions=True)"
             )
-        parsed = _parse_phrases(phrases)
         all_terms = sorted({t for _, toks in parsed for t in toks})
         if not all_terms:
-            return []
+            return
         tbl = self._load_terms(all_terms, positional=True)
         by_term: dict[str, dict[tuple[int, int], int]] = {}
         for i, (t, s, b) in enumerate(zip(tbl["term"], tbl["shard"], tbl["block_id"])):
@@ -186,7 +183,7 @@ class IndexServer:
         dps, bdocs = self.cfg.docs_per_shard, self.cfg.block_docs
 
         def decode(i: int, term: str, shard: int, bid: int):
-            # decoded-block LRU persists ACROSS phrase_batch calls (keyed by
+            # decoded-block LRU persists ACROSS calls (keyed by
             # (term, shard, block) — row indices are call-local)
             key = (term, shard, bid)
             got = self._block_cache.get(key)
@@ -205,9 +202,6 @@ class IndexServer:
                 self._block_cache.move_to_end(key)
             return got
 
-        from bloqsenjin_spark.functions.scoring import phrase_verify_block
-
-        out: list[tuple[int, int]] = []
         for qid, toks in parsed:
             uniq = list(dict.fromkeys(toks))
             maps = [by_term.get(t) for t in uniq]
@@ -226,5 +220,58 @@ class IndexServer:
                 tm = self.tomb_masks.get(shard)
                 if tm is not None and hits.size:
                     hits = hits[~tm[hits - shard * dps]]
-                out.extend((qid, int(d)) for d in hits)
+                if hits.size:
+                    yield qid, uniq, shard, hits, per_term
+
+    def phrase_batch(self, phrases: list[tuple[int, str]]) -> list[tuple[int, int]]:
+        """→ [(query_id, doc_id)] — exact phrase matches, identical results to
+        operators/wand.phrase_match_positional on the same index. Requires a
+        positions=True index; the positional payload is read ONLY here (the
+        BM25 path never touches it)."""
+        from bloqsenjin_spark.operators.wand import _parse_phrases
+
+        out: list[tuple[int, int]] = []
+        for qid, _uniq, _shard, hits, _pt in self._phrase_hit_blocks(
+            _parse_phrases(phrases)
+        ):
+            out.extend((qid, int(d)) for d in hits)
         return sorted(out)
+
+    def phrase_topk_batch(
+        self, phrases: list[tuple[int, str, int]]
+    ) -> list[tuple[int, int, int, float]]:
+        """→ [(query_id, rank, doc_id, score)] — phrase-filtered BM25 top-k,
+        rank-identical to operators/wand.phrase_bm25_topk on the same index
+        (pytest-pinned): BM25 over the phrase's deduped terms is computed for
+        the verified matches from the SAME decoded positional blocks
+        (position-segment lengths double as tf arrays), summed in sorted-term
+        order for bit-identity with the distributed scorer."""
+        from bloqsenjin_spark.functions import bm25
+        from bloqsenjin_spark.functions.scoring import global_topk
+        from bloqsenjin_spark.operators.wand import _parse_phrases
+
+        parsed = _parse_phrases([(qid, p) for qid, p, _ in phrases])
+        dps = self.cfg.docs_per_shard
+        k1, b = self.cfg.k1, self.cfg.b
+        q_parts: list[np.ndarray] = []
+        d_parts: list[np.ndarray] = []
+        s_parts: list[np.ndarray] = []
+        for qid, uniq, shard, hits, per_term in self._phrase_hit_blocks(parsed):
+            score = np.zeros(hits.size, dtype=np.float64)
+            dl_h = self.dls[shard][hits - shard * dps]
+            for t in sorted(uniq):  # lexicographic = oracle's sum order
+                ids_t, _flat, offs_t = per_term[t]
+                tf_t = np.diff(offs_t).astype(np.float64)
+                score += self.idf[t] * bm25.tf_component_np(
+                    tf_t[np.searchsorted(ids_t, hits)], dl_h, self.avgdl, k1, b
+                )
+            q_parts.append(np.full(hits.size, qid, dtype=np.int64))
+            d_parts.append(hits)
+            s_parts.append(score)
+        if not q_parts:
+            return []
+        return global_topk(
+            np.concatenate(q_parts), np.concatenate(d_parts),
+            np.concatenate(s_parts),
+            [(qid, [], "", k) for qid, _, k in phrases],
+        )

@@ -126,6 +126,26 @@ def test_serving_phrase_matches_spark_path(spark, pos_index_dir):
     assert len(small._block_cache) <= 2
 
 
+def test_serving_phrase_topk_matches_spark_path(spark, pos_index_dir):
+    """Serving phrase top-k is rank-identical (and score-bit-identical) to
+    the distributed single-pass phrase_bm25_topk on the same index."""
+    phrases = [(1, "the fast", 5), (2, "customer order", 3),
+               (3, "zebra stripes", 4)]
+    idx = B.read_index(spark, pos_index_dir)
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.phrase_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            phrases, idx.cfg,
+        ).collect()
+    )
+    got = sorted(IndexServer(pos_index_dir).phrase_topk_batch(phrases))
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert g[3] == w[3]  # bit-identical scores (same kernel, same order)
+
+
 def test_serving_phrase_requires_positions(spark, index_dir):
     with pytest.raises(ValueError, match="positional"):
         IndexServer(index_dir, CFG).phrase_batch([(1, "the fast")])

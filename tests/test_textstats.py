@@ -56,14 +56,6 @@ def test_multimodal_fake_features_deterministic(spark, tdocs):
     assert all(0.0 <= x < 1.0 for v in a.values() for x in v)
 
 
-def test_multimodal_decode_stub_gated(spark, tdocs):
-    assets = multimodal.assets_from_documents(tdocs)
-    if multimodal.HAS_PIL:
-        pytest.skip("PIL available; stub gate not applicable")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(assets)
-
-
 def test_frame_sampling_plan(spark, tdocs):
     assets = multimodal.assets_from_documents(tdocs)
     plans = multimodal.frame_sample_indices(assets, n_frames=4).collect()
