@@ -35,9 +35,22 @@ from bloqsenjin_spark.operators.merge import merge_postings
 from bloqsenjin_spark.plans.build import check_index_meta, write_index_meta
 
 
+def _parquet_only(index_dir: str) -> None:
+    from bloqsenjin_spark.plans.store import ICEBERG_SCHEME
+
+    if index_dir.startswith(ICEBERG_SCHEME):
+        raise NotImplementedError(
+            "tombstone delete/purge is implemented for parquet-path indexes; "
+            "on Iceberg the native analog is `DELETE FROM <ns>_postings` row "
+            "deletes + `rewrite_data_files` compaction (snapshot commits), "
+            "which subsumes this module's log + shard-rewrite machinery"
+        )
+
+
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> None:
     """Logical delete: append tombstones (idempotent — duplicates tolerated,
     readers dedupe)."""
+    _parquet_only(index_dir)
     spark.createDataFrame(
         [(int(d),) for d in doc_ids], "doc_id long"
     ).write.mode("append").parquet(f"{index_dir}/tombstones")
@@ -70,6 +83,10 @@ def tombstone_bitmap_df(
     """
     from pyspark.errors import AnalysisException
 
+    from bloqsenjin_spark.plans.store import ICEBERG_SCHEME
+
+    if index_dir.startswith(ICEBERG_SCHEME):
+        return None  # Iceberg indexes delete natively (see _parquet_only)
     try:
         log = spark.read.parquet(f"{index_dir}/tombstones")
     except AnalysisException:  # missing table = no deletes

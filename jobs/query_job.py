@@ -36,6 +36,7 @@ def main() -> None:
     from bloqsenjin_spark.corpus import REFERENCE_QUERIES
     from bloqsenjin_spark.operators.wand import bm25_wand_topk
     from bloqsenjin_spark.plans.build import read_index
+    from bloqsenjin_spark.plans.deletes import tombstone_bitmap_df
     from bloqsenjin_spark.sources.queries import load_query_set
 
     spark = SparkSession.builder.appName("bloqsenjin-query").getOrCreate()
@@ -49,7 +50,11 @@ def main() -> None:
     else:
         qs = REFERENCE_QUERIES
     idx = read_index(spark, args.index_dir, cfg)
-    res = bm25_wand_topk(idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, qs, cfg)
+    # honor pending (unpurged) logical deletes: per-shard bitmap table,
+    # cogrouped into the scorer — None when the index has no tombstones
+    tomb_map = tombstone_bitmap_df(spark, args.index_dir, cfg)
+    res = bm25_wand_topk(idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+                         qs, cfg, tomb_map=tomb_map)
     res.write.mode("overwrite").parquet(args.out)
     print(f"answered {len(qs)} queries -> {args.out}")
 
