@@ -97,6 +97,21 @@ def _q_bm25_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("score", F.round("score", _R))
 
 
+def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: rank only lang='en' docs, scored with FULL-corpus
+    stats — the allow-set rides as per-shard bitmaps beside doc_lens (zero
+    extra shuffle, masked pre-top-k)."""
+    docs = _docs(spark, sf_dir)
+    idx = build_index(docs, _SF_CFG)
+    res = wand.bm25_topk_filtered(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        corpus.REFERENCE_QUERIES,
+        docs.where(F.col("lang") == "en").select("doc_id"),
+        _SF_CFG,
+    )
+    return res.withColumn("score", F.round("score", _R))
+
+
 PHRASES = [
     (1, "the fast"),
     (2, "customer order"),
@@ -241,6 +256,21 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+PREFIX_QUERIES = [(1, "s", 10), (2, "c", 10), (3, "zz", 5)]
+_MAX_EXPANSIONS = 4  # small so the df-ranked expansion cap binds at sf0.01
+
+
+def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixQuery analog: dictionary expansion (df DESC, term ASC, capped)
+    → one disjunctive BM25 ranking over the expanded terms."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG)
+    res = wand.prefix_bm25_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        PREFIX_QUERIES, _SF_CFG, max_expansions=_MAX_EXPANSIONS,
+    )
+    return res.withColumn("score", F.round("score", _R))
+
+
 def _q_decode_pixels(spark, sf_dir):
     """REAL image decode: deterministic 24-bit BMP payloads synthesized per
     doc, decoded by the pure-NumPy BMP kernel (no image library), reduced to
@@ -270,6 +300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": _q_bm25_wand,
         "bm25_topk_decorated": _q_bm25_decorated,
         "bm25_topk_serving": _q_bm25_serving,
+        "bm25_topk_filtered": _q_bm25_filtered,
+        "bm25_topk_prefix": _q_prefix_topk,
         "phrase_match": _q_phrase_match,
         "phrase_topk": _q_phrase_topk,
         "postings_roundtrip": _q_postings_roundtrip,
@@ -331,6 +363,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
         "bm25_topk_decorated": oracle.bm25_topk_decorated_sql(corpus.REFERENCE_QUERIES),
         "bm25_topk_serving": oracle.bm25_topk_sql(corpus.REFERENCE_QUERIES),
+        "bm25_topk_filtered": oracle.bm25_topk_sql(
+            corpus.REFERENCE_QUERIES, filter_pred="lang = 'en'"
+        ),
+        "bm25_topk_prefix": oracle.prefix_topk_sql(
+            PREFIX_QUERIES, max_expansions=_MAX_EXPANSIONS
+        ),
         "phrase_match": oracle.phrase_match_sql(PHRASES),
         "phrase_topk": oracle.phrase_topk_sql(PHRASE_TOPK),
         "postings_roundtrip": (

@@ -1,0 +1,53 @@
+"""Per-shard docID bitmaps — the engine's unit of doc-set side-input.
+
+A set of docIDs (tombstones, a metadata-filter allow-set, …) rides next to
+the shard-cogrouped scorers as one (shard, bitmap) row per touched shard:
+docs_per_shard bits, little-endian by shard-local docID. Built
+DISTRIBUTIVELY (one groupBy on shard, each group ≤ docs_per_shard ids), so
+no doc-set ever crosses the driver; per-task masking cost is one unpackbits.
+Total side-input traffic is ≤ touched_shards × docs_per_shard/8 bytes
+regardless of set size — the scale contract that replaced round-2's
+driver-collected tombstone arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bloqsenjin_spark.config import IndexConfig
+
+
+def shard_bitmap_df(ids: DataFrame, cfg: IndexConfig, id_col: str = "doc_id",
+                    bitmap_col: str = "tomb") -> DataFrame:
+    """(shard int, <bitmap_col> binary): one docs_per_shard-bit bitmap per
+    shard containing ≥1 of ``ids``. Duplicate ids are tolerated (set
+    semantics)."""
+    dps = cfg.docs_per_shard
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        local = pdf[id_col].to_numpy().astype(np.int64) - shard * dps
+        m = np.zeros(dps, dtype=bool)
+        m[local] = True
+        return pd.DataFrame(
+            [(shard, np.packbits(m, bitorder="little").tobytes())],
+            columns=["shard", bitmap_col],
+        )
+
+    return (
+        ids.withColumn("shard", (F.col(id_col) / dps).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(pack, schema=f"shard int, {bitmap_col} binary")
+    )
+
+
+def unpack_bitmap(blob) -> "np.ndarray | None":
+    """bitmap bytes → shard-local boolean array (None blob = None)."""
+    if blob is None:
+        return None
+    return np.unpackbits(
+        np.frombuffer(bytes(blob), dtype=np.uint8), bitorder="little"
+    ).astype(bool)

@@ -46,27 +46,51 @@ _PARTIAL_SCHEMA = "query_id long, doc_id long, score double"
 def _unpack_tomb(pdf: pd.DataFrame) -> "np.ndarray | None":
     """Shard-local tombstone mask from a cogrouped/joined ``tomb`` bitmap
     column (None column or missing column = no deletes in this shard)."""
+    from bloqsenjin_spark.operators.bitmaps import unpack_bitmap
+
     if "tomb" not in pdf.columns or pdf.empty:
         return None
-    blob = pdf["tomb"].iloc[0]
-    if blob is None:
-        return None
-    return np.unpackbits(
-        np.frombuffer(bytes(blob), dtype=np.uint8), bitorder="little"
-    ).astype(bool)
+    return unpack_bitmap(pdf["tomb"].iloc[0])
 
 
-def _with_tomb(doc_lens: DataFrame, tomb_map: "DataFrame | None") -> DataFrame:
-    """Attach the per-shard tombstone bitmap beside doc_lens: one left join on
-    shard (both sides one-row-per-shard; co-partitioned with the cogroup) —
-    the scale-safe replacement for collecting tombstoned docIDs to the driver
-    and shipping them inside the scorer closure."""
-    if tomb_map is None:
-        return doc_lens
-    return doc_lens.join(tomb_map, "shard", "left")
+def _effective_mask(dl_pdf: pd.DataFrame, has_allow: bool):
+    """→ (mask, skip_shard): combine the tombstone bitmap with the optional
+    allow bitmap into ONE shard-local exclusion mask (True = excluded).
+    With an allow-set in force, a shard whose allow row is absent has zero
+    eligible docs — skip it without decoding anything."""
+    from bloqsenjin_spark.operators.bitmaps import unpack_bitmap
+
+    tomb = _unpack_tomb(dl_pdf)
+    if not has_allow:
+        return tomb, False
+    allow = (
+        unpack_bitmap(dl_pdf["allow"].iloc[0])
+        if "allow" in dl_pdf.columns else None
+    )
+    if allow is None:
+        return None, True
+    mask = ~allow
+    if tomb is not None:
+        mask = mask | tomb
+    return mask, False
 
 
-def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig):
+def _with_tomb(doc_lens: DataFrame, tomb_map: "DataFrame | None",
+               allow_map: "DataFrame | None" = None) -> DataFrame:
+    """Attach the per-shard tombstone / allow bitmaps beside doc_lens: left
+    joins on shard (all sides one-row-per-shard; co-partitioned with the
+    cogroup) — the scale-safe replacement for collecting doc sets to the
+    driver and shipping them inside the scorer closure."""
+    out = doc_lens
+    if tomb_map is not None:
+        out = out.join(tomb_map, "shard", "left")
+    if allow_map is not None:
+        out = out.join(allow_map, "shard", "left")
+    return out
+
+
+def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig,
+                  has_allow: bool = False):
     from bloqsenjin_spark.functions.scoring import score_shard_blocks
 
     def score(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -74,9 +98,13 @@ def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig):
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
                 {"query_id": "int64", "doc_id": "int64", "score": "float64"}
             )
+        tomb_mask, skip = _effective_mask(dl_pdf, has_allow)
+        if skip:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+            )
         shard = int(pl["shard"].iloc[0])
         dls = varint_decode(bytes(dl_pdf["dls"].iloc[0])).astype(np.float64)
-        tomb_mask = _unpack_tomb(dl_pdf)
         out_q, out_d, out_s = score_shard_blocks(
             shard,
             pl["term"].to_numpy(),
@@ -449,6 +477,7 @@ def bm25_wand_topk(
     queries: list[tuple[int, list[str], str, int]],
     cfg: IndexConfig = DEFAULT_CONFIG,
     tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
 ) -> DataFrame:
     """→ TOPK_RESULT. ``queries`` is the (small) reference query set — its
     terms and per-term idf are broadcast with the scorer closure; postings are
@@ -458,7 +487,14 @@ def bm25_wand_topk(
     ``tomb_map``: optional per-shard tombstone bitmap table
     (plans.deletes.tombstone_bitmap_df), joined beside doc_lens and unpacked
     inside the shard scorer — deleted docs are masked before top-k selection
-    without any driver-side tombstone materialization."""
+    without any driver-side tombstone materialization.
+
+    ``allow_map``: optional per-shard ALLOW bitmap (shard, allow binary —
+    operators.bitmaps.shard_bitmap_df over an eligible-doc set): restricts
+    ranking to the allowed docs, masked BEFORE top-k with full-corpus stats
+    — metadata-filtered search done plan-right (post-rank filtering breaks
+    k; pre-join filtering re-shuffles the corpus). Shards with no allow row
+    are skipped without decoding a block."""
     all_terms = sorted({t for _, ts, _, _ in queries for t in ts})
     idf_map = {
         r["term"]: float(r["idf"])
@@ -470,9 +506,10 @@ def bm25_wand_topk(
     pq = postings.select(
         "term", "shard", "block_id", "block_max_score", "doc_deltas", "tfs"
     ).where(F.col("term").isin(all_terms))
-    dl = _with_tomb(doc_lens, tomb_map)
+    dl = _with_tomb(doc_lens, tomb_map, allow_map)
     partial = pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
-        _shard_scorer(queries, idf_map, float(avgdl), cfg),
+        _shard_scorer(queries, idf_map, float(avgdl), cfg,
+                      has_allow=allow_map is not None),
         schema=_PARTIAL_SCHEMA,
     )
     kmap = F.create_map(
@@ -483,4 +520,83 @@ def bm25_wand_topk(
         partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= kmap[F.col("query_id")])
         .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def bm25_topk_filtered(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    queries: list[tuple[int, list[str], str, int]],
+    allowed_docs: DataFrame,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Metadata-filtered top-k: rank only ``allowed_docs`` (any docID
+    relation, e.g. ``docs.where(lang == 'en')``), scored with FULL-corpus
+    statistics — the faceted-search contract (the filter changes eligibility,
+    not the scoring model).
+
+    Plan shape: the allow-set becomes per-shard bitmaps
+    (operators.bitmaps.shard_bitmap_df — built distributively, never
+    collected) left-joined beside doc_lens into the existing shard cogroup;
+    the scorer masks ineligible docs BEFORE top-k selection, so per-shard
+    partials stay k-truncated and exact. Zero extra shuffle of postings, no
+    post-rank filtering (which would break k), no corpus re-join."""
+    from bloqsenjin_spark.operators.bitmaps import shard_bitmap_df
+
+    allow_map = shard_bitmap_df(
+        allowed_docs.select(F.col(id_col).alias("doc_id")), cfg,
+        bitmap_col="allow",
+    )
+    return bm25_wand_topk(
+        postings, doc_lens, term_stats, avgdl, queries, cfg,
+        tomb_map=tomb_map, allow_map=allow_map,
+    )
+
+
+def prefix_bm25_topk(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    prefix_queries: list[tuple[int, str, int]],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    max_expansions: int = 100,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+) -> DataFrame:
+    """Prefix-expanded disjunctive top-k (the PrefixQuery/wildcard analog):
+    each prefix expands to its matching vocabulary terms — capped at
+    ``max_expansions`` by df DESC, term ASC, the standard head-biased
+    expansion cap — then ranks as ONE disjunctive BM25 query over the
+    expansion set.
+
+    The expansion itself is a term-dictionary lookup (vocab-sized relation,
+    prefix pushdown), bounded by prefixes × max_expansions — at serving
+    scale it comes from the dictionary replica, never the postings. The
+    ranking pass is the ordinary bm25_wand_topk plan over the expanded
+    terms' postings."""
+    queries = []
+    for qid, prefix, k in prefix_queries:
+        rows = (
+            term_stats.where(F.col("term").startswith(prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term")
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+        if terms:
+            queries.append((qid, terms, "disjunctive", int(k)))
+    if not queries:
+        spark = postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return bm25_wand_topk(
+        postings, doc_lens, term_stats, avgdl, queries, cfg,
+        tomb_map=tomb_map, allow_map=allow_map,
     )

@@ -29,15 +29,24 @@ def bm25_topk_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_score: bool = True,
+    filter_pred: str | None = None,
 ) -> str:
     """Full BM25 top-k over the given literal query set, on DuckDB.
     ``round_score=False`` keeps raw doubles — needed when a caller re-ranks
-    on the score (rounding before a rank would change tie-breaks)."""
+    on the score (rounding before a rank would change tie-breaks).
+    ``filter_pred``: optional SQL predicate over ``doc_table`` restricting
+    RANK ELIGIBILITY only — stats (N, avgdl, df) stay full-corpus, matching
+    the engine's bm25_topk_filtered faceted-search contract."""
     toks = DUCKDB_TOKENS_SQL.format(col=text_col)
     tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
     idf = idf_sql("ts.df", "cs.n")
     score_out = (
         f"round(score, {SCORE_ROUND_DECIMALS})" if round_score else "score"
+    )
+    flt = (
+        f"JOIN (SELECT {id_col} AS doc_id FROM {doc_table} "
+        f"WHERE {filter_pred}) flt USING (doc_id)"
+        if filter_pred else ""
     )
     return f"""
 WITH q(query_id, terms, mode, k) AS (VALUES
@@ -74,10 +83,68 @@ ranked AS (
     SELECT query_id, doc_id, score, k,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, doc_id ASC) AS rank
-    FROM scored
+    FROM scored {flt}
 )
 SELECT query_id, rank::INT AS rank, doc_id,
        {score_out} AS score
+FROM ranked WHERE rank <= k
+""".strip()
+
+
+def prefix_topk_sql(
+    prefix_queries: list[tuple[int, str, int]],
+    max_expansions: int = 100,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for prefix_bm25_topk: the SAME expansion rule computed in SQL —
+    vocabulary terms LIKE prefix%, capped at max_expansions by df DESC,
+    term ASC — then disjunctive BM25 with full-corpus stats."""
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
+    idf = idf_sql("ts.df", "cs.n")
+    rows = ", ".join(
+        "({}, '{}', {})".format(qid, p.replace("'", "''"), k)
+        for qid, p, k in prefix_queries
+    )
+    return f"""
+WITH q(query_id, prefix, k) AS (VALUES {rows}),
+dtok AS (
+    SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM dtok),
+dl AS (SELECT doc_id, len(toks) AS dl FROM dtok),
+cs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+exp AS (
+    SELECT q.query_id, q.k, ts.term,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY ts.df DESC, ts.term ASC) AS rn
+    FROM q JOIN ts ON ts.term LIKE q.prefix || '%'
+),
+qt AS (SELECT query_id, k, term FROM exp WHERE rn <= {max_expansions}),
+contrib AS (
+    SELECT qt.query_id, tf.doc_id, qt.k, {idf} * {tfc} AS contrib
+    FROM qt
+    JOIN tf USING (term)
+    JOIN ts USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN cs
+),
+scored AS (
+    SELECT query_id, doc_id, k, sum(contrib) AS score
+    FROM contrib GROUP BY query_id, doc_id, k
+),
+ranked AS (
+    SELECT query_id, doc_id, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
 FROM ranked WHERE rank <= k
 """.strip()
 

@@ -91,24 +91,10 @@ def tombstone_bitmap_df(
         log = spark.read.parquet(f"{index_dir}/tombstones")
     except AnalysisException:  # missing table = no deletes
         return None
-    cfg = check_index_meta(index_dir, cfg)
-    dps = cfg.docs_per_shard
+    from bloqsenjin_spark.operators.bitmaps import shard_bitmap_df
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        shard = int(pdf["shard"].iloc[0])
-        local = (pdf["doc_id"].to_numpy().astype(np.int64) - shard * dps)
-        m = np.zeros(dps, dtype=bool)
-        m[local] = True  # duplicates tolerated (idempotent delete log)
-        return pd.DataFrame(
-            [(shard, np.packbits(m, bitorder="little").tobytes())],
-            columns=["shard", "tomb"],
-        )
-
-    return (
-        log.withColumn("shard", (F.col("doc_id") / dps).cast("int"))
-        .groupBy("shard")
-        .applyInPandas(pack, schema="shard int, tomb binary")
-    )
+    return shard_bitmap_df(log, check_index_meta(index_dir, cfg),
+                           bitmap_col="tomb")
 
 
 def purge_deletes(spark: SparkSession, index_dir: str) -> None:

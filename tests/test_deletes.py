@@ -160,3 +160,55 @@ def test_purge_noop_without_tombstones(spark, built):
         for r in B.read_index(spark, d).postings.collect()
     )
     assert before == after
+
+
+def test_filtered_topk_allow_bitmaps(spark, built):
+    """bm25_topk_filtered == (unbounded-rank results) ∩ allow-set, re-ranked —
+    cross-plan check; composes with tombstone bitmaps."""
+    d, docs = built
+    idx = B.read_index(spark, d)
+    allowed = docs.where(F.col("lang") == "en").select("doc_id")
+    allow_ids = {r["doc_id"] for r in allowed.collect()}
+    assert 0 < len(allow_ids) < 500
+
+    kmap = {q: k for q, _, _, k in corpus.REFERENCE_QUERIES}
+
+    def rerank(rows, keep):
+        want = []
+        by_q: dict = {}
+        for r in rows:
+            if r["doc_id"] in keep:
+                by_q.setdefault(r["query_id"], []).append(
+                    (-r["score"], r["doc_id"]))
+        for q, lst in by_q.items():
+            for rank, (neg_s, doc) in enumerate(sorted(lst)[: kmap[q]], start=1):
+                want.append((q, rank, doc, -neg_s))
+        return sorted(want)
+
+    unbounded = [(q, t, m, 10**6) for q, t, m, _ in corpus.REFERENCE_QUERIES]
+    full = wand.bm25_wand_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, unbounded, CFG
+    ).collect()
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.bm25_topk_filtered(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            corpus.REFERENCE_QUERIES, allowed, CFG,
+        ).collect()
+    )
+    assert got == rerank(full, allow_ids)
+    assert all(doc in allow_ids for _, _, doc, _ in got)
+
+    # composition: tombstoned docs leave the filtered ranking too
+    dead = sorted(allow_ids)[:3]
+    D.delete_docs(spark, d, dead)
+    tomb_map = D.tombstone_bitmap_df(spark, d, CFG)
+    got2 = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.bm25_topk_filtered(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            corpus.REFERENCE_QUERIES, allowed, CFG, tomb_map=tomb_map,
+        ).collect()
+    )
+    assert got2 == rerank(full, allow_ids - set(dead))

@@ -121,3 +121,35 @@ def test_wand_rank_identical_sf0001(spark):
             w["doc_id"],
         ), (g, w)
         assert g["score"] == pytest.approx(w["score"], abs=1e-12)
+
+
+def test_prefix_topk_expansion_semantics(spark):
+    """prefix_bm25_topk == disjunctive bm25_wand_topk over the df-ranked,
+    capped expansion set; empty expansions yield no rows."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    cfg = IndexConfig(docs_per_shard=128, block_docs=16)
+    idx = build_index(docs, cfg)
+    cap = 3
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.prefix_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            [(1, "s", 5), (2, "zzz", 5)], cfg, max_expansions=cap,
+        ).collect()
+    )
+    # manual expansion with the same rule
+    ts = {r["term"]: r["df"] for r in idx.term_stats.collect()}
+    exp = sorted(
+        (t for t in ts if t.startswith("s")),
+        key=lambda t: (-ts[t], t),
+    )[:cap]
+    assert len(exp) == cap  # the cap really binds on this corpus
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            [(1, exp, "disjunctive", 5)], cfg,
+        ).collect()
+    )
+    assert got == want and len(got) == 5
+    assert not any(q == 2 for q, _, _, _ in got)  # no expansion ⇒ no rows
