@@ -256,6 +256,26 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+# boolean queries: (qid, MUST terms, mode, k, MUST_NOT terms)
+BOOLEAN_QUERIES = [
+    (1, ["join", "hash"], "conjunctive", 10, ["merge"]),
+    (2, ["customer", "order"], "disjunctive", 10, ["slow", "filter"]),
+    (3, ["spark"], "disjunctive", 10, ["zebra"]),   # neg term absent: no-op
+]
+
+
+def _q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean MUST_NOT queries: docs containing any negative term are
+    excluded before top-k — block-local exclusion inside the scorer (a doc's
+    postings all live in its one doc-range block)."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG)
+    res = wand.bm25_wand_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        BOOLEAN_QUERIES, _SF_CFG,
+    )
+    return res.withColumn("score", F.round("score", _R))
+
+
 PREFIX_QUERIES = [(1, "s", 10), (2, "c", 10), (3, "zz", 5)]
 _MAX_EXPANSIONS = 4  # small so the df-ranked expansion cap binds at sf0.01
 
@@ -302,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_serving": _q_bm25_serving,
         "bm25_topk_filtered": _q_bm25_filtered,
         "bm25_topk_prefix": _q_prefix_topk,
+        "bm25_topk_boolean": _q_bm25_boolean,
         "phrase_match": _q_phrase_match,
         "phrase_topk": _q_phrase_topk,
         "postings_roundtrip": _q_postings_roundtrip,
@@ -368,6 +389,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_prefix": oracle.prefix_topk_sql(
             PREFIX_QUERIES, max_expansions=_MAX_EXPANSIONS
+        ),
+        "bm25_topk_boolean": oracle.bm25_topk_sql(
+            [q[:4] for q in BOOLEAN_QUERIES],
+            must_not={q[0]: list(q[4]) for q in BOOLEAN_QUERIES if q[4]},
         ),
         "phrase_match": oracle.phrase_match_sql(PHRASES),
         "phrase_topk": oracle.phrase_topk_sql(PHRASE_TOPK),

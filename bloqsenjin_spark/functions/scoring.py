@@ -67,7 +67,13 @@ def score_shard_blocks(
     out_q: list[np.ndarray] = []
     out_d: list[np.ndarray] = []
     out_s: list[np.ndarray] = []
-    for qid, terms, mode, k in queries:
+    for q in queries:
+        # 4-tuples (qid, terms, mode, k) or 5-tuples with MUST_NOT terms:
+        # docs containing ANY neg term are excluded before top-k. Exclusion
+        # is block-local AND complete — a doc's postings (positive and
+        # negative terms alike) all live in its one doc-range block.
+        qid, terms, mode, k = q[:4]
+        negs = sorted(set(q[4])) if len(q) > 4 and q[4] else ()
         present = sorted(t for t in set(terms) if t in term_blocks)
         need = sorted(set(terms))
         if not present:
@@ -107,6 +113,11 @@ def score_shard_blocks(
                 )
                 acc[off] += contrib
                 matched[off] += 1
+            for nt in negs:  # MUST_NOT: clear candidates holding a neg term
+                ri = term_blocks.get(nt, {}).get(bi)
+                if ri is not None:
+                    nids, _ = block_postings(ri, block_base)
+                    matched[nids - block_base] = -(1 << 30)
             sel = matched == len(need) if conj else matched > 0
             offs = np.flatnonzero(sel)
             if offs.size and tomb_mask is not None:
@@ -173,7 +184,7 @@ def global_topk(
     queries: list[tuple[int, list[str], str, int]],
 ) -> list[tuple[int, int, int, float]]:
     """Merge per-shard partials → final ranked rows (score desc, doc asc)."""
-    kmap = {qid: k for qid, _, _, k in queries}
+    kmap = {q[0]: q[3] for q in queries}
     out: list[tuple[int, int, int, float]] = []
     for qid in np.unique(qids):
         m = qids == qid

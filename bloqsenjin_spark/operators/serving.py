@@ -124,11 +124,28 @@ class IndexServer:
         return merged
 
     def query_batch(
-        self, queries: list[tuple[int, list[str], str, int]]
+        self, queries: list[tuple[int, list[str], str, int]],
+        allowed_doc_ids=None,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — rank-identical to
-        operators/wand.bm25_wand_topk on the same index."""
-        all_terms = sorted({t for _, ts, _, _ in queries for t in ts})
+        operators/wand.bm25_wand_topk on the same index. Queries may carry a
+        5th element (MUST_NOT terms). ``allowed_doc_ids`` (any int iterable)
+        restricts ranking to those docs — the serving-side form of
+        bm25_topk_filtered's allow bitmaps, e.g. an ACL set."""
+        all_terms = sorted(
+            {t for q in queries for t in q[1]}
+            | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
+        )
+        allow_masks = None
+        if allowed_doc_ids is not None:
+            dps = self.cfg.docs_per_shard
+            ids = np.unique(np.fromiter(
+                (int(d) for d in allowed_doc_ids), dtype=np.int64))
+            allow_masks = {}
+            for sh in np.unique(ids // dps):
+                m = np.zeros(dps, dtype=bool)
+                m[ids[ids // dps == sh] - sh * dps] = True
+                allow_masks[int(sh)] = m
         tbl = self._load_terms(all_terms)
         if not tbl["term"]:
             return []
@@ -144,10 +161,16 @@ class IndexServer:
         s_parts: list[np.ndarray] = []
         for shard in np.unique(shards):
             m = shards == shard
+            tm = self.tomb_masks.get(int(shard))
+            if allow_masks is not None:
+                am = allow_masks.get(int(shard))
+                if am is None:
+                    continue  # no eligible docs in this shard
+                tm = ~am if tm is None else (~am | tm)
             oq, od, os_ = score_shard_blocks(
                 int(shard), terms[m], bids[m], bmax[m], deltas[m], tfs[m],
                 self.dls[int(shard)], queries, self.idf, self.avgdl, self.cfg,
-                tomb_mask=self.tomb_masks.get(int(shard)),
+                tomb_mask=tm,
             )
             q_parts.extend(oq)
             d_parts.extend(od)

@@ -495,7 +495,13 @@ def bm25_wand_topk(
     — metadata-filtered search done plan-right (post-rank filtering breaks
     k; pre-join filtering re-shuffles the corpus). Shards with no allow row
     are skipped without decoding a block."""
-    all_terms = sorted({t for _, ts, _, _ in queries for t in ts})
+    # queries may be 4-tuples or 5-tuples with MUST_NOT terms (scored by the
+    # kernel as block-local exclusions); neg terms' postings must be scanned
+    # too, so they join the pushed term filter
+    all_terms = sorted(
+        {t for q in queries for t in q[1]}
+        | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
+    )
     idf_map = {
         r["term"]: float(r["idf"])
         for r in term_stats.where(F.col("term").isin(all_terms)).collect()
@@ -513,7 +519,7 @@ def bm25_wand_topk(
         schema=_PARTIAL_SCHEMA,
     )
     kmap = F.create_map(
-        *[x for qid, _, _, k in queries for x in (F.lit(qid), F.lit(k))]
+        *[x for q in queries for x in (F.lit(q[0]), F.lit(q[3]))]
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

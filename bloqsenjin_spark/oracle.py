@@ -30,13 +30,16 @@ def bm25_topk_sql(
     id_col: str = "doc_id",
     round_score: bool = True,
     filter_pred: str | None = None,
+    must_not: "dict[int, list[str]] | None" = None,
 ) -> str:
     """Full BM25 top-k over the given literal query set, on DuckDB.
     ``round_score=False`` keeps raw doubles — needed when a caller re-ranks
     on the score (rounding before a rank would change tie-breaks).
     ``filter_pred``: optional SQL predicate over ``doc_table`` restricting
     RANK ELIGIBILITY only — stats (N, avgdl, df) stay full-corpus, matching
-    the engine's bm25_topk_filtered faceted-search contract."""
+    the engine's bm25_topk_filtered faceted-search contract.
+    ``must_not``: query_id → negative terms; docs containing ANY of them are
+    excluded from that query's ranking (the engine's 5-tuple MUST_NOT)."""
     toks = DUCKDB_TOKENS_SQL.format(col=text_col)
     tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
     idf = idf_sql("ts.df", "cs.n")
@@ -48,6 +51,18 @@ def bm25_topk_sql(
         f"WHERE {filter_pred}) flt USING (doc_id)"
         if filter_pred else ""
     )
+    neg_cte, neg_join = "", ""
+    if must_not:
+        neg_rows = ", ".join(
+            "({}, '{}')".format(qid, t.replace("'", "''"))
+            for qid, ts_ in must_not.items() for t in ts_
+        )
+        neg_cte = (
+            f"qn(query_id, term) AS (VALUES {neg_rows}),\n"
+            "excl AS (SELECT DISTINCT qn.query_id, tf.doc_id "
+            "FROM qn JOIN tf USING (term)),\n"
+        )
+        neg_join = "ANTI JOIN excl USING (query_id, doc_id)"
     return f"""
 WITH q(query_id, terms, mode, k) AS (VALUES
         {_queries_values(queries)}),
@@ -59,7 +74,7 @@ dl AS (SELECT doc_id, len(toks) AS dl FROM dtok),
 cs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
 ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-qt AS (
+{neg_cte}qt AS (
     SELECT query_id, mode, k, len(terms) AS n_terms, unnest(terms) AS term
     FROM q
 ),
@@ -83,7 +98,7 @@ ranked AS (
     SELECT query_id, doc_id, score, k,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, doc_id ASC) AS rank
-    FROM scored {flt}
+    FROM scored {flt} {neg_join}
 )
 SELECT query_id, rank::INT AS rank, doc_id,
        {score_out} AS score

@@ -149,3 +149,58 @@ def test_serving_phrase_topk_matches_spark_path(spark, pos_index_dir):
 def test_serving_phrase_requires_positions(spark, index_dir):
     with pytest.raises(ValueError, match="positional"):
         IndexServer(index_dir, CFG).phrase_batch([(1, "the fast")])
+
+
+def test_serving_boolean_and_filtered_match_spark_path(spark, index_dir):
+    """MUST_NOT queries (5-tuples) and allow-set restriction are
+    rank-identical between the serving tier and the distributed path."""
+    from pyspark.sql import functions as F
+
+    from bloqsenjin_spark.operators.bitmaps import shard_bitmap_df
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = B.read_index(spark, index_dir, CFG)
+    srv = IndexServer(index_dir, CFG)
+
+    boolean = [
+        (1, ["join", "hash"], "conjunctive", 10, ["merge"]),
+        (2, ["customer", "order"], "disjunctive", 10, ["slow", "filter"]),
+        (3, ["spark"], "disjunctive", 10, ["zebra"]),
+    ]
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            boolean, CFG,
+        ).collect()
+    )
+    got = sorted(srv.query_batch(boolean))
+    assert len(got) == len(want) > 0
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    # exclusion is real: no doc in q1 results contains 'merge'
+    merge_docs = {
+        r["doc_id"] for r in docs.collect()
+        if "merge" in (r["text"] or "").lower()
+    }
+    assert merge_docs and not any(
+        d in merge_docs for q, _, d, _ in got if q == 1
+    )
+
+    allowed = [r["doc_id"] for r in docs.where(F.col("lang") == "en")
+               .select("doc_id").collect()]
+    allow_map = shard_bitmap_df(
+        docs.where(F.col("lang") == "en").select("doc_id"), CFG,
+        bitmap_col="allow",
+    )
+    want_f = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            corpus.REFERENCE_QUERIES, CFG, allow_map=allow_map,
+        ).collect()
+    )
+    got_f = sorted(srv.query_batch(corpus.REFERENCE_QUERIES,
+                                   allowed_doc_ids=allowed))
+    assert len(got_f) == len(want_f) > 0
+    assert [g[:3] for g in got_f] == [w[:3] for w in want_f]
+    assert all(d in set(allowed) for _, _, d, _ in got_f)
