@@ -153,3 +153,42 @@ def test_prefix_topk_expansion_semantics(spark):
     )
     assert got == want and len(got) == 5
     assert not any(q == 2 for q, _, _, _ in got)  # no expansion ⇒ no rows
+
+
+def test_boolean_and_filtered_plan_shape(spark, tmp_path):
+    """Plan audit of the round-3 query forms over a persisted index: the
+    postings scan pushes `term IN (...)` INCLUDING the MUST_NOT terms (their
+    postings drive the exclusion), and the filtered path's allow bitmap
+    joins only the one-row-per-shard doc_lens side — the postings relation
+    is never joined or re-shuffled."""
+    from bloqsenjin_spark.operators.bitmaps import shard_bitmap_df
+    from bloqsenjin_spark.plans.build import build_index_resumable, read_index
+
+    cfg = IndexConfig(docs_per_shard=128, block_docs=16)
+    d = str(tmp_path / "idx")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    build_index_resumable(docs, d, cfg)
+    idx = read_index(spark, d)
+
+    out = wand.bm25_wand_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        [(1, ["the"], "disjunctive", 5, ["fast"])], cfg,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l and "doc_deltas" in l]
+    assert scan and "the" in scan[0] and "fast" in scan[0]  # pushed, incl. neg
+
+    allow_map = shard_bitmap_df(
+        docs.where(F.col("lang") == "en").select("doc_id"), cfg,
+        bitmap_col="allow",
+    )
+    out2 = wand.bm25_wand_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        [(1, ["the"], "disjunctive", 5)], cfg, allow_map=allow_map,
+    )
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    scan2 = [l for l in plan2.splitlines() if "FileScan" in l and "doc_deltas" in l]
+    # single-term query: Catalyst simplifies the IN to EqualTo — still pushed
+    assert scan2 and ("EqualTo(term,the)" in scan2[0] or "In(term" in scan2[0])
+    # exactly one cogroup (the scorer); the allow join must not touch it
+    assert plan2.count("FlatMapCoGroupsInPandas") == 1

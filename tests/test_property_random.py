@@ -70,3 +70,62 @@ def test_wand_equals_brute_on_random_corpus(spark, seed):
         for g in got:
             if any(g["query_id"] == q[0] for q in conj):
                 assert (g["query_id"], g["doc_id"]) in dset
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_must_not_equals_python_reference_on_random_corpus(spark, seed):
+    """MUST_NOT property: engine results == (unbounded WAND results minus
+    docs containing any neg term), re-ranked — across random corpora,
+    random neg sets, and both modes."""
+    rng = random.Random(seed * 17 + 3)
+    docs_rows = _random_corpus(seed, 300)
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    cfg = IndexConfig(docs_per_shard=64, block_docs=8)
+    idx = build_index(docs, cfg)
+
+    queries = []
+    for q in range(1, 7):
+        terms = sorted(set(rng.choices([f"w{i}" for i in range(50)],
+                                       k=rng.randint(1, 4))))
+        negs = sorted(set(rng.choices([f"w{i}" for i in range(55)],
+                                      k=rng.randint(1, 3))))
+        mode = rng.choice(["conjunctive", "disjunctive"])
+        queries.append((q, terms, mode, rng.choice([3, 10, 50]), negs))
+
+    unbounded = [(q, t, m, 10**6) for q, t, m, _, _ in queries]
+    full = wand.bm25_wand_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, unbounded, cfg
+    ).collect()
+    has_term = {}
+    for d, text in docs_rows:
+        has_term[d] = set(text.split())
+    want = []
+    for q, _t, _m, k, negs in queries:
+        rows = sorted(
+            (-r["score"], r["doc_id"])
+            for r in full
+            if r["query_id"] == q and not (has_term[r["doc_id"]] & set(negs))
+        )[:k]
+        want.extend((q, rank, doc, -neg_s)
+                    for rank, (neg_s, doc) in enumerate(rows, start=1))
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            queries, cfg,
+        ).collect()
+    )
+    assert got == sorted(want), seed
+    # serving path agrees bit-for-bit
+    import shutil
+    import tempfile
+
+    from bloqsenjin_spark.operators.serving import IndexServer
+    from bloqsenjin_spark.plans.build import build_index_resumable
+
+    d = tempfile.mkdtemp(prefix="prop_bool_")
+    try:
+        build_index_resumable(docs, d, cfg)
+        assert sorted(IndexServer(d, cfg).query_batch(queries)) == got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
