@@ -436,9 +436,12 @@ def phrase_match_twostage(
         toks = [t for t in _re.split(TOKEN_SPLIT_REGEX, phrase.lower()) if t]
         phrase_norm[qid] = " ".join(toks)
         conj.append((qid, sorted(set(toks)), "conjunctive", 2**31 - 1))
-    cand = bm25_wand_topk(postings, doc_lens, term_stats, avgdl, conj, cfg).select(
-        "query_id", "doc_id"
-    )
+    # candidates are the conjunctive MATCH SET, not a ranking: consume the
+    # per-shard partials directly — no global rank window over an unbounded
+    # conjunctive set (each doc appears once per query already)
+    cand = wand_score_partials(
+        postings, doc_lens, term_stats, avgdl, conj, cfg
+    ).select("query_id", "doc_id")
     norm = F.concat(F.lit(" "), F.concat_ws(" ", tokens(F.col(text_col))), F.lit(" "))
     src = docs.select(F.col(id_col).alias("doc_id"), norm.alias("_norm"))
     pmap = F.create_map(
@@ -495,6 +498,36 @@ def bm25_wand_topk(
     — metadata-filtered search done plan-right (post-rank filtering breaks
     k; pre-join filtering re-shuffles the corpus). Shards with no allow row
     are skipped without decoding a block."""
+    partial = wand_score_partials(
+        postings, doc_lens, term_stats, avgdl, queries, cfg,
+        tomb_map=tomb_map, allow_map=allow_map,
+    )
+    kmap = F.create_map(
+        *[x for q in queries for x in (F.lit(q[0]), F.lit(q[3]))]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kmap[F.col("query_id")])
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def wand_score_partials(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    queries: list,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+) -> DataFrame:
+    """Per-shard (query_id, doc_id, score) partials of the block-max scorer —
+    bm25_wand_topk without the global rank window. Each doc appears at most
+    once per query (it lives in one shard), so for match-set consumers
+    (phrase_match_twostage candidates) this IS the result: no window, no
+    per-query single-reducer sort."""
     # queries may be 4-tuples or 5-tuples with MUST_NOT terms (scored by the
     # kernel as block-local exclusions); neg terms' postings must be scanned
     # too, so they join the pushed term filter
@@ -513,19 +546,10 @@ def bm25_wand_topk(
         "term", "shard", "block_id", "block_max_score", "doc_deltas", "tfs"
     ).where(F.col("term").isin(all_terms))
     dl = _with_tomb(doc_lens, tomb_map, allow_map)
-    partial = pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
+    return pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
         _shard_scorer(queries, idf_map, float(avgdl), cfg,
                       has_allow=allow_map is not None),
         schema=_PARTIAL_SCHEMA,
-    )
-    kmap = F.create_map(
-        *[x for q in queries for x in (F.lit(q[0]), F.lit(q[3]))]
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= kmap[F.col("query_id")])
-        .select("query_id", "rank", "doc_id", "score")
     )
 
 
