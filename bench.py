@@ -149,6 +149,47 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
         p95_serving = slat[min(len(slat) - 1, int(0.95 * len(slat)))]
         timings["serving_batch"] = sum(slat)
 
+        # ---- query-form variants over the cached index (min-of-3 each) -------
+        from bloqsenjin_spark.operators.bitmaps import shard_bitmap_df
+
+        # persist the filter bitmap once (the Lucene cached-filter shape,
+        # PLANS.md §3b) — the variant then measures the query path, and the
+        # one-shuffle bitmap build is reported separately
+        t0 = time.perf_counter()
+        allow_map = shard_bitmap_df(
+            docs.where(F.col("lang") == "en").select("doc_id"), cfg,
+            bitmap_col="allow",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        allow_map.count()
+        allow_build = time.perf_counter() - t0
+        boolean_qs = [
+            (1, ["join", "hash"], "conjunctive", 10, ["merge"]),
+            (2, ["customer", "order"], "disjunctive", 10, ["slow", "filter"]),
+        ]
+        vt: dict[str, list[float]] = {"filtered": [], "boolean": [], "prefix": []}
+        for _ in range(3):
+            t0 = time.perf_counter()
+            wand.bm25_wand_topk(
+                idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+                corpus.REFERENCE_QUERIES, cfg, allow_map=allow_map,
+            ).count()
+            vt["filtered"].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            wand.bm25_wand_topk(
+                idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+                boolean_qs, cfg,
+            ).count()
+            vt["boolean"].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            wand.prefix_bm25_topk(
+                idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+                [(1, "s", 10), (2, "c", 10)], cfg, max_expansions=8,
+            ).count()
+            vt["prefix"].append(time.perf_counter() - t0)
+        variants = {k: round(min(ts), 4) for k, ts in vt.items()}
+        variants["filter_bitmap_build"] = round(allow_build, 4)
+        allow_map.unpersist()
+
         # ---- phrase path: positional build + match/top-k latency -------------
         # Reported as a SEPARATE sub-dict (not in `value`/p95) so the headline
         # metrics stay comparable across rounds; this documents the round-3
@@ -206,6 +247,7 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
         "p95_query_sec": round(p95, 4),
         "p95_serving_sec": round(p95_serving, 5),
         "phrase": phrase,
+        "variants": variants,
         "wand_rows": n_wand,
         "brute_rows": n_brute,
         "replication": replication,
