@@ -276,6 +276,16 @@ def _q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("score", F.round("score", _R))
 
 
+def _q_topk_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet primitive: top-k + per-result query-term positions, straight
+    from the positional index (blocks pruned to the ranked docs)."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG_POS)
+    return wand.topk_highlights(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        corpus.REFERENCE_QUERIES, _SF_CFG_POS,
+    )
+
+
 PREFIX_QUERIES = [(1, "s", 10), (2, "c", 10), (3, "zz", 5)]
 _MAX_EXPANSIONS = 4  # small so the df-ranked expansion cap binds at sf0.01
 
@@ -323,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": _q_bm25_filtered,
         "bm25_topk_prefix": _q_prefix_topk,
         "bm25_topk_boolean": _q_bm25_boolean,
+        "bm25_topk_highlight": _q_topk_highlights,
         "phrase_match": _q_phrase_match,
         "phrase_topk": _q_phrase_topk,
         "postings_roundtrip": _q_postings_roundtrip,
@@ -393,6 +404,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_boolean": oracle.bm25_topk_sql(
             [q[:4] for q in BOOLEAN_QUERIES],
             must_not={q[0]: list(q[4]) for q in BOOLEAN_QUERIES if q[4]},
+        ),
+        "bm25_topk_highlight": oracle.topk_highlights_sql(
+            corpus.REFERENCE_QUERIES
         ),
         "phrase_match": oracle.phrase_match_sql(PHRASES),
         "phrase_topk": oracle.phrase_topk_sql(PHRASE_TOPK),

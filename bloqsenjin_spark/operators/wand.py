@@ -630,3 +630,54 @@ def prefix_bm25_topk(
         postings, doc_lens, term_stats, avgdl, queries, cfg,
         tomb_map=tomb_map, allow_map=allow_map,
     )
+
+
+def topk_highlights(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    queries: list,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+) -> DataFrame:
+    """Top-k + per-result term positions → (query_id, rank, doc_id, term,
+    pos) — the snippet/highlight primitive, answered ENTIRELY from the
+    positional index (no corpus scan, no re-tokenization).
+
+    Plan: the ordinary top-k ranking, then positional decode restricted to
+    (a) the query terms (term filter pushed to the scan) and (b) ONLY the
+    blocks containing top-k docs — the tiny ranked set's distinct
+    (shard, block) pairs broadcast-join-prune the postings before any
+    positions blob is decoded, so decode cost is O(topk_blocks × terms),
+    not O(posting lists). Requires IndexConfig(positions=True)."""
+    from bloqsenjin_spark.operators.postings import decode_postings
+
+    tk = bm25_wand_topk(
+        postings, doc_lens, term_stats, avgdl, queries, cfg,
+        tomb_map=tomb_map, allow_map=allow_map,
+    )
+    all_terms = sorted({t for q in queries for t in q[1]})
+    dps, bdocs = cfg.docs_per_shard, cfg.block_docs
+    blocks = tk.select(
+        (F.col("doc_id") / dps).cast("int").alias("shard"),
+        ((F.col("doc_id") % dps) / bdocs).cast("int").alias("block_id"),
+    ).distinct()
+    pq = (
+        postings.where(F.col("term").isin(all_terms))
+        .join(F.broadcast(blocks), ["shard", "block_id"])
+    )
+    dec = decode_postings(pq, cfg, positions=True).select(
+        "term", "doc_id", F.explode("pos").alias("pos")
+    )
+    qterms = F.create_map(
+        *[x for q in queries
+          for x in (F.lit(q[0]), F.array(*[F.lit(t) for t in sorted(set(q[1]))]))]
+    )
+    return (
+        F.broadcast(tk).join(dec, "doc_id")
+        .where(F.array_contains(qterms[F.col("query_id")], F.col("term")))
+        .select("query_id", "rank", "doc_id", "term",
+                F.col("pos").cast("long").alias("pos"))
+    )

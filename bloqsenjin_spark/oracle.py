@@ -106,6 +106,37 @@ FROM ranked WHERE rank <= k
 """.strip()
 
 
+def topk_highlights_sql(
+    queries: list[tuple[int, list[str], str, int]],
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for topk_highlights: the top-k ranking joined with every
+    (query term, token position) occurrence in the ranked docs — positions
+    from unnest + generate_subscripts over the SAME tokenizer."""
+    base = bm25_topk_sql(queries, doc_table, text_col, id_col)
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    qt_rows = ", ".join(
+        "({}, '{}')".format(qid, t.replace("'", "''"))
+        for qid, terms, _m, _k in queries for t in sorted(set(terms))
+    )
+    return f"""
+WITH topk AS ({base}),
+qt(query_id, term) AS (VALUES {qt_rows}),
+dtok AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}),
+tokpos AS (
+    SELECT doc_id, unnest(toks) AS term,
+           (generate_subscripts(toks, 1) - 1)::BIGINT AS pos
+    FROM dtok
+)
+SELECT t.query_id, t.rank, t.doc_id, tp.term, tp.pos
+FROM topk t
+JOIN qt ON qt.query_id = t.query_id
+JOIN tokpos tp ON tp.doc_id = t.doc_id AND tp.term = qt.term
+""".strip()
+
+
 def prefix_topk_sql(
     prefix_queries: list[tuple[int, str, int]],
     max_expansions: int = 100,

@@ -315,3 +315,47 @@ def test_segmented_codec_roundtrip():
         assert np.array_equal(back, flat)
     # empty
     assert segmented_delta_decode(b"", np.array([])).size == 0
+
+
+def test_topk_highlights_positions_and_plan(spark, tmp_path):
+    """topk_highlights returns, for every ranked doc, exactly the tokenizer
+    ground-truth positions of the query terms — from the positional index
+    only (no documents scan), with the decode pruned to the ranked docs'
+    blocks."""
+    import re
+
+    from bloqsenjin_spark.plans.build import build_index_resumable, read_index
+
+    d = str(tmp_path / "hidx")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    build_index_resumable(docs, d, CFG_POS)
+    idx = read_index(spark, d)
+    queries = [(1, ["the", "fast"], "disjunctive", 3),
+               (2, ["customer"], "conjunctive", 2)]
+    out = wand.topk_highlights(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, queries, idx.cfg
+    )
+    rows = out.collect()
+    tk = {
+        (r["query_id"], r["doc_id"]): r["rank"]
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            queries, idx.cfg,
+        ).collect()
+    }
+    text = {r["doc_id"]: (r["text"] or "") for r in docs.collect()}
+    want = set()
+    for (q, doc), rank in tk.items():
+        toks = [t for t in re.split("[^a-z0-9]+", text[doc].lower()) if t]
+        qts = set(dict(((1, ["the", "fast"]), (2, ["customer"])))[q])
+        for i, t in enumerate(toks):
+            if t in qts:
+                want.add((q, rank, doc, t, i))
+    got = {(r["query_id"], r["rank"], r["doc_id"], r["term"], r["pos"])
+           for r in rows}
+    assert got == want and len(got) > 0
+    # plan: positional decode only — the documents table is never read
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan
+    # the decode-side postings scan is block-pruned via the broadcast join
+    assert "BroadcastHashJoin" in plan
