@@ -298,3 +298,63 @@ class IndexServer:
             np.concatenate(s_parts),
             [(qid, [], "", k) for qid, _, k in phrases],
         )
+
+    def highlight_batch(
+        self, queries: list, allowed_doc_ids=None
+    ) -> list[tuple[int, int, int, str, int]]:
+        """→ [(query_id, rank, doc_id, term, pos)] — top-k + query-term
+        positions, result-identical to operators/wand.topk_highlights on the
+        same (positions=True) index: rank via the shared kernel, positions
+        decoded only for the ranked docs' blocks (per-block LRU shared with
+        the phrase paths)."""
+        from bloqsenjin_spark.functions.codec import segmented_delta_decode
+
+        if not self.cfg.positions:
+            raise ValueError(
+                "highlight serving needs a positional index — build with "
+                "IndexConfig(positions=True)"
+            )
+        tk = self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
+        if not tk:
+            return []
+        all_terms = sorted({t for q in queries for t in q[1]})
+        tbl = self._load_terms(all_terms, positional=True)
+        by_term: dict[str, dict[tuple[int, int], int]] = {}
+        for i, (t, s, b) in enumerate(zip(tbl["term"], tbl["shard"], tbl["block_id"])):
+            by_term.setdefault(t, {})[(int(s), int(b))] = i
+        dps, bdocs = self.cfg.docs_per_shard, self.cfg.block_docs
+
+        def decode(i: int, term: str, shard: int, bid: int):
+            key = (term, shard, bid)
+            got = self._block_cache.get(key)
+            if got is None:
+                base = shard * dps + bid * bdocs
+                gaps = varint_decode(bytes(tbl["doc_deltas"][i])).astype(np.int64)
+                gaps[0] += base
+                ids = np.cumsum(gaps)
+                tfs = varint_decode(bytes(tbl["tfs"][i])).astype(np.int64)
+                flat = segmented_delta_decode(bytes(tbl["positions"][i]), tfs)
+                offs = np.concatenate(([0], np.cumsum(tfs)))
+                got = self._block_cache[key] = (ids, flat, offs)
+                while len(self._block_cache) > self.max_cached_blocks:
+                    self._block_cache.popitem(last=False)
+            else:
+                self._block_cache.move_to_end(key)
+            return got
+
+        qterms = {q[0]: sorted(set(q[1])) for q in queries}
+        out: list[tuple[int, int, int, str, int]] = []
+        for qid, rank, doc, _score in tk:
+            shard, bid = doc // dps, (doc % dps) // bdocs
+            for t in qterms[qid]:
+                row = by_term.get(t, {}).get((shard, bid))
+                if row is None:
+                    continue  # term absent from this block (disjunctive hit)
+                ids, flat, offs = decode(row, t, shard, bid)
+                j = int(np.searchsorted(ids, doc))
+                if j < ids.size and ids[j] == doc:
+                    out.extend(
+                        (qid, rank, doc, t, int(p))
+                        for p in flat[offs[j]:offs[j + 1]]
+                    )
+        return sorted(out)

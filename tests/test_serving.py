@@ -204,3 +204,18 @@ def test_serving_boolean_and_filtered_match_spark_path(spark, index_dir):
     assert len(got_f) == len(want_f) > 0
     assert [g[:3] for g in got_f] == [w[:3] for w in want_f]
     assert all(d in set(allowed) for _, _, d, _ in got_f)
+
+
+def test_serving_highlights_match_spark_path(spark, pos_index_dir):
+    queries = [(1, ["the", "fast"], "disjunctive", 3),
+               (2, ["customer"], "conjunctive", 2)]
+    idx = B.read_index(spark, pos_index_dir)
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["term"], r["pos"])
+        for r in wand.topk_highlights(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            queries, idx.cfg,
+        ).collect()
+    )
+    got = IndexServer(pos_index_dir).highlight_batch(queries)
+    assert got == want and len(got) > 0
