@@ -275,6 +275,7 @@ def phrase_score_partials(
     phrases: list[tuple[int, str, int]],
     cfg: IndexConfig = DEFAULT_CONFIG,
     tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
 ) -> DataFrame:
     """Per-shard (query_id, doc_id, score) partials for phrase-filtered BM25
     top-k, in ONE pass over the phrase terms' postings.
@@ -306,6 +307,7 @@ def phrase_score_partials(
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
     k1, b = cfg.k1, cfg.b
     avgdl = float(avgdl)
+    has_allow = allow_map is not None
 
     def score_verify(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
@@ -318,7 +320,9 @@ def phrase_score_partials(
         shard = int(pl["shard"].iloc[0])
         shard_base = shard * dps
         dls = varint_decode(bytes(dl_pdf["dls"].iloc[0])).astype(np.float64)
-        tomb_mask = _unpack_tomb(dl_pdf)
+        tomb_mask, skip = _effective_mask(dl_pdf, has_allow)
+        if skip:
+            return empty
         by_term, decode = _positional_ctx(pl, shard, dps, bdocs)
 
         out_q: list[np.ndarray] = []
@@ -373,7 +377,7 @@ def phrase_score_partials(
             }
         )
 
-    dl = _with_tomb(doc_lens, tomb_map)
+    dl = _with_tomb(doc_lens, tomb_map, allow_map)
     return pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
         score_verify, schema=_PARTIAL_SCHEMA
     )
@@ -387,15 +391,20 @@ def phrase_bm25_topk(
     phrases: list[tuple[int, str, int]],
     cfg: IndexConfig = DEFAULT_CONFIG,
     tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
 ) -> DataFrame:
     """Phrase-filtered BM25 top-k → (query_id, rank, doc_id, score).
+    ``allow_map``/``tomb_map``: the same per-shard bitmap side-inputs as
+    bm25_wand_topk — matches outside the allow-set (or tombstoned) are
+    masked before the per-shard k-truncation.
 
     Single-pass plan: verify + score inside one cogrouped pass over the
     phrase terms' postings (phrase_score_partials), then a global rank window
     whose input is per-shard-k-truncated phrase matches only — O(shards · Σk)
     rows, never conjunctive- or corpus-scale."""
     partial = phrase_score_partials(
-        postings, doc_lens, term_stats, avgdl, phrases, cfg, tomb_map=tomb_map
+        postings, doc_lens, term_stats, avgdl, phrases, cfg,
+        tomb_map=tomb_map, allow_map=allow_map,
     )
     kmap = F.create_map(
         *[x for qid, _, k in phrases for x in (F.lit(qid), F.lit(k))]

@@ -82,6 +82,23 @@ def test_tombstones_masked_in_phrase_paths(spark, tmp_path):
     srv = IndexServer(d)
     assert {doc for _, doc in srv.phrase_batch([(1, "needle point")])} == got
 
+    # allow-set composes with tombstones in the phrase top-k too
+    from bloqsenjin_spark.operators.bitmaps import shard_bitmap_df
+
+    allow_map = shard_bitmap_df(
+        spark.createDataFrame([(i,) for i in range(0, 10, 2)], "doc_id long"),
+        cfg, bitmap_col="allow",
+    )
+    filt = {
+        r["doc_id"]
+        for r in wand.phrase_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            [(1, "needle point", 10)], cfg,
+            tomb_map=tomb_map, allow_map=allow_map,
+        ).collect()
+    }
+    assert filt == {d for d in got if d % 2 == 0}
+
 
 def test_purge_equals_rebuild(spark, built):
     d, docs = built
