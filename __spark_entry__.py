@@ -276,6 +276,16 @@ def _q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("score", F.round("score", _R))
 
 
+def _q_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-query hit counts ('about N results'): scorer partials +
+    map-side-combined count — no rank window, match-bounded at any scale."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG)
+    return wand.match_counts(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        corpus.REFERENCE_QUERIES, _SF_CFG,
+    )
+
+
 def _q_topk_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snippet primitive: top-k + per-result query-term positions, straight
     from the positional index (blocks pruned to the ranked docs)."""
@@ -334,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_prefix": _q_prefix_topk,
         "bm25_topk_boolean": _q_bm25_boolean,
         "bm25_topk_highlight": _q_topk_highlights,
+        "bm25_match_counts": _q_match_counts,
         "phrase_match": _q_phrase_match,
         "phrase_topk": _q_phrase_topk,
         "postings_roundtrip": _q_postings_roundtrip,
@@ -408,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_highlight": oracle.topk_highlights_sql(
             corpus.REFERENCE_QUERIES
         ),
+        "bm25_match_counts": oracle.match_counts_sql(corpus.REFERENCE_QUERIES),
         "phrase_match": oracle.phrase_match_sql(PHRASES),
         "phrase_topk": oracle.phrase_topk_sql(PHRASE_TOPK),
         "postings_roundtrip": (

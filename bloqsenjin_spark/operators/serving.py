@@ -358,3 +358,15 @@ class IndexServer:
                         for p in flat[offs[j]:offs[j + 1]]
                     )
         return sorted(out)
+
+    def count_batch(self, queries: list, allowed_doc_ids=None
+                    ) -> list[tuple[int, int]]:
+        """→ [(query_id, n_hits)] — exact hit counts ('about N results'),
+        identical to operators/wand.match_counts on the same index. Runs the
+        kernel unbounded (counts need every match) and tallies."""
+        from collections import Counter
+
+        unb = [(q[0], q[1], q[2], 1 << 30) + tuple(q[4:]) for q in queries]
+        c = Counter(q for q, _r, _d, _s in
+                    self.query_batch(unb, allowed_doc_ids=allowed_doc_ids))
+        return sorted((int(q[0]), int(c.get(q[0], 0))) for q in queries)

@@ -690,3 +690,36 @@ def topk_highlights(
         .select("query_id", "rank", "doc_id", "term",
                 F.col("pos").cast("long").alias("pos"))
     )
+
+
+def match_counts(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    queries: list,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+) -> DataFrame:
+    """Exact hit counts per query → (query_id, n_hits) — the "about N
+    results" primitive. One pass over the query terms' postings: the scorer
+    partials emit one row per matching doc (conjunctive/disjunctive/MUST_NOT
+    semantics, tombstone/allow masks applied), and counting is an ordinary
+    map-side-combined aggregation — no rank window anywhere, so the plan is
+    match-bounded and shuffle-light regardless of hit count. Queries with
+    zero hits report 0."""
+    spark = postings.sparkSession
+    unb = [(q[0], q[1], q[2], 1 << 30) + tuple(q[4:]) for q in queries]
+    counts = (
+        wand_score_partials(
+            postings, doc_lens, term_stats, avgdl, unb, cfg,
+            tomb_map=tomb_map, allow_map=allow_map,
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qdf = spark.createDataFrame([(int(q[0]),) for q in queries], "query_id long")
+    return qdf.join(counts, "query_id", "left").select(
+        "query_id", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits")
+    )

@@ -106,6 +106,30 @@ FROM ranked WHERE rank <= k
 """.strip()
 
 
+def match_counts_sql(
+    queries: list[tuple[int, list[str], str, int]],
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    must_not: "dict[int, list[str]] | None" = None,
+) -> str:
+    """Oracle for match_counts: count of docs satisfying each query's
+    conjunctive/disjunctive (and MUST_NOT) semantics; zero-hit queries
+    report 0."""
+    # unbounded k: counts need every match, not a top-k truncation
+    unb = [(qid, terms, mode, 1 << 30) for qid, terms, mode, _k in queries]
+    base = bm25_topk_sql(unb, doc_table, text_col, id_col,
+                         must_not=must_not)
+    qvals = ", ".join(f"({qid})" for qid, _t, _m, _k in queries)
+    return f"""
+WITH hits AS ({base}),
+qs(query_id) AS (VALUES {qvals})
+SELECT qs.query_id, count(hits.doc_id)::BIGINT AS n_hits
+FROM qs LEFT JOIN hits USING (query_id)
+GROUP BY qs.query_id
+""".strip()
+
+
 def topk_highlights_sql(
     queries: list[tuple[int, list[str], str, int]],
     doc_table: str = "documents",

@@ -192,3 +192,49 @@ def test_boolean_and_filtered_plan_shape(spark, tmp_path):
     assert scan2 and ("EqualTo(term,the)" in scan2[0] or "In(term" in scan2[0])
     # exactly one cogroup (the scorer); the allow join must not touch it
     assert plan2.count("FlatMapCoGroupsInPandas") == 1
+
+
+def test_match_counts_semantics_and_plan(spark, tmp_path):
+    """match_counts == python-reference hit counts (conj/disj/MUST_NOT,
+    zero-hit queries report 0), with NO rank window in the plan."""
+    import re
+
+    from bloqsenjin_spark.plans.build import build_index_resumable, read_index
+
+    cfg = IndexConfig(docs_per_shard=128, block_docs=16)
+    d = str(tmp_path / "cidx")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    build_index_resumable(docs, d, cfg)
+    idx = read_index(spark, d)
+    queries = [
+        (1, ["the", "fast"], "disjunctive", 10),
+        (2, ["customer", "order"], "conjunctive", 10),
+        (3, ["zebra"], "disjunctive", 10),                     # zero hits
+        (4, ["join", "hash"], "conjunctive", 10, ["merge"]),   # MUST_NOT
+    ]
+    out = wand.match_counts(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, queries, cfg
+    )
+    got = {r["query_id"]: r["n_hits"] for r in out.collect()}
+    toksets = {
+        r["doc_id"]: set(
+            t for t in re.split("[^a-z0-9]+", (r["text"] or "").lower()) if t
+        )
+        for r in docs.collect()
+    }
+
+    def ref(q):
+        terms, mode = set(q[1]), q[2]
+        negs = set(q[4]) if len(q) > 4 else set()
+        n = 0
+        for ts in toksets.values():
+            pos = terms <= ts if mode == "conjunctive" else bool(terms & ts)
+            if pos and not (negs & ts):
+                n += 1
+        return n
+
+    assert got == {q[0]: ref(q) for q in queries}
+    assert got[3] == 0 and got[1] > 0 and got[4] > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # counting is an aggregation, never a rank
+    assert "HashAggregate" in plan

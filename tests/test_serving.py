@@ -219,3 +219,23 @@ def test_serving_highlights_match_spark_path(spark, pos_index_dir):
     )
     got = IndexServer(pos_index_dir).highlight_batch(queries)
     assert got == want and len(got) > 0
+
+
+def test_serving_count_batch_matches_spark_path(spark, index_dir):
+    queries = [
+        (1, ["the", "fast"], "disjunctive", 10),
+        (2, ["customer", "order"], "conjunctive", 10),
+        (3, ["zebra"], "disjunctive", 10),
+        (4, ["join", "hash"], "conjunctive", 10, ["merge"]),
+    ]
+    idx = B.read_index(spark, index_dir, CFG)
+    want = sorted(
+        (r["query_id"], r["n_hits"])
+        for r in wand.match_counts(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            queries, CFG,
+        ).collect()
+    )
+    got = IndexServer(index_dir, CFG).count_batch(queries)
+    assert got == want
+    assert dict(got)[3] == 0 and dict(got)[1] > 0
