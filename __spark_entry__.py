@@ -187,6 +187,15 @@ def _q_embedding_near_dup(spark, sf_dir):
     return r.withColumn("score", F.round("score", _R))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Cluster resolution: exact Jaccard pairs → connected components
+    (large-star/small-star, O(log n) DataFrame rounds) → keep-list; singleton
+    docs kept with cluster_id = own id. Oracle: recursive-CTE closure."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_df=None)
+    return dedup.resolve_clusters(pairs, docs)
+
+
 def _q_simhash(spark, sf_dir):
     # rows-only oracle: signature values are xxhash64-dependent
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
@@ -357,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "dedup_embedding_cosine": _q_embedding_near_dup,
+        "dedup_clusters": _q_dedup_clusters,
         # text analysis
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
@@ -434,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": oracle.ngram_jaccard_sql(0.9),
         # dedup_simhash: rows-only (xxhash64-seeded signatures)
         "dedup_embedding_cosine": oracle.embedding_near_dup_sql(0.45),
+        "dedup_clusters": oracle.dedup_clusters_sql(0.8),
         "text_token_count": oracle.token_count_sql(),
         "text_quality": oracle.quality_score_sql(STOPWORDS),
         "text_lang_id": oracle.lang_id_sql(LANG_MARKERS),

@@ -10,13 +10,21 @@ Scale shapes (what survives 100 TB):
   (and the reference's pairwise co-occurrence loop,
   /root/reference/internal/models/profile.go:335-395, done as one join+groupBy
   instead of O(n²) point updates). Hot shingles are the head-term skew case:
-  cap candidate fan-out by dropping shingles with df > max_shingle_df
-  (a standard LSH-free near-dup trick; documented lossiness).
+  candidate fan-out is capped non-lossily — buckets past max_shingle_df
+  degrade to pivot-star candidates (see _candidate_pairs), verification
+  stays exact over full shingle sets.
 * MinHash+LSH: per-doc signatures map-side (JVM xxhash64 inside a transform
   lambda + one Arrow pass for the k permutations), band→bucket join for
   candidates, exact-Jaccard verify. Only candidate pairs are ever joined.
 * SimHash: 64-bit signature map-side, 16-bit band buckets (Hamming ≤ 3 ⇒ some
   band of 4 matches), verify with popcount.
+* cluster resolution: pairs → connected components → keep-list via the
+  two-phase large-star/small-star algorithm (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14) — O(log n) DataFrame rounds,
+  no driver materialization. This is the training-data decision layer on top
+  of every pair family above (the reference materializes analogous derived
+  relation graphs: /root/reference/internal/models/bloq.go:65-74,
+  /root/reference/internal/models/preferences.go:48-59).
 """
 
 from __future__ import annotations
@@ -41,18 +49,49 @@ def _perm_params() -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _drop_hot_buckets(df: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
-    """Candidate-generation skew guard shared by the LSH-family dedups: drop
-    bucket keys whose df exceeds ``cap`` BEFORE the self-join. A single
-    degenerate bucket shared by d docs yields d(d−1)/2 candidate rows — the
-    head-term skew case (e.g. near-empty docs all hashing to one SimHash
-    chunk). Documented lossiness, same contract as ngram_jaccard_pairs'
-    max_shingle_df: pairs reachable ONLY through a dropped bucket are missed;
-    verification of surviving candidates stays exact. cap=None = keep all."""
+def _candidate_pairs(df: DataFrame, key_cols: list[str], id_col: str,
+                     cap: int | None) -> DataFrame:
+    """→ (d1, d2) candidate pairs (d1 < d2, distinct) from a bucketed
+    relation, with NON-LOSSY skew capping.
+
+    Cold buckets (≤ ``cap`` members) self-join as usual. A hot bucket shared
+    by d docs would emit d(d−1)/2 rows — the head-term skew case (web
+    boilerplate, near-empty docs hashing alike) — so instead of dropping it
+    (which silently loses exactly the heavy-duplication clusters dedup exists
+    for), each hot bucket degrades to a PIVOT STAR: every member pairs with
+    the bucket's min docID only (d−1 rows). Connectivity through the pivot is
+    preserved, so downstream cluster resolution (``resolve_clusters``) still
+    recovers the full duplicate cluster whenever the pivot genuinely matches
+    its members; only the explicit non-pivot pair rows are elided, and
+    verification of emitted candidates stays exact. cap=None = plain
+    self-join (the oracle-parity path)."""
+    x, y = df.alias("x"), df.alias("y")
+    keys_eq = [F.col(f"x.{k}") == F.col(f"y.{k}") for k in key_cols]
+
+    def selfjoin(src_x, src_y):
+        cond = keys_eq[0]
+        for c in keys_eq[1:]:
+            cond = cond & c
+        return (
+            src_x.join(src_y, cond & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+            .select(F.col(f"x.{id_col}").alias("d1"),
+                    F.col(f"y.{id_col}").alias("d2"))
+        )
+
     if cap is None:
-        return df
-    hot = df.groupBy(*key_cols).count().where(F.col("count") > cap)
-    return df.join(hot.select(*key_cols), key_cols, "left_anti")
+        return selfjoin(x, y).distinct()
+    stats = df.groupBy(*key_cols).agg(
+        F.count("*").alias("_n"), F.min(id_col).alias("_pivot")
+    )
+    hot = stats.where(F.col("_n") > cap)
+    cold = df.join(hot.select(*key_cols), key_cols, "left_anti")
+    cold_pairs = selfjoin(cold.alias("x"), cold.alias("y"))
+    star_pairs = (
+        df.join(hot.select(*key_cols, "_pivot"), key_cols)
+        .where(F.col(id_col) != F.col("_pivot"))
+        .select(F.col("_pivot").alias("d1"), F.col(id_col).alias("d2"))
+    )
+    return cold_pairs.unionByName(star_pairs).distinct()
 
 
 def normalized_text(col) -> F.Column:
@@ -99,26 +138,33 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """→ (d1, d2, jaccard) for all pairs with exact n-gram Jaccard ≥ threshold.
 
-    ``max_shingle_df`` drops ultra-common shingles from CANDIDATE GENERATION
-    only (skew cap for web scale); verification stays exact over full sets.
-    The DEFAULT is a real cap: one shingle shared by d docs contributes
-    d(d-1)/2 join rows, so a single boilerplate shingle at 10^8 df is a
-    quadratic blowup — exactly the head-term skew case. Pass None for
-    exact-everywhere semantics (the oracle-parity entry does).
+    ``max_shingle_df`` caps CANDIDATE GENERATION only: hot shingles (df >
+    cap) degrade to pivot-star candidates instead of a quadratic self-join
+    (see _candidate_pairs — a boilerplate shingle at 10^8 df would otherwise
+    contribute d(d−1)/2 join rows), and every emitted candidate is then
+    verified by EXACT Jaccard over the FULL (uncapped) shingle sets. Pass
+    None for exact-everywhere semantics (the oracle-parity entry does).
     """
     ex = shingles(docs, n, text_col, id_col)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    cand_src = ex
-    if max_shingle_df is not None:
-        hot = ex.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
-        cand_src = ex.join(hot.select("shingle"), "shingle", "left_anti")
-    a, b = cand_src.alias("a"), cand_src.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("inter"))
-    )
+    if max_shingle_df is None:
+        a, b = ex.alias("a"), ex.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        cand = _candidate_pairs(ex, ["shingle"], "doc_id", max_shingle_df)
+        e1 = ex.select(F.col("doc_id").alias("d1"), "shingle")
+        e2 = ex.select(F.col("doc_id").alias("d2x"), F.col("shingle").alias("s2"))
+        inter = (
+            cand.join(e1, "d1")
+            .join(e2, (F.col("shingle") == F.col("s2")) & (F.col("d2") == F.col("d2x")))
+            .groupBy("d1", "d2")
+            .agg(F.count("*").alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "na"), "d1")
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "nb"), "d2")
@@ -174,11 +220,12 @@ def minhash_lsh_pairs(
     J=0.9 is missed with p≈4e-8 — treat results as exact at thresholds ≥0.9
     (verification removes all false positives; recall note in docstring).
 
-    ``max_bucket_df`` caps band-bucket fan-out (see _drop_hot_buckets);
-    ``broadcast_max_pairs`` bounds the candidate broadcast into the shingle
-    verify joins — beyond it (dup-heavy corpora where candidate pairs are
-    legitimately huge) the joins degrade gracefully to shuffle joins instead
-    of failing on the broadcast limit."""
+    ``max_bucket_df`` caps band-bucket fan-out non-lossily (hot buckets
+    degrade to pivot stars — see _candidate_pairs); ``broadcast_max_pairs``
+    bounds the candidate broadcast into the shingle verify joins — beyond it
+    (dup-heavy corpora where candidate pairs are legitimately huge) the joins
+    degrade gracefully to shuffle joins instead of failing on the broadcast
+    limit."""
     sig = minhash_signatures(docs, n, text_col, id_col)
     rows = MINHASH_K // MINHASH_BANDS
     bands = sig.select(
@@ -195,25 +242,18 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    bands = _drop_hot_buckets(bands, ["band", "key"], max_bucket_df)
-    c1, c2 = bands.alias("x"), bands.alias("y")
-    cand = (
-        c1.join(c2, (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.key") == F.col("y.key"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
-        .distinct()
-    )
+    cand = _candidate_pairs(bands, ["band", "key"], "doc_id", max_bucket_df)
     # exact verify on candidates only: count common shingles per pair.
     # cand is usually near-dup-pair-sized (tiny vs the corpus) — broadcast it
     # into both shingle joins so the corpus-wide shingle relation is filtered
     # map-side instead of shuffled against a small table; but bucket skew can
-    # make cand quadratic-large, so only broadcast under a measured bound
-    # (one cheap count over the persisted candidate set).
-    from pyspark import StorageLevel
-
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    if cand.count() <= broadcast_max_pairs:
+    # make cand quadratic-large, so only broadcast under a measured bound.
+    # The probe is a LIMIT-bounded count (no persist — a cached candidate set
+    # would otherwise leak executor storage for the session lifetime); the
+    # candidate plan is recomputed by the verify joins, which is one extra
+    # pass over the (map-side, shuffle-free) signature stage.
+    n_probe = cand.limit(broadcast_max_pairs + 1).count()
+    if n_probe <= broadcast_max_pairs:
         cand = F.broadcast(cand)
     ex = shingles(docs, n, text_col, id_col)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -255,8 +295,9 @@ def embedding_near_dup_pairs(
     lsh_signatures) generate candidates, exact cosine verifies — the scale
     path: the self-join touches same-bucket pairs only, and every returned
     score is exact (precision 1; recall pinned in tests). ``max_bucket_df``
-    caps per-bucket fan-out (see _drop_hot_buckets) so one degenerate bucket
-    can't go quadratic; ignored by method="exact".
+    caps per-bucket fan-out non-lossily (hot buckets degrade to pivot stars
+    — see _candidate_pairs) so one degenerate bucket can't go quadratic;
+    ignored by method="exact".
     """
     from bloqsenjin_spark.operators.similarity import _SEED, _cosine, lsh_signatures
 
@@ -271,15 +312,7 @@ def embedding_near_dup_pairs(
     elif method == "lsh":
         sig = lsh_signatures(embeddings, id_col=id_col, vec_col=vec_col,
                              seed=_SEED if seed is None else seed)
-        sig = _drop_hot_buckets(sig, ["band", "key"], max_bucket_df)
-        x, y = sig.alias("x"), sig.alias("y")
-        cand = (
-            x.join(y, (F.col("x.band") == F.col("y.band"))
-                   & (F.col("x.key") == F.col("y.key"))
-                   & (F.col("x.vec_id") < F.col("y.vec_id")))
-            .select(F.col("x.vec_id").alias("d1"), F.col("y.vec_id").alias("d2"))
-            .distinct()
-        )
+        cand = _candidate_pairs(sig, ["band", "key"], "vec_id", max_bucket_df)
         pairs = (
             cand.join(base.select(F.col("vec_id").alias("d1"), F.col("v").alias("va")), "d1")
             .join(base.select(F.col("vec_id").alias("d2"), F.col("v").alias("vb")), "d2")
@@ -324,13 +357,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     """→ (d1, d2, hamming ≤ max_hamming). Band trick: with 4 × 16-bit chunks,
     Hamming ≤ 3 guarantees ≥1 identical chunk — candidates from chunk-bucket
     joins, then exact popcount verify. ``max_bucket_df`` caps chunk-bucket
-    fan-out (see _drop_hot_buckets): a degenerate 16-bit chunk shared by d
-    docs would otherwise emit d(d−1)/2 candidates."""
+    fan-out non-lossily (hot buckets degrade to pivot stars — see
+    _candidate_pairs): a degenerate 16-bit chunk shared by d docs would
+    otherwise emit d(d−1)/2 candidates."""
     sig = simhash64(docs, text_col, id_col)
     # shiftrightunsigned takes a Python int shift — build the 4 chunk structs
     # with a comprehension, not a transform lambda
     chunks = sig.select(
-        "doc_id", "simhash",
+        "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
@@ -341,20 +375,148 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                 for i in range(4)
             ])
         ).alias("ck"),
-    ).select("doc_id", "simhash", "ck.chunk", "ck.key")
-    chunks = _drop_hot_buckets(chunks, ["chunk", "key"], max_bucket_df)
-    x, y = chunks.alias("x"), chunks.alias("y")
-    cand = (
-        x.join(y, (F.col("x.chunk") == F.col("y.chunk")) & (F.col("x.key") == F.col("y.key"))
-               & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(
-            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"),
-            F.col("x.simhash").alias("s1"), F.col("y.simhash").alias("s2"),
-        )
-        .distinct()
-    )
+    ).select("doc_id", "ck.chunk", "ck.key")
+    cand = _candidate_pairs(chunks, ["chunk", "key"], "doc_id", max_bucket_df)
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        cand.join(sig.select(F.col("doc_id").alias("d1"),
+                             F.col("simhash").alias("s1")), "d1")
+        .join(sig.select(F.col("doc_id").alias("d2"),
+                         F.col("simhash").alias("s2")), "d2")
+        .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+def _edge_sig(e: DataFrame) -> tuple[int, int]:
+    """Cheap set fingerprint of an edge relation: (count, XOR xxhash64(u, v)).
+    Used as the convergence check of the CC loop — one single-row aggregate
+    per round instead of a full EXCEPT join; edges are canonical (u > v)
+    DISTINCT rows, so equal fingerprints ⇔ equal sets up to a 64-bit
+    collision (never the failure mode here: a false convergence would still
+    return a valid-but-unconverged labeling, caught by the property tests).
+    XOR, not sum: an int64 sum overflows under ANSI mode."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("s"),
+    ).first()
+    return int(row["n"]), int(row["s"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    d1_col: str = "d1",
+    d2_col: str = "d2",
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int]:
+    """→ ((node long, cluster_id long), rounds_used): connected components of
+    the undirected pair graph; cluster_id = min node id of the component.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al., SoCC'14)
+    as a bounded DataFrame loop — converges in O(log n) rounds even on
+    pathological long chains (round-bound pytest-pinned), vs O(diameter) for
+    naive min-label propagation. Each round is two self-describing shuffles
+    over the CURRENT edge set (which only shrinks toward stars); lineage is
+    cut per round with localCheckpoint so the plan never accretes.
+
+      large-star(u): connect every neighbor v > u to min(N(u) ∪ {u})
+      small-star(u): orient edges large→small, connect every neighbor and u
+                     itself to the minimum
+
+    The fixed point is a forest of stars, each centered at its component's
+    minimum — the (node → center) edges ARE the labeling. Isolated nodes
+    (no pairs) don't appear; resolve_clusters adds them back as singletons.
+    """
+    e = (
+        pairs.select(
+            F.col(d1_col).cast("long").alias("a"),
+            F.col(d2_col).cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _edge_sig(e)
+    rounds = 0
+    for _ in range(max_rounds):
+        # large-star: symmetric neighborhoods, m = min(N(u) ∪ {u});
+        # emit (v, m) for strictly larger neighbors v > u
+        nb = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mn = nb.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("mv", "u").alias("m")
+        )
+        ls = (
+            nb.join(mn, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges already oriented large→small (u > v); m = min
+        # neighbor; reconnect every neighbor and u itself to m
+        mn2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        part_nb = (
+            ls.join(mn2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        part_self = mn2.select("u", F.col("m").alias("v"))
+        e_new = (
+            part_nb.union(part_self)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        rounds += 1
+        new_sig = _edge_sig(e_new)
+        if new_sig == sig:
+            e = e_new
+            break
+        e, sig = e_new, new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(O(log n) expected — raise max_rounds only for adversarial graphs)"
+        )
+    # converged star forest: u > v edges point straight at component minima
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("node"),
+                     F.col("v").alias("cluster_id")).distinct()
+    return labels.union(roots).distinct(), rounds
+
+
+def resolve_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    d1_col: str = "d1",
+    d2_col: str = "d2",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """→ (doc_id, cluster_id, keep): the dedup DECISION layer — transitive
+    closure of any near-dup pair relation (A~B, B~C ⇒ {A,B,C} one cluster),
+    cluster_id = min docID of the cluster, keep = (doc_id == cluster_id).
+
+    Feed it the output of any pair family (exact/ngram/minhash/simhash/
+    embedding); pass ``docs`` to include pair-free documents as kept
+    singletons (cluster_id = own id). Scale shape: bounded O(log n)
+    large-star/small-star rounds over the pair relation only — never the
+    corpus — so a 10^12-doc corpus with 10^9 near-dup pairs resolves in a
+    handful of pair-sized shuffles."""
+    labels, _ = connected_components(pairs, d1_col, d2_col, max_rounds)
+    labels = labels.select(F.col("node").alias("doc_id"), "cluster_id")
+    if docs is not None:
+        base = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        labels = (
+            base.join(labels, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            )
+        )
+    return labels.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))

@@ -295,6 +295,31 @@ inter AS (
 )""".strip()
 
 
+def dedup_clusters_sql(threshold: float, n: int = 3) -> str:
+    """Oracle for resolve_clusters over exact n-gram-Jaccard pairs: the
+    transitive closure as a recursive CTE — reach(doc, r) holds every node r
+    with a path to doc; cluster_id = min reachable id, keep on the minimum.
+    Independent re-derivation (min-label closure in SQL), not a mirror of the
+    Spark large-star/small-star rounds."""
+    return f"""
+WITH RECURSIVE {_jaccard_cte(n)},
+pr AS (
+    SELECT d1, d2 FROM inter
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= {threshold}
+),
+ed AS (SELECT d1 AS a, d2 AS b FROM pr UNION ALL SELECT d2 AS a, d1 AS b FROM pr),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT ed.b, reach.r FROM reach JOIN ed ON ed.a = reach.doc_id
+)
+SELECT doc_id, min(r) AS cluster_id, doc_id = min(r) AS keep
+FROM reach GROUP BY doc_id
+""".strip()
+
+
 def ngram_jaccard_sql(threshold: float, n: int = 3) -> str:
     return f"""
 WITH {_jaccard_cte(n)}

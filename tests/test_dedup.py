@@ -98,9 +98,10 @@ def test_embedding_near_dup_lsh_vs_exact(spark, seed):
 
 def test_hot_shingle_cap_bounds_candidate_blowup(spark):
     """One boilerplate shingle shared by all n docs ⇒ the uncapped candidate
-    self-join materializes n(n-1)/2 pairs; with the (default-on) cap the hot
-    shingle is excluded from candidate generation and the join stays empty.
-    This is the head-term-skew failure mode of web boilerplate at 10^12 docs.
+    self-join materializes n(n-1)/2 pairs; with the cap the hot shingle
+    degrades to a pivot star (n-1 candidates, connectivity preserved) instead
+    of a quadratic join. This is the head-term-skew failure mode of web
+    boilerplate at 10^12 docs.
     """
     from pyspark.sql import functions as F
 
@@ -118,10 +119,11 @@ def test_hot_shingle_cap_bounds_candidate_blowup(spark):
 
     uncapped = cand_pairs(ex)
     assert uncapped >= n * (n - 1) // 2  # the blowup is real
-    hot = ex.groupBy("shingle").count().where(F.col("count") > 10)
-    capped = cand_pairs(ex.join(hot.select("shingle"), "shingle", "left_anti"))
-    assert capped == 0
-    # and the production default itself returns no false pairs here
+    capped = dedup._candidate_pairs(ex, ["shingle"], "doc_id", 10).collect()
+    assert len(capped) == n - 1  # pivot star, linear not quadratic
+    assert all(r["d1"] == 0 for r in capped)  # pivot = min docID
+    # verification is exact over FULL shingle sets: these docs share only
+    # 1 of 9 shingles (J=1/9 < 0.8) so the production default returns none
     assert dedup.ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
 
 
@@ -141,16 +143,22 @@ def test_hot_shingle_cap_preserves_planted_dups(spark):
 def test_hot_bucket_cap_bounds_simhash_and_lsh_blowup(spark):
     """Degenerate buckets (all docs identical ⇒ identical SimHash chunks /
     MinHash bands / hyperplane signs) must not go quadratic when the cap is
-    on: candidate generation drops the hot bucket entirely."""
+    on: the hot bucket degrades to a pivot star — n-1 candidate pairs, all
+    incident to the min docID, NOT zero (a duplicate mega-cluster is exactly
+    what dedup must not silently miss) and not n(n-1)/2."""
     n = 60
     rows = [(d, "same exact tiny doc body here") for d in range(n)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     # uncapped: every pair is a candidate AND verifies (hamming 0)
     assert dedup.simhash_pairs(docs, max_bucket_df=None).count() == n * (n - 1) // 2
-    # capped: the single hot chunk bucket is dropped ⇒ zero candidates
-    assert dedup.simhash_pairs(docs, max_bucket_df=10).count() == 0
-    # minhash band buckets: same shape, same guard
-    assert dedup.minhash_lsh_pairs(docs, threshold=0.9, max_bucket_df=10).count() == 0
+    # capped: the hot chunk buckets degrade to the pivot star
+    sh = dedup.simhash_pairs(docs, max_bucket_df=10).collect()
+    assert len(sh) == n - 1
+    assert all(r["d1"] == 0 and r["hamming"] == 0 for r in sh)
+    # minhash band buckets: same shape, same guard (and verify stays exact)
+    mh = dedup.minhash_lsh_pairs(docs, threshold=0.9, max_bucket_df=10).collect()
+    assert len(mh) == n - 1
+    assert all(r["d1"] == 0 and r["jaccard"] == 1.0 for r in mh)
 
     vecs = [(d, [1.0, 0.0, 0.5, 0.25] * 4) for d in range(n)]
     emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
@@ -158,8 +166,16 @@ def test_hot_bucket_cap_bounds_simhash_and_lsh_blowup(spark):
                                               max_bucket_df=None).count()
     assert uncapped == n * (n - 1) // 2
     capped = dedup.embedding_near_dup_pairs(emb, threshold=0.9, method="lsh",
-                                            max_bucket_df=10).count()
-    assert capped == 0
+                                            max_bucket_df=10).collect()
+    assert len(capped) == n - 1 and all(r["d1"] == 0 for r in capped)
+
+    # the star pairs carry full cluster connectivity: resolution recovers
+    # the whole 60-doc duplicate cluster from the capped candidate set
+    clusters = dedup.resolve_clusters(
+        dedup.simhash_pairs(docs, max_bucket_df=10), docs
+    ).collect()
+    assert all(r["cluster_id"] == 0 for r in clusters)
+    assert sorted(r["doc_id"] for r in clusters if r["keep"]) == [0]
 
 
 def test_hot_bucket_cap_preserves_planted_dups(spark):
@@ -174,3 +190,72 @@ def test_hot_bucket_cap_preserves_planted_dups(spark):
         (r["d1"], r["d2"]) for r in dedup.simhash_pairs(docs).collect()
     )
     assert dflt == base and len(base) > 0
+
+
+# ---- cluster resolution (pairs → connected components → keep-list) ----------
+
+def _brute_min_labels(edges):
+    """Pure-Python union-find closure: node → min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_connected_components_matches_brute_closure(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    edges = {(rng.randrange(120), rng.randrange(120)) for _ in range(90)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    labels, rounds = dedup.connected_components(pairs)
+    got = {r["node"]: r["cluster_id"] for r in labels.collect()}
+    assert got == _brute_min_labels(edges)
+    assert rounds <= 20
+
+
+def test_connected_components_long_chain_round_bound(spark):
+    """A 256-node path is the adversarial case for naive min-propagation
+    (O(diameter) = 255 rounds); large-star/small-star must close it in
+    O(log n) rounds."""
+    import math
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "d1 long, d2 long"
+    )
+    labels, rounds = dedup.connected_components(pairs)
+    got = labels.collect()
+    assert len(got) == n and all(r["cluster_id"] == 0 for r in got)
+    assert rounds <= 2 * int(math.ceil(math.log2(n))) + 4  # 20 ≪ 255
+
+
+def test_resolve_clusters_transitive_and_singletons(spark, dup_docs):
+    """A~B, B~C ⇒ one cluster even when A~C is below threshold; pair-free
+    docs come back as kept singletons."""
+    pairs = dedup.ngram_jaccard_pairs(dup_docs, threshold=0.5)
+    r = {x["doc_id"]: x for x in dedup.resolve_clusters(pairs, dup_docs).collect()}
+    assert len(r) == 6
+    assert all(r[d]["cluster_id"] == 0 for d in (0, 1, 2, 3))
+    assert r[0]["keep"] and not any(r[d]["keep"] for d in (1, 2, 3))
+    assert r[4]["cluster_id"] == 4 and r[4]["keep"]
+    assert r[5]["cluster_id"] == 5 and r[5]["keep"]
+
+
+def test_resolve_clusters_empty_pairs(spark, dup_docs):
+    empty = spark.createDataFrame([], "d1 long, d2 long")
+    r = dedup.resolve_clusters(empty, dup_docs).collect()
+    assert len(r) == 6
+    assert all(x["keep"] and x["cluster_id"] == x["doc_id"] for x in r)
