@@ -47,9 +47,12 @@ class IndexServer:
         self.n_docs = int(cs["n_docs"][0])
         self.avgdl = float(cs["avgdl"][0])
         ts = ds.dataset(f"{index_dir}/term_stats", format="parquet").to_table(
-            columns=["term", "idf"]
+            columns=["term", "df", "idf"]
         ).to_pydict()
         self.idf = dict(zip(ts["term"], (float(x) for x in ts["idf"])))
+        # df drives prefix expansion ranking (df DESC, term ASC) — kept as a
+        # separate dict so the idf hot path stays a plain str→float lookup
+        self.df = dict(zip(ts["term"], (int(x) for x in ts["df"])))
         dl = ds.dataset(f"{index_dir}/doc_lens", format="parquet",
                         partitioning="hive").to_table().to_pydict()
         self.dls = {
@@ -91,6 +94,31 @@ class IndexServer:
     _BM25_COLS = ("term", "shard", "block_id", "block_max_score",
                   "doc_deltas", "tfs")
     _POS_COLS = ("term", "shard", "block_id", "doc_deltas", "tfs", "positions")
+
+    def _decode_pos_block(self, tbl: dict, i: int, term: str,
+                          shard: int, bid: int) -> tuple:
+        """Decode one positional posting block → (doc_ids, flat_positions,
+        offsets), via the cross-call LRU keyed (term, shard, block) — row
+        indices are call-local. ONE implementation shared by the phrase and
+        highlight paths so cache/offset fixes can't drift between them."""
+        from bloqsenjin_spark.functions.codec import segmented_delta_decode
+
+        key = (term, shard, bid)
+        got = self._block_cache.get(key)
+        if got is None:
+            base = shard * self.cfg.docs_per_shard + bid * self.cfg.block_docs
+            gaps = varint_decode(bytes(tbl["doc_deltas"][i])).astype(np.int64)
+            gaps[0] += base
+            ids = np.cumsum(gaps)
+            tfs = varint_decode(bytes(tbl["tfs"][i])).astype(np.int64)
+            flat = segmented_delta_decode(bytes(tbl["positions"][i]), tfs)
+            offs = np.concatenate(([0], np.cumsum(tfs)))
+            got = self._block_cache[key] = (ids, flat, offs)
+            while len(self._block_cache) > self.max_cached_blocks:
+                self._block_cache.popitem(last=False)
+        else:
+            self._block_cache.move_to_end(key)
+        return got
 
     def _load_terms(self, terms: list[str], positional: bool = False) -> dict:
         """term-filtered block rows → column arrays, via a bounded per-term
@@ -185,10 +213,29 @@ class IndexServer:
     def query(self, terms: list[str], mode: str = "disjunctive", k: int = 10):
         return self.query_batch([(0, terms, mode, k)])
 
+    def prefix_topk_batch(
+        self, prefix_queries: list[tuple[int, str, int]],
+        max_expansions: int = 100, allowed_doc_ids=None,
+    ) -> list[tuple[int, int, int, float]]:
+        """→ [(query_id, rank, doc_id, score)] — prefix-expanded top-k,
+        rank-identical to operators/wand.prefix_bm25_topk on the same index.
+        Expansion is a scan of the ALREADY-LOADED dictionary replica (the
+        df dict — no file I/O, no Spark job), same rule as the distributed
+        path: df DESC, term ASC, capped at ``max_expansions``."""
+        queries = []
+        for qid, prefix, k in prefix_queries:
+            cands = [t for t in self.df if t.startswith(prefix)]
+            cands.sort(key=lambda t: (-self.df[t], t))
+            terms = cands[:max_expansions]
+            if terms:
+                queries.append((int(qid), terms, "disjunctive", int(k)))
+        if not queries:
+            return []
+        return self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
+
     def _phrase_hit_blocks(self, parsed):
         """Shared phrase machinery: yields (qid, uniq_terms, shard, hits,
         per_term) for every block with ≥1 verified, tombstone-masked match."""
-        from bloqsenjin_spark.functions.codec import segmented_delta_decode
         from bloqsenjin_spark.functions.scoring import phrase_verify_block
 
         if not self.cfg.positions:
@@ -204,26 +251,8 @@ class IndexServer:
         for i, (t, s, b) in enumerate(zip(tbl["term"], tbl["shard"], tbl["block_id"])):
             by_term.setdefault(t, {})[(int(s), int(b))] = i
         dps, bdocs = self.cfg.docs_per_shard, self.cfg.block_docs
-
-        def decode(i: int, term: str, shard: int, bid: int):
-            # decoded-block LRU persists ACROSS calls (keyed by
-            # (term, shard, block) — row indices are call-local)
-            key = (term, shard, bid)
-            got = self._block_cache.get(key)
-            if got is None:
-                base = shard * dps + bid * bdocs
-                gaps = varint_decode(bytes(tbl["doc_deltas"][i])).astype(np.int64)
-                gaps[0] += base
-                ids = np.cumsum(gaps)
-                tfs = varint_decode(bytes(tbl["tfs"][i])).astype(np.int64)
-                flat = segmented_delta_decode(bytes(tbl["positions"][i]), tfs)
-                offs = np.concatenate(([0], np.cumsum(tfs)))
-                got = self._block_cache[key] = (ids, flat, offs)
-                while len(self._block_cache) > self.max_cached_blocks:
-                    self._block_cache.popitem(last=False)
-            else:
-                self._block_cache.move_to_end(key)
-            return got
+        decode = lambda i, term, shard, bid: self._decode_pos_block(  # noqa: E731
+            tbl, i, term, shard, bid)
 
         for qid, toks in parsed:
             uniq = list(dict.fromkeys(toks))
@@ -306,9 +335,7 @@ class IndexServer:
         positions, result-identical to operators/wand.topk_highlights on the
         same (positions=True) index: rank via the shared kernel, positions
         decoded only for the ranked docs' blocks (per-block LRU shared with
-        the phrase paths)."""
-        from bloqsenjin_spark.functions.codec import segmented_delta_decode
-
+        the phrase paths via _decode_pos_block)."""
         if not self.cfg.positions:
             raise ValueError(
                 "highlight serving needs a positional index — build with "
@@ -324,24 +351,6 @@ class IndexServer:
             by_term.setdefault(t, {})[(int(s), int(b))] = i
         dps, bdocs = self.cfg.docs_per_shard, self.cfg.block_docs
 
-        def decode(i: int, term: str, shard: int, bid: int):
-            key = (term, shard, bid)
-            got = self._block_cache.get(key)
-            if got is None:
-                base = shard * dps + bid * bdocs
-                gaps = varint_decode(bytes(tbl["doc_deltas"][i])).astype(np.int64)
-                gaps[0] += base
-                ids = np.cumsum(gaps)
-                tfs = varint_decode(bytes(tbl["tfs"][i])).astype(np.int64)
-                flat = segmented_delta_decode(bytes(tbl["positions"][i]), tfs)
-                offs = np.concatenate(([0], np.cumsum(tfs)))
-                got = self._block_cache[key] = (ids, flat, offs)
-                while len(self._block_cache) > self.max_cached_blocks:
-                    self._block_cache.popitem(last=False)
-            else:
-                self._block_cache.move_to_end(key)
-            return got
-
         qterms = {q[0]: sorted(set(q[1])) for q in queries}
         out: list[tuple[int, int, int, str, int]] = []
         for qid, rank, doc, _score in tk:
@@ -350,7 +359,7 @@ class IndexServer:
                 row = by_term.get(t, {}).get((shard, bid))
                 if row is None:
                     continue  # term absent from this block (disjunctive hit)
-                ids, flat, offs = decode(row, t, shard, bid)
+                ids, flat, offs = self._decode_pos_block(tbl, row, t, shard, bid)
                 j = int(np.searchsorted(ids, doc))
                 if j < ids.size and ids[j] == doc:
                     out.extend(

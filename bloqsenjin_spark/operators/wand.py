@@ -596,6 +596,42 @@ def bm25_topk_filtered(
     )
 
 
+def expand_prefix_terms(
+    term_stats: DataFrame,
+    prefix_queries: list[tuple[int, str, int]],
+    max_expansions: int = 100,
+) -> dict[int, list[str]]:
+    """Expand EVERY prefix in ONE Spark job → {query_id: [terms]} (each list
+    capped at ``max_expansions`` by df DESC, term ASC — the standard
+    head-biased expansion rule, identical to the oracle's SQL shape).
+
+    Plan: broadcast the tiny (query_id, prefix) relation against the term
+    dictionary (one distributed scan of the vocab-sized term_stats regardless
+    of batch size — a broadcast nested-loop join with P startswith tests per
+    term), then a per-query rank window caps the expansion. The collect is
+    bounded by prefixes × max_expansions rows. This replaces the round-3
+    per-prefix collect() loop, which cost P sequential dictionary-scan jobs
+    for a P-prefix batch."""
+    spark = term_stats.sparkSession
+    q = spark.createDataFrame(
+        [(int(qid), str(p)) for qid, p, _k in prefix_queries],
+        "query_id long, prefix string",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    rows = (
+        term_stats.select("term", "df")
+        .join(F.broadcast(q), F.col("term").startswith(F.col("prefix")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_expansions)
+        .select("query_id", "term", "rn")
+        .collect()
+    )
+    exp: dict[int, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rn"])):
+        exp.setdefault(int(r["query_id"]), []).append(r["term"])
+    return exp
+
+
 def prefix_bm25_topk(
     postings: DataFrame,
     doc_lens: DataFrame,
@@ -613,23 +649,17 @@ def prefix_bm25_topk(
     expansion cap — then ranks as ONE disjunctive BM25 query over the
     expansion set.
 
-    The expansion itself is a term-dictionary lookup (vocab-sized relation,
-    prefix pushdown), bounded by prefixes × max_expansions — at serving
-    scale it comes from the dictionary replica, never the postings. The
-    ranking pass is the ordinary bm25_wand_topk plan over the expanded
-    terms' postings."""
-    queries = []
-    for qid, prefix, k in prefix_queries:
-        rows = (
-            term_stats.where(F.col("term").startswith(prefix))
-            .orderBy(F.desc("df"), F.asc("term"))
-            .limit(max_expansions)
-            .select("term")
-            .collect()
-        )
-        terms = [r["term"] for r in rows]
-        if terms:
-            queries.append((qid, terms, "disjunctive", int(k)))
+    The expansion is ONE batch job over the term dictionary for the whole
+    prefix set (expand_prefix_terms), bounded by prefixes × max_expansions —
+    at serving scale it comes from the in-memory dictionary replica
+    (IndexServer.prefix_topk_batch), never the postings. The ranking pass is
+    the ordinary bm25_wand_topk plan over the expanded terms' postings."""
+    exp = expand_prefix_terms(term_stats, prefix_queries, max_expansions)
+    queries = [
+        (int(qid), exp[int(qid)], "disjunctive", int(k))
+        for qid, _p, k in prefix_queries
+        if exp.get(int(qid))
+    ]
     if not queries:
         spark = postings.sparkSession
         return spark.createDataFrame(

@@ -238,3 +238,37 @@ def test_match_counts_semantics_and_plan(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # counting is an aggregation, never a rank
     assert "HashAggregate" in plan
+
+
+def test_prefix_expansion_is_one_batch_job(spark):
+    """A P-prefix batch must not cost P sequential dictionary-scan jobs:
+    expand_prefix_terms runs the SAME number of Spark jobs for 1 prefix as
+    for 6 (one broadcast-join + rank-window action; AQE may split an action
+    into a few stage-materialization jobs, hence count equality rather than
+    a literal 1)."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, SMALL)
+    ts = idx.term_stats.persist()
+    ts.count()  # materialize so both measurements see identical lineage
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_for(prefix_queries, group):
+        sc.setJobGroup(group, group)
+        try:
+            exp = wand.expand_prefix_terms(ts, prefix_queries, max_expansions=3)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return exp, len(tracker.getJobIdsForGroup(group))
+
+    exp1, n1 = jobs_for([(1, "s", 5)], "exp_one")
+    exp6, n6 = jobs_for(
+        [(i, p, 5) for i, p in enumerate(["s", "c", "t", "d", "f", "g"])],
+        "exp_six",
+    )
+    assert n1 >= 1 and n6 == n1, (n1, n6)
+    assert exp6[0] == sorted(
+        (t for t in {r["term"] for r in ts.collect()} if t.startswith("s")),
+        key=lambda t: (-{r["term"]: r["df"] for r in ts.collect()}[t], t),
+    )[:3] == exp1[1]
+    ts.unpersist()

@@ -239,3 +239,25 @@ def test_serving_count_batch_matches_spark_path(spark, index_dir):
     got = IndexServer(index_dir, CFG).count_batch(queries)
     assert got == want
     assert dict(got)[3] == 0 and dict(got)[1] > 0
+
+
+def test_serving_prefix_topk_matches_spark_path(spark, index_dir):
+    """Serving prefix top-k expands from the in-memory dictionary replica
+    (no Spark job) and is rank-identical to wand.prefix_bm25_topk."""
+    prefixes = [(1, "s", 5), (2, "c", 4), (3, "zzz", 5)]
+    idx = B.read_index(spark, index_dir, CFG)
+    for cap in (3, 100):
+        want = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in wand.prefix_bm25_topk(
+                idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+                prefixes, CFG, max_expansions=cap,
+            ).collect()
+        )
+        got = sorted(IndexServer(index_dir, CFG).prefix_topk_batch(
+            prefixes, max_expansions=cap))
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            assert g[:3] == w[:3]
+            assert g[3] == pytest.approx(w[3], abs=1e-12)
+    assert not any(q == 3 for q, _, _, _ in got)  # no expansion ⇒ no rows
