@@ -197,9 +197,27 @@ def check_index_meta(index_dir: str, cfg: IndexConfig) -> IndexConfig:
         # AnalysisException, schema drift) must propagate: silently returning
         # cfg would bypass the layout-mismatch guard this function exists for
         # and decode docIDs with the wrong docs_per_shard/block_docs.
-        notfound = ("TABLE_OR_VIEW_NOT_FOUND" in str(e)
-                    or "PATH_NOT_FOUND" in str(e)
-                    or "cannot be found" in str(e))
+        # Match on the STRUCTURED error class (stable across Spark versions),
+        # falling back to message substrings only when no class is attached.
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            get = getattr(e, attr, None)
+            if get is not None:
+                try:
+                    cond = get()
+                except Exception:  # noqa: BLE001 — no class attached
+                    cond = None
+                if cond:
+                    break
+        if cond:
+            notfound = cond in (
+                "TABLE_OR_VIEW_NOT_FOUND", "PATH_NOT_FOUND",
+                "TABLE_OR_VIEW_NOT_FOUND.NO_SUGGESTION",
+            ) or cond.startswith(("TABLE_OR_VIEW_NOT_FOUND", "PATH_NOT_FOUND"))
+        else:
+            notfound = ("TABLE_OR_VIEW_NOT_FOUND" in str(e)
+                        or "PATH_NOT_FOUND" in str(e)
+                        or "cannot be found" in str(e))
         if not notfound or cfg is None:
             raise
         return cfg
