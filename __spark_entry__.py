@@ -290,8 +290,7 @@ def _q_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined count — no rank window, match-bounded at any scale."""
     idx = build_index(_docs(spark, sf_dir), _SF_CFG)
     return wand.match_counts(
-        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
-        corpus.REFERENCE_QUERIES, _SF_CFG,
+        idx.postings, idx.doc_lens, corpus.REFERENCE_QUERIES, _SF_CFG,
     )
 
 

@@ -143,6 +143,89 @@ def score_shard_blocks(
     return out_q, out_d, out_s
 
 
+def count_shard_matches(
+    shard: int,
+    terms_col: np.ndarray,
+    bids: np.ndarray,
+    deltas_col: np.ndarray,
+    queries: list,
+    cfg: IndexConfig,
+    tomb_mask: np.ndarray | None = None,
+) -> dict[int, int]:
+    """Exact per-query MATCH COUNTS for one shard's (query-term-filtered)
+    block rows — the counting twin of score_shard_blocks: identical
+    conjunctive/disjunctive/MUST_NOT/tombstone semantics, but no scores, no
+    top-k state and no per-match output rows. Reads ONLY doc_deltas (counts
+    need neither tfs nor doc lengths nor block-max metadata), so the caller
+    can prune the postings scan to 4 columns. Queries with zero matches are
+    simply absent from the returned dict."""
+    dps, bdocs = cfg.docs_per_shard, cfg.block_docs
+    shard_base = shard * dps
+
+    term_blocks: dict[str, dict[int, int]] = {}
+    for i in range(len(terms_col)):
+        term_blocks.setdefault(terms_col[i], {})[int(bids[i])] = i
+
+    decoded: dict[int, np.ndarray] = {}
+
+    def ids_of(row_idx: int, block_base: int) -> np.ndarray:
+        got = decoded.get(row_idx)
+        if got is None:
+            got = decoded[row_idx] = delta_decode(
+                bytes(deltas_col[row_idx]), base=block_base
+            )
+        return got
+
+    out: dict[int, int] = {}
+    for q in queries:
+        qid, terms, mode, _k = q[:4]
+        negs = sorted(set(q[4])) if len(q) > 4 and q[4] else ()
+        present = sorted(t for t in set(terms) if t in term_blocks)
+        need = sorted(set(terms))
+        if not present:
+            continue
+        conj = mode == "conjunctive"
+        if conj and len(present) != len(need):
+            continue
+        if conj:
+            cand = set.intersection(*[set(term_blocks[t]) for t in present])
+        else:
+            cand = set()
+            for t in present:
+                cand.update(term_blocks[t])
+        n = 0
+        for bi in sorted(cand):
+            block_base = shard_base + bi * bdocs
+            if conj:  # a doc's postings all live in its one block
+                ids = ids_of(term_blocks[present[0]][bi], block_base)
+                for t in present[1:]:
+                    if ids.size == 0:
+                        break
+                    ids = np.intersect1d(
+                        ids, ids_of(term_blocks[t][bi], block_base),
+                        assume_unique=True,
+                    )
+            else:
+                parts = [
+                    ids_of(term_blocks[t][bi], block_base)
+                    for t in present if bi in term_blocks[t]
+                ]
+                ids = np.unique(np.concatenate(parts))
+            for nt in negs:
+                if ids.size == 0:
+                    break
+                ri = term_blocks.get(nt, {}).get(bi)
+                if ri is not None:
+                    ids = np.setdiff1d(ids, ids_of(ri, block_base),
+                                       assume_unique=True)
+            if tomb_mask is not None and ids.size:
+                ids = ids[~tomb_mask[ids - shard_base]]
+            n += int(ids.size)
+        if n:
+            out[int(qid)] = n
+    return out
+
+
 def phrase_verify_block(
     per_term: dict, toks: list[str], base: int
 ) -> "np.ndarray":

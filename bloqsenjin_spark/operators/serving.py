@@ -151,6 +151,33 @@ class IndexServer:
             cache.popitem(last=False)
         return merged
 
+    def _allow_masks(self, allowed_doc_ids) -> "dict[int, np.ndarray] | None":
+        """Per-shard allow bitmaps from any docID iterable (serving-side form
+        of bm25_topk_filtered's allow bitmaps, e.g. an ACL set)."""
+        if allowed_doc_ids is None:
+            return None
+        dps = self.cfg.docs_per_shard
+        ids = np.unique(np.fromiter(
+            (int(d) for d in allowed_doc_ids), dtype=np.int64))
+        masks: dict[int, np.ndarray] = {}
+        for sh in np.unique(ids // dps):
+            m = np.zeros(dps, dtype=bool)
+            m[ids[ids // dps == sh] - sh * dps] = True
+            masks[int(sh)] = m
+        return masks
+
+    def _excl_mask(self, shard: int, allow_masks) -> tuple:
+        """→ (mask, skip): one shard's combined tombstone+allow exclusion;
+        skip=True when an allow-set is in force and the shard has no allowed
+        docs (nothing to decode)."""
+        tm = self.tomb_masks.get(shard)
+        if allow_masks is not None:
+            am = allow_masks.get(shard)
+            if am is None:
+                return None, True
+            tm = ~am if tm is None else (~am | tm)
+        return tm, False
+
     def query_batch(
         self, queries: list[tuple[int, list[str], str, int]],
         allowed_doc_ids=None,
@@ -164,16 +191,7 @@ class IndexServer:
             {t for q in queries for t in q[1]}
             | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
         )
-        allow_masks = None
-        if allowed_doc_ids is not None:
-            dps = self.cfg.docs_per_shard
-            ids = np.unique(np.fromiter(
-                (int(d) for d in allowed_doc_ids), dtype=np.int64))
-            allow_masks = {}
-            for sh in np.unique(ids // dps):
-                m = np.zeros(dps, dtype=bool)
-                m[ids[ids // dps == sh] - sh * dps] = True
-                allow_masks[int(sh)] = m
+        allow_masks = self._allow_masks(allowed_doc_ids)
         tbl = self._load_terms(all_terms)
         if not tbl["term"]:
             return []
@@ -189,12 +207,9 @@ class IndexServer:
         s_parts: list[np.ndarray] = []
         for shard in np.unique(shards):
             m = shards == shard
-            tm = self.tomb_masks.get(int(shard))
-            if allow_masks is not None:
-                am = allow_masks.get(int(shard))
-                if am is None:
-                    continue  # no eligible docs in this shard
-                tm = ~am if tm is None else (~am | tm)
+            tm, skip = self._excl_mask(int(shard), allow_masks)
+            if skip:
+                continue  # no eligible docs in this shard
             oq, od, os_ = score_shard_blocks(
                 int(shard), terms[m], bids[m], bmax[m], deltas[m], tfs[m],
                 self.dls[int(shard)], queries, self.idf, self.avgdl, self.cfg,
@@ -371,11 +386,33 @@ class IndexServer:
     def count_batch(self, queries: list, allowed_doc_ids=None
                     ) -> list[tuple[int, int]]:
         """→ [(query_id, n_hits)] — exact hit counts ('about N results'),
-        identical to operators/wand.match_counts on the same index. Runs the
-        kernel unbounded (counts need every match) and tallies."""
-        from collections import Counter
+        identical to operators/wand.match_counts on the same index: per-shard
+        tallies via the shared counting kernel (functions.scoring.
+        count_shard_matches) — no scoring, no ranking, and no global sort
+        (round 3 ranked the FULL match set with k=2^30 just to count it)."""
+        from bloqsenjin_spark.functions.scoring import count_shard_matches
 
-        unb = [(q[0], q[1], q[2], 1 << 30) + tuple(q[4:]) for q in queries]
-        c = Counter(q for q, _r, _d, _s in
-                    self.query_batch(unb, allowed_doc_ids=allowed_doc_ids))
-        return sorted((int(q[0]), int(c.get(q[0], 0))) for q in queries)
+        all_terms = sorted(
+            {t for q in queries for t in q[1]}
+            | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
+        )
+        allow_masks = self._allow_masks(allowed_doc_ids)
+        totals = {int(q[0]): 0 for q in queries}
+        tbl = self._load_terms(all_terms)
+        if tbl["term"]:
+            shards = np.asarray(tbl["shard"], dtype=np.int64)
+            terms = np.asarray(tbl["term"], dtype=object)
+            bids = np.asarray(tbl["block_id"], dtype=np.int64)
+            deltas = np.asarray(tbl["doc_deltas"], dtype=object)
+            for shard in np.unique(shards):
+                tm, skip = self._excl_mask(int(shard), allow_masks)
+                if skip:
+                    continue
+                m = shards == shard
+                per = count_shard_matches(
+                    int(shard), terms[m], bids[m], deltas[m],
+                    queries, self.cfg, tomb_mask=tm,
+                )
+                for qid, n in per.items():
+                    totals[qid] += n
+        return sorted(totals.items())

@@ -722,32 +722,83 @@ def topk_highlights(
     )
 
 
+def match_count_partials(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    queries: list,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+) -> DataFrame:
+    """Per-(query, shard) exact match counts → (query_id, n) — counting
+    happens INSIDE the cogrouped kernel (functions.scoring.
+    count_shard_matches), so the Arrow boundary carries at most
+    queries × shards rows (pytest-pinned) instead of one row per matching
+    doc. The scan projects only (term, shard, block_id, doc_deltas): counts
+    need neither tf payloads nor block-max metadata, and doc_lens rides
+    along solely as the tombstone/allow-bitmap carrier."""
+    from bloqsenjin_spark.functions.scoring import count_shard_matches
+
+    all_terms = sorted(
+        {t for q in queries for t in q[1]}
+        | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
+    )
+    pq = postings.select("term", "shard", "block_id", "doc_deltas").where(
+        F.col("term").isin(all_terms)
+    )
+    has_allow = allow_map is not None
+
+    def cnt(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "n": []}).astype(
+            {"query_id": "int64", "n": "int64"}
+        )
+        if pl.empty or dl_pdf.empty:
+            return empty
+        tomb_mask, skip = _effective_mask(dl_pdf, has_allow)
+        if skip:
+            return empty
+        out = count_shard_matches(
+            int(pl["shard"].iloc[0]),
+            pl["term"].to_numpy(),
+            pl["block_id"].to_numpy(),
+            pl["doc_deltas"].to_numpy(),
+            queries, cfg, tomb_mask=tomb_mask,
+        )
+        if not out:
+            return empty
+        return pd.DataFrame(
+            {"query_id": list(out), "n": list(out.values())}
+        ).astype({"query_id": "int64", "n": "int64"})
+
+    dl = _with_tomb(doc_lens, tomb_map, allow_map)
+    return pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
+        cnt, schema="query_id long, n long"
+    )
+
+
 def match_counts(
     postings: DataFrame,
     doc_lens: DataFrame,
-    term_stats: DataFrame,
-    avgdl: float,
     queries: list,
     cfg: IndexConfig = DEFAULT_CONFIG,
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
 ) -> DataFrame:
     """Exact hit counts per query → (query_id, n_hits) — the "about N
-    results" primitive. One pass over the query terms' postings: the scorer
-    partials emit one row per matching doc (conjunctive/disjunctive/MUST_NOT
-    semantics, tombstone/allow masks applied), and counting is an ordinary
-    map-side-combined aggregation — no rank window anywhere, so the plan is
-    match-bounded and shuffle-light regardless of hit count. Queries with
-    zero hits report 0."""
+    results" primitive. One pass over the query terms' postings (doc_deltas
+    column only), counts computed in-kernel per (query, shard) and summed by
+    an ordinary map-side-combined aggregation — no rank window, no per-match
+    Arrow rows, so the plan is bounded by queries × shards regardless of hit
+    count. Queries with zero hits report 0. (Counting needs no term/corpus
+    statistics — the round-3 signature's term_stats/avgdl are gone.)"""
     spark = postings.sparkSession
-    unb = [(q[0], q[1], q[2], 1 << 30) + tuple(q[4:]) for q in queries]
     counts = (
-        wand_score_partials(
-            postings, doc_lens, term_stats, avgdl, unb, cfg,
+        match_count_partials(
+            postings, doc_lens, queries, cfg,
             tomb_map=tomb_map, allow_map=allow_map,
         )
         .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.sum("n").alias("n_hits"))
     )
     qdf = spark.createDataFrame([(int(q[0]),) for q in queries], "query_id long")
     return qdf.join(counts, "query_id", "left").select(

@@ -212,9 +212,7 @@ def test_match_counts_semantics_and_plan(spark, tmp_path):
         (3, ["zebra"], "disjunctive", 10),                     # zero hits
         (4, ["join", "hash"], "conjunctive", 10, ["merge"]),   # MUST_NOT
     ]
-    out = wand.match_counts(
-        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, queries, cfg
-    )
+    out = wand.match_counts(idx.postings, idx.doc_lens, queries, cfg)
     got = {r["query_id"]: r["n_hits"] for r in out.collect()}
     toksets = {
         r["doc_id"]: set(
@@ -272,3 +270,31 @@ def test_prefix_expansion_is_one_batch_job(spark):
         key=lambda t: (-{r["term"]: r["df"] for r in ts.collect()}[t], t),
     )[:3] == exp1[1]
     ts.unpersist()
+
+
+def test_match_count_partials_rows_bounded_by_queries_x_shards(spark):
+    """The counting kernel must emit per-(query, shard) counts across the
+    Arrow boundary — never one row per matching doc (round-3 shape). Bound:
+    rows ≤ queries × shards, even for head-term queries matching most of the
+    corpus."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, SMALL)
+    queries = [
+        (1, ["the"], "disjunctive", 10),           # head term: huge hit count
+        (2, ["the", "a", "of"], "disjunctive", 10),
+        (3, ["customer", "order"], "conjunctive", 10),
+    ]
+    n_shards = idx.doc_lens.count()
+    partial = wand.match_count_partials(idx.postings, idx.doc_lens, queries, SMALL)
+    rows = partial.collect()
+    assert 0 < len(rows) <= len(queries) * n_shards
+    got = {}
+    for r in rows:
+        got[r["query_id"]] = got.get(r["query_id"], 0) + r["n"]
+    # per-shard counts sum to the true totals
+    want = {
+        r["query_id"]: r["n_hits"]
+        for r in wand.match_counts(idx.postings, idx.doc_lens, queries, SMALL).collect()
+        if r["n_hits"] > 0
+    }
+    assert got == want and got[1] > SMALL.docs_per_shard  # really match-heavy

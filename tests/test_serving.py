@@ -231,10 +231,7 @@ def test_serving_count_batch_matches_spark_path(spark, index_dir):
     idx = B.read_index(spark, index_dir, CFG)
     want = sorted(
         (r["query_id"], r["n_hits"])
-        for r in wand.match_counts(
-            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
-            queries, CFG,
-        ).collect()
+        for r in wand.match_counts(idx.postings, idx.doc_lens, queries, CFG).collect()
     )
     got = IndexServer(index_dir, CFG).count_batch(queries)
     assert got == want
