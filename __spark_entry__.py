@@ -133,6 +133,24 @@ def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHRASE_TOPK = [(1, "the fast", 10), (2, "customer order", 10),
                (3, "The, FAST!", 5), (4, "zebra stripes", 10)]
 
+# proximity: (qid, phrase, slop) — slop 0 ≡ exact phrase; wider slops are
+# supersets (the pytest property); query 5 is a zero-hit guard
+NEAR_QUERIES = [
+    (1, "the fast", 0),
+    (2, "the fast", 2),
+    (3, "customer order", 1),
+    (4, "spark query", 3),
+    (5, "zebra stripes", 4),
+]
+
+
+def _q_phrase_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity ('terms within k positions, in order') from the
+    positional index — the slop generalization of the phrase verifier; the
+    plan never touches the documents table."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG_POS)
+    return wand.near_match_positional(idx.postings, NEAR_QUERIES, _SF_CFG_POS)
+
 
 def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase-filtered BM25 ranking: exact matches from the positional index,
@@ -354,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_highlight": _q_topk_highlights,
         "bm25_match_counts": _q_match_counts,
         "phrase_match": _q_phrase_match,
+        "phrase_near": _q_phrase_near,
         "phrase_topk": _q_phrase_topk,
         "postings_roundtrip": _q_postings_roundtrip,
         "term_stats": _q_term_stats,
@@ -430,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_match_counts": oracle.match_counts_sql(corpus.REFERENCE_QUERIES),
         "phrase_match": oracle.phrase_match_sql(PHRASES),
+        "phrase_near": oracle.near_match_sql(NEAR_QUERIES),
         "phrase_topk": oracle.phrase_topk_sql(PHRASE_TOPK),
         "postings_roundtrip": (
             "WITH tok AS (SELECT doc_id, unnest(" + toks + ") AS term FROM documents) "

@@ -227,22 +227,26 @@ def count_shard_matches(
 
 
 def phrase_verify_block(
-    per_term: dict, toks: list[str], base: int
+    per_term: dict, toks: list[str], base: int, slop: int = 0
 ) -> "np.ndarray":
-    """Vectorized exact-phrase verification for ONE doc-range-aligned block.
+    """Vectorized phrase / ordered-proximity verification for ONE
+    doc-range-aligned block.
 
     ``per_term[t] = (doc_ids, flat_positions, offsets)`` — the decoded
     positional posting list of term t restricted to this block (offsets
     segment flat_positions per doc). Every (doc, position) pair becomes one
     int64 key ``(doc_id - base) << 34 | pos`` (blocks span < 2^34 docs and
-    int32 positions < 2^31, so keys are collision-free and ``key + 1``
-    never carries); the phrase then verifies as a chain of sorted-set
+    int32 positions < 2^31, so keys are collision-free and ``key + δ`` for
+    tiny δ never carries); the query then verifies as a chain of sorted-set
     intersections over ALL docs in the block at once:
 
-        S ← K(t0);  S ← (S + 1) ∩ K(t_i)  for each following token
+        S ← K(t0);  S ← (⋃_{δ=1..slop+1} S + δ) ∩ K(t_i)  per token
 
-    — no per-candidate-doc Python loop, and the conjunctive doc intersection
-    falls out of the key intersection for free. Returns matching doc_ids.
+    ``slop`` is the max number of intervening positions allowed between
+    CONSECUTIVE query tokens (ordered matching); slop=0 is the exact-phrase
+    special case — one intersection per token, no union. No per-candidate-doc
+    Python loop; the conjunctive doc intersection falls out of the key
+    intersection for free. Returns matching doc_ids.
     """
     shift = np.int64(34)
 
@@ -256,7 +260,14 @@ def phrase_verify_block(
     for t in toks[1:]:
         if S.size == 0:
             break
-        S = np.intersect1d(S + 1, keys(t), assume_unique=True)
+        K = keys(t)
+        if slop == 0:
+            S = np.intersect1d(S + 1, K, assume_unique=True)
+        else:
+            S = np.unique(np.concatenate([
+                np.intersect1d(S + d, K, assume_unique=True)
+                for d in range(1, slop + 2)
+            ]))
     if S.size == 0:
         return np.empty(0, dtype=np.int64)
     return base + np.unique(S >> shift)

@@ -249,8 +249,9 @@ class IndexServer:
         return self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
 
     def _phrase_hit_blocks(self, parsed):
-        """Shared phrase machinery: yields (qid, uniq_terms, shard, hits,
-        per_term) for every block with ≥1 verified, tombstone-masked match."""
+        """Shared phrase/proximity machinery over (qid, toks, slop) triples:
+        yields (qid, uniq_terms, shard, hits, per_term) for every block with
+        ≥1 verified, tombstone-masked match."""
         from bloqsenjin_spark.functions.scoring import phrase_verify_block
 
         if not self.cfg.positions:
@@ -258,7 +259,7 @@ class IndexServer:
                 "phrase serving needs a positional index — build with "
                 "IndexConfig(positions=True)"
             )
-        all_terms = sorted({t for _, toks in parsed for t in toks})
+        all_terms = sorted({t for _, toks, _ in parsed for t in toks})
         if not all_terms:
             return
         tbl = self._load_terms(all_terms, positional=True)
@@ -269,7 +270,7 @@ class IndexServer:
         decode = lambda i, term, shard, bid: self._decode_pos_block(  # noqa: E731
             tbl, i, term, shard, bid)
 
-        for qid, toks in parsed:
+        for qid, toks, slop in parsed:
             uniq = list(dict.fromkeys(toks))
             maps = [by_term.get(t) for t in uniq]
             if any(m is None for m in maps):
@@ -283,7 +284,7 @@ class IndexServer:
                     for t, m in zip(uniq, maps)
                 }
                 base = shard * dps + bid * bdocs
-                hits = phrase_verify_block(per_term, toks, base)
+                hits = phrase_verify_block(per_term, toks, base, slop)
                 tm = self.tomb_masks.get(shard)
                 if tm is not None and hits.size:
                     hits = hits[~tm[hits - shard * dps]]
@@ -295,12 +296,24 @@ class IndexServer:
         operators/wand.phrase_match_positional on the same index. Requires a
         positions=True index; the positional payload is read ONLY here (the
         BM25 path never touches it)."""
+        return self.near_batch([(qid, p, 0) for qid, p in phrases])
+
+    def near_batch(
+        self, near_queries: list[tuple[int, str, int]]
+    ) -> list[tuple[int, int]]:
+        """→ [(query_id, doc_id)] — ordered proximity matches ((query_id,
+        phrase, slop): tokens in order, ≤ slop intervening positions between
+        consecutive tokens), identical results to operators/wand.
+        near_match_positional on the same index; slop=0 ≡ phrase_batch."""
         from bloqsenjin_spark.operators.wand import _parse_phrases
 
+        slops = {int(qid): int(s) for qid, _p, s in near_queries}
+        parsed = [
+            (qid, toks, slops[qid])
+            for qid, toks in _parse_phrases([(q, p) for q, p, _s in near_queries])
+        ]
         out: list[tuple[int, int]] = []
-        for qid, _uniq, _shard, hits, _pt in self._phrase_hit_blocks(
-            _parse_phrases(phrases)
-        ):
+        for qid, _uniq, _shard, hits, _pt in self._phrase_hit_blocks(parsed):
             out.extend((qid, int(d)) for d in hits)
         return sorted(out)
 
@@ -317,7 +330,10 @@ class IndexServer:
         from bloqsenjin_spark.functions.scoring import global_topk
         from bloqsenjin_spark.operators.wand import _parse_phrases
 
-        parsed = _parse_phrases([(qid, p) for qid, p, _ in phrases])
+        parsed = [
+            (qid, toks, 0)
+            for qid, toks in _parse_phrases([(qid, p) for qid, p, _ in phrases])
+        ]
         dps = self.cfg.docs_per_shard
         k1, b = self.cfg.k1, self.cfg.b
         q_parts: list[np.ndarray] = []

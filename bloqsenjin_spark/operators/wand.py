@@ -180,6 +180,23 @@ def _positional_ctx(pdf: pd.DataFrame, shard: int, dps: int, bdocs: int):
     return by_term, decode
 
 
+def near_match_positional(
+    postings: DataFrame,
+    near_queries: list[tuple[int, str, int]],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+) -> DataFrame:
+    """Ordered proximity search → (query_id, doc_id): ``(query_id, phrase,
+    slop)`` matches docs where the phrase's tokens occur IN ORDER with at
+    most ``slop`` intervening positions between consecutive tokens —
+    near(slop=0) ≡ exact phrase (property-tested). Same plan as
+    phrase_match_positional (it IS this operator at slop 0): postings-only
+    scan filtered to the query terms, block-aligned candidate intersection,
+    whole-block vectorized position-window verify (functions.scoring.
+    phrase_verify_block's slop generalization)."""
+    return _positional_match(postings, near_queries, cfg, tomb_map)
+
+
 def phrase_match_positional(
     postings: DataFrame,
     phrases: list[tuple[int, str]],
@@ -209,8 +226,25 @@ def phrase_match_positional(
     Replaces the round-1 two-stage plan (kept as ``phrase_match_twostage``)
     whose verify stage re-scanned and re-tokenized the documents table.
     """
-    parsed = _parse_phrases(phrases)
-    all_terms = sorted({t for _, ts in parsed for t in ts})
+    return _positional_match(
+        postings, [(qid, p, 0) for qid, p in phrases], cfg, tomb_map
+    )
+
+
+def _positional_match(
+    postings: DataFrame,
+    queries_with_slop: list[tuple[int, str, int]],
+    cfg: IndexConfig,
+    tomb_map: "DataFrame | None",
+) -> DataFrame:
+    """Shared phrase/proximity matcher (see phrase_match_positional /
+    near_match_positional for the contract)."""
+    slops = {int(qid): int(s) for qid, _p, s in queries_with_slop}
+    parsed = [
+        (qid, toks, slops[qid])
+        for qid, toks in _parse_phrases([(q, p) for q, p, _s in queries_with_slop])
+    ]
+    all_terms = sorted({t for _, ts, _ in parsed for t in ts})
     pq = postings.where(F.col("term").isin(all_terms)).select(
         "term", "shard", "block_id", "doc_deltas", "tfs", "positions"
     )
@@ -231,7 +265,7 @@ def phrase_match_positional(
 
         out_q: list[int] = []
         out_d: list[int] = []
-        for qid, toks in parsed:
+        for qid, toks, slop in parsed:
             uniq = list(dict.fromkeys(toks))
             maps = [by_term.get(t) for t in uniq]
             if any(m is None for m in maps):
@@ -243,7 +277,7 @@ def phrase_match_positional(
                 per_term = {t: decode(m[bid], bid) for t, m in zip(uniq, maps)}
                 base = shard * dps + bid * bdocs
                 # whole-block vectorized verify — no per-candidate-doc loop
-                hits = phrase_verify_block(per_term, toks, base)
+                hits = phrase_verify_block(per_term, toks, base, slop)
                 if tomb_mask is not None and hits.size:
                     hits = hits[~tomb_mask[hits - shard_base]]
                 out_q.extend([qid] * hits.size)

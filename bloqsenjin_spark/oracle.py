@@ -518,6 +518,47 @@ FROM q JOIN n ON position(q.p IN n.t) > 0
 """.strip()
 
 
+def near_match_sql(near_queries: list[tuple[int, str, int]]) -> str:
+    """Oracle for near_match_positional: ordered proximity as a chain of
+    position-window self-joins over (doc_id, term, pos) — token i+1 must sit
+    in (pos_i, pos_i + 1 + slop]. Independent re-derivation in SQL (join
+    chain), not a mirror of the engine's sorted-set-intersection kernel;
+    slop=0 degenerates to exact adjacency."""
+    import re
+
+    toks_sql = DUCKDB_TOKENS_SQL.format(col="text")
+    selects = []
+    for qid, phrase, slop in near_queries:
+        toks = [t for t in re.split(TOKEN_SPLIT_REGEX, phrase.lower()) if t]
+        if not toks:
+            continue
+        lits = ["'" + t.replace("'", "''") + "'" for t in toks]
+        joins = []
+        for i in range(1, len(toks)):
+            joins.append(
+                f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id "
+                f"AND p{i}.term = {lits[i]} "
+                f"AND p{i}.pos BETWEEN p{i - 1}.pos + 1 AND p{i - 1}.pos + 1 + {int(slop)}"
+            )
+        selects.append(
+            f"SELECT DISTINCT {int(qid)} AS query_id, p0.doc_id\n"
+            f"FROM tokpos p0 {' '.join(joins)}\n"
+            f"WHERE p0.term = {lits[0]}"
+        )
+    body = "\nUNION ALL\n".join(selects) if selects else (
+        "SELECT NULL::BIGINT AS query_id, NULL::BIGINT AS doc_id WHERE FALSE"
+    )
+    return f"""
+WITH dtok AS (SELECT doc_id, {toks_sql} AS toks FROM documents),
+tokpos AS (
+    SELECT doc_id, unnest(toks) AS term,
+           (generate_subscripts(toks, 1) - 1)::BIGINT AS pos
+    FROM dtok
+)
+{body}
+""".strip()
+
+
 def phrase_topk_sql(phrases: list[tuple[int, str, int]],
                     round_to: int = SCORE_ROUND_DECIMALS) -> str:
     """Phrase-filtered BM25 top-k: exact-phrase matches ranked by BM25 over

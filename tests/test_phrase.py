@@ -359,3 +359,92 @@ def test_topk_highlights_positions_and_plan(spark, tmp_path):
     assert "documents" not in plan
     # the decode-side postings scan is block-pruned via the broadcast join
     assert "BroadcastHashJoin" in plan
+
+
+# ---- ordered proximity (slop) -------------------------------------------------
+
+def _near_ref(docs_rows, queries):
+    """Python reference: ordered windowed matching (gap ≤ slop between
+    consecutive tokens), chained existentially over all position combos."""
+    import re
+
+    want = set()
+    for doc_id, text in docs_rows:
+        toks = [t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t]
+        pos: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            pos.setdefault(t, []).append(i)
+        for qid, phrase, slop in queries:
+            q = [t for t in re.split("[^a-z0-9]+", phrase.lower()) if t]
+            if not q or any(t not in pos for t in q):
+                continue
+            S = set(pos[q[0]])
+            for t in q[1:]:
+                P = set(pos[t])
+                S = {s + d for s in S for d in range(1, slop + 2) if s + d in P}
+                if not S:
+                    break
+            if S:
+                want.add((qid, doc_id))
+    return want
+
+
+NEAR_DOCS = [
+    (0, "a b c d"),
+    (1, "a x b"),
+    (2, "a x x b"),
+    (3, "b a"),
+    (4, "a b a b"),
+    (5, "a x x x b c"),
+    (6, ""),
+]
+NEAR_QS = [
+    (1, "a b", 0),
+    (2, "a b", 1),
+    (3, "a b", 2),
+    (4, "a b c", 1),
+    (5, "b a", 0),
+    (6, "a c", 4),
+    (7, "zebra stripes", 3),
+]
+
+
+@pytest.mark.parametrize("cfg", [CFG_POS, CFG_POS_TINY])
+def test_near_match_semantics_vs_python_reference(spark, cfg):
+    docs = spark.createDataFrame(NEAR_DOCS, "doc_id long, text string")
+    idx = build_index(docs, cfg)
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in wand.near_match_positional(idx.postings, NEAR_QS, cfg).collect()
+    }
+    assert got == _near_ref(NEAR_DOCS, NEAR_QS)
+    # hand-pinned spot checks (the reference itself could be wrong)
+    assert (1, 0) in got and (1, 4) in got and (1, 1) not in got
+    assert (2, 1) in got and (2, 2) not in got
+    assert (3, 2) in got and (3, 5) not in got
+    assert (5, 3) in got and (5, 4) in got and (5, 0) not in got
+
+
+def test_near_slop_zero_equals_phrase_and_monotone(spark):
+    """near(slop=0) ≡ phrase_match_positional, and widening slop only ever
+    ADDS matches (monotone supersets) — on the real sf0.001 corpus."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, CFG_POS)
+    phrases = [(1, "the fast"), (2, "customer order"), (3, "spark group query")]
+    want = {
+        (r["query_id"], r["doc_id"])
+        for r in wand.phrase_match_positional(idx.postings, phrases, CFG_POS).collect()
+    }
+    prev: set = set()
+    for slop in (0, 1, 3):
+        got = {
+            (r["query_id"], r["doc_id"])
+            for r in wand.near_match_positional(
+                idx.postings, [(q, p, slop) for q, p in phrases], CFG_POS
+            ).collect()
+        }
+        if slop == 0:
+            assert got == want and len(got) > 0
+        assert got >= prev
+        prev = got
+    assert prev > want  # wider slop really finds extra ordered matches here

@@ -258,3 +258,20 @@ def test_serving_prefix_topk_matches_spark_path(spark, index_dir):
             assert g[:3] == w[:3]
             assert g[3] == pytest.approx(w[3], abs=1e-12)
     assert not any(q == 3 for q, _, _, _ in got)  # no expansion ⇒ no rows
+
+
+def test_serving_near_matches_spark_path(spark, pos_index_dir):
+    """Serving proximity matches the distributed near_match_positional, and
+    near_batch(slop=0) ≡ phrase_batch."""
+    near = [(1, "the fast", 0), (2, "the fast", 2), (3, "customer order", 1),
+            (4, "zebra stripes", 3)]
+    idx = B.read_index(spark, pos_index_dir)
+    want = sorted(
+        (r["query_id"], r["doc_id"])
+        for r in wand.near_match_positional(idx.postings, near, idx.cfg).collect()
+    )
+    srv = IndexServer(pos_index_dir)
+    got = srv.near_batch(near)
+    assert got == want and len(got) > 0
+    phrases = [(q, p) for q, p, _ in near]
+    assert srv.near_batch([(q, p, 0) for q, p in phrases]) == srv.phrase_batch(phrases)
