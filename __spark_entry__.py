@@ -261,6 +261,27 @@ def _q_ann_ivf(spark, sf_dir):
     return r.withColumn("score", F.round("score", _R))
 
 
+def _q_ann_serving(spark, sf_dir):
+    """Serving-tier IVF ANN: persisted centroid + cluster-partitioned vector
+    tables (similarity.write_ivf), probed via pyarrow cell-pruned reads with
+    NO Spark job per query. Full probe is exact ⇒ reuses the brute-force SQL
+    oracle; pruned-probe identity + recall are pytest-pinned."""
+    import tempfile
+
+    from bloqsenjin_spark.operators.serving import IndexServer
+    from bloqsenjin_spark.plans.build import build_index_resumable
+
+    d = tempfile.mkdtemp(prefix="serve_ann_")
+    build_index_resumable(_docs(spark, sf_dir), d, _SF_CFG)
+    emb = corpus.load_table(spark, sf_dir, "embeddings")
+    similarity.write_ivf(emb, d, n_centroids=8)
+    rows = IndexServer(d, _SF_CFG).ann_batch(_ANN_QUERY_IDS, k=_ANN_K, n_probe=8)
+    df = spark.createDataFrame(
+        rows, "query_id long, rank int, vec_id long, score double"
+    )
+    return df.withColumn("score", F.round("score", _R))
+
+
 def _q_asset_metadata(spark, sf_dir):
     assets = multimodal.assets_from_documents(_docs(spark, sf_dir))
     m = multimodal.asset_metadata(assets)
@@ -394,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_cosine_topk,
         "sim_ann_lsh": _q_ann_lsh,
         "sim_ann_ivf_fullprobe": _q_ann_ivf,
+        "sim_ann_serving": _q_ann_serving,
         # multimodal plumbing
         "mm_asset_metadata": _q_asset_metadata,
         "mm_fake_features": _q_multimodal_features,
@@ -471,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": oracle.cosine_topk_sql(_ANN_QUERY_IDS, _ANN_K),
         # sim_ann_lsh: rows-only (approximate; recall covered in pytest)
         "sim_ann_ivf_fullprobe": oracle.cosine_topk_sql(_ANN_QUERY_IDS, _ANN_K),
+        "sim_ann_serving": oracle.cosine_topk_sql(_ANN_QUERY_IDS, _ANN_K),
         "mm_asset_metadata": oracle.asset_metadata_sql(),
         "mm_fake_features": oracle.fake_features_sql(),
         "mm_decode_pixels": oracle.decode_pixels_sql(),

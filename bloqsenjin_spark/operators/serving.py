@@ -35,27 +35,48 @@ class IndexServer:
     def __init__(self, index_dir: str, cfg: IndexConfig | None = None,
                  cache_terms: bool = True, max_cached_terms: int = 65536,
                  max_cached_blocks: int = 8192):
+        self.index_dir = index_dir
+        self._cfg_arg = cfg
+        self._cache_terms = cache_terms
+        self.max_cached_terms = max_cached_terms
+        self.max_cached_blocks = max_cached_blocks
+        self.__dict__.update(self._read_state())
+
+    def _read_state(self) -> dict:
+        """Load every generation-dependent attribute into a dict — applied
+        with ONE __dict__.update so refresh() swaps the whole state (stats,
+        doc_lens, tombstones, fresh empty caches) atomically under the GIL:
+        concurrent readers see either the old generation or the new one,
+        never a mix."""
         import pyarrow.dataset as ds
 
-        from bloqsenjin_spark.plans.build import check_index_meta
+        from bloqsenjin_spark.plans.build import (
+            check_index_meta,
+            read_index_generation,
+        )
 
-        self.cfg = check_index_meta(index_dir, cfg)
-        self._ds = ds
-        self._postings = ds.dataset(f"{index_dir}/postings", format="parquet",
-                                    partitioning="hive")
+        index_dir = self.index_dir
+        st: dict = {"_ds": ds}
+        # generation read FIRST: a writer committing mid-load makes this
+        # snapshot look older than it is, so the next refresh() reloads —
+        # conservative, never stale-forever
+        st["generation"] = read_index_generation(index_dir)
+        st["cfg"] = cfg = check_index_meta(index_dir, self._cfg_arg)
+        st["_postings"] = ds.dataset(f"{index_dir}/postings", format="parquet",
+                                     partitioning="hive")
         cs = ds.dataset(f"{index_dir}/corpus_stats", format="parquet").to_table().to_pydict()
-        self.n_docs = int(cs["n_docs"][0])
-        self.avgdl = float(cs["avgdl"][0])
+        st["n_docs"] = int(cs["n_docs"][0])
+        st["avgdl"] = float(cs["avgdl"][0])
         ts = ds.dataset(f"{index_dir}/term_stats", format="parquet").to_table(
             columns=["term", "df", "idf"]
         ).to_pydict()
-        self.idf = dict(zip(ts["term"], (float(x) for x in ts["idf"])))
+        st["idf"] = dict(zip(ts["term"], (float(x) for x in ts["idf"])))
         # df drives prefix expansion ranking (df DESC, term ASC) — kept as a
         # separate dict so the idf hot path stays a plain str→float lookup
-        self.df = dict(zip(ts["term"], (int(x) for x in ts["df"])))
+        st["df"] = dict(zip(ts["term"], (int(x) for x in ts["df"])))
         dl = ds.dataset(f"{index_dir}/doc_lens", format="parquet",
                         partitioning="hive").to_table().to_pydict()
-        self.dls = {
+        st["dls"] = {
             int(s): varint_decode(bytes(b)).astype(np.float64)
             for s, b in zip(dl["shard"], dl["dls"])
         }
@@ -63,8 +84,8 @@ class IndexServer:
         # serving-side form of plans.deletes.tombstone_bitmap_df: a server
         # owning a doc-range slice holds only its own shards' masks (same
         # bound as its doc_lens arrays), masked before top-k selection
-        self.tomb_masks: dict[int, np.ndarray] = {}
-        dps = self.cfg.docs_per_shard
+        tomb_masks: dict[int, np.ndarray] = {}
+        dps = cfg.docs_per_shard
         try:
             tt = ds.dataset(f"{index_dir}/tombstones", format="parquet").to_table()
             ids = np.unique(
@@ -72,24 +93,41 @@ class IndexServer:
             for s in np.unique(ids // dps):
                 m = np.zeros(dps, dtype=bool)
                 m[ids[ids // dps == s] - s * dps] = True
-                self.tomb_masks[int(s)] = m
+                tomb_masks[int(s)] = m
         except FileNotFoundError:
             pass
+        st["tomb_masks"] = tomb_masks
         from collections import OrderedDict
 
         # LRU caches, bounded so a long-lived server over a web-scale
         # vocabulary can't grow without limit: per-term posting rows for the
         # BM25 path and (separately, positional columns) for the phrase path,
         # plus decoded positional blocks reused across phrase_batch calls.
-        self.max_cached_terms = max_cached_terms
-        self.max_cached_blocks = max_cached_blocks
-        self._term_cache: "OrderedDict[str, dict] | None" = (
-            OrderedDict() if cache_terms else None
-        )
-        self._pos_term_cache: "OrderedDict[str, dict] | None" = (
-            OrderedDict() if cache_terms else None
-        )
-        self._block_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        # Rebuilt empty on refresh: cached rows belong to the old generation.
+        st["_term_cache"] = OrderedDict() if self._cache_terms else None
+        st["_pos_term_cache"] = OrderedDict() if self._cache_terms else None
+        st["_block_cache"] = OrderedDict()
+        st["_ann"] = None  # IVF replica loads lazily; refresh invalidates it
+        return st
+
+    def refresh(self, force: bool = False) -> bool:
+        """Pick up a new index generation (build resume, streaming compact,
+        delete, purge — anything that rewrote index_meta): one tiny
+        generation read; on change, reload stats/doc_lens/tombstones and
+        invalidate every cache in a single atomic state swap. Returns True
+        iff a reload happened. Until refresh() is called the server keeps
+        serving its loaded generation — never a torn mix of two (append-only
+        mutations like logical deletes leave even cold reads consistent;
+        destructive rewrites like purge/compact require refresh before
+        further cold reads since the old files are gone). This is the
+        non-pathological version of the reference's re-init-per-request
+        (/root/reference/pkg/rest/http/server.go:16-35)."""
+        from bloqsenjin_spark.plans.build import read_index_generation
+
+        if not force and read_index_generation(self.index_dir) == self.generation:
+            return False
+        self.__dict__.update(self._read_state())
+        return True
 
     _BM25_COLS = ("term", "shard", "block_id", "block_max_score",
                   "doc_deltas", "tfs")
@@ -398,6 +436,78 @@ class IndexServer:
                         for p in flat[offs[j]:offs[j + 1]]
                     )
         return sorted(out)
+
+    def _ann_tables(self):
+        """Lazy-load the persisted IVF replica (similarity.write_ivf layout):
+        the centroid matrix stays in memory; vectors are read per probe with
+        cluster-partition pruning."""
+        if self._ann is None:
+            ct = self._ds.dataset(
+                f"{self.index_dir}/ann_centroids", format="parquet"
+            ).to_table().to_pydict()
+            order = np.argsort(np.asarray(ct["cluster"], dtype=np.int64))
+            cents = np.stack(
+                [np.asarray(ct["v"][i], dtype=np.float64) for i in order]
+            )
+            vds = self._ds.dataset(f"{self.index_dir}/ann_vectors",
+                                   format="parquet", partitioning="hive")
+            self._ann = (cents, vds)
+        return self._ann
+
+    def ann_batch(
+        self, query_ids: list[int], k: int = 5, n_probe: int = 4,
+    ) -> list[tuple[int, int, int, float]]:
+        """→ [(query_id, rank, vec_id, score)] — IVF approximate-nearest-
+        neighbor WITHOUT a Spark job: probe each query's n_probe nearest
+        centroid cells (in-memory matrix), read only those cells' vectors via
+        cluster-partition-pruned pyarrow scans, exact-cosine rerank, top-k
+        (score DESC, vec_id ASC; self-matches excluded). Full probe
+        (n_probe == n_centroids) is exact ⇒ rank-identical to the brute-force
+        path; at equal n_probe it is rank-identical to the Spark
+        ann_cosine_ivf (same deterministic centroids) — both pytest-pinned."""
+        cents, vds = self._ann_tables()
+        ids = sorted({int(i) for i in query_ids})
+        qt = vds.to_table(
+            filter=self._ds.field("vec_id").isin(ids), columns=["vec_id", "v"]
+        ).to_pydict()
+        qv = {
+            int(i): np.asarray(v, dtype=np.float64)
+            for i, v in zip(qt["vec_id"], qt["v"])
+        }
+        probes: dict[int, np.ndarray] = {}
+        all_cells: set[int] = set()
+        for qid in ids:
+            q = qv.get(qid)
+            if q is None:
+                continue  # unknown query vector: no rows (matches Spark path)
+            qn = q / (np.linalg.norm(q) + 1e-12)
+            top = np.argsort(-(cents @ qn))[:n_probe]
+            probes[qid] = top
+            all_cells.update(int(c) for c in top)
+        if not probes:
+            return []
+        tbl = vds.to_table(
+            filter=self._ds.field("cluster").isin(sorted(all_cells)),
+            columns=["vec_id", "v", "cluster"],
+        ).to_pydict()
+        vid = np.asarray(tbl["vec_id"], dtype=np.int64)
+        clus = np.asarray(tbl["cluster"], dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["v"]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        out: list[tuple[int, int, int, float]] = []
+        for qid, cells in probes.items():
+            sel = np.isin(clus, cells) & (vid != qid)
+            if not sel.any():
+                continue
+            q = qv[qid]
+            s = (mat[sel] @ q) / (norms[sel] * np.sqrt(q @ q))
+            d = vid[sel]
+            order = np.lexsort((d, -s))[:k]
+            out.extend(
+                (qid, rank, int(d[i]), float(s[i]))
+                for rank, i in enumerate(order, start=1)
+            )
+        return out
 
     def count_batch(self, queries: list, allowed_doc_ids=None
                     ) -> list[tuple[int, int]]:

@@ -161,6 +161,51 @@ def ann_cosine_ivf(
     )
 
 
+def write_ivf(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Persist an IVF vector index into the index layout → returns the
+    centroid matrix. Two tables:
+
+      <index_dir>/ann_centroids   (cluster int, v array<double>) — tiny
+      <index_dir>/ann_vectors     (vec_id, cluster, v) PARTITIONED BY cluster
+
+    The cluster is the physical partition key, so a probe of p cells reads
+    p/n_centroids of the corpus (partition-pruned scans both for Spark
+    queries and the serving tier's pyarrow reads). Same deterministic
+    centroids as ann_cosine_ivf (shared ivf_centroids), so the serving
+    replica is rank-identical to the Spark path at equal n_probe. Bumps the
+    index generation when a text-index meta row exists (a long-lived server
+    refresh()es into the new vector tables)."""
+    from pyspark.sql import functions as F
+
+    spark = embeddings.sparkSession
+    cents = ivf_centroids(embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster int, v array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/ann_centroids")
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).join(assigned, "vec_id")
+    base.repartition(F.col("cluster")).write.partitionBy("cluster").mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/ann_vectors")
+    try:
+        from bloqsenjin_spark.plans.build import check_index_meta, write_index_meta
+
+        write_index_meta(spark, index_dir, check_index_meta(index_dir, None))
+    except FileNotFoundError:
+        pass  # standalone vector index (no text-index meta): nothing to stamp
+    return cents
+
+
 def _planes(dim: int, bits: int, seed: int = _SEED) -> np.ndarray:
     rs = np.random.RandomState(seed)
     return rs.standard_normal((bits, dim))

@@ -140,14 +140,50 @@ def write_index(idx: Index, index_dir: str) -> None:
 def write_index_meta(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> None:
     """Persist the layout-defining config WITH the index: decoding with a
     different docs_per_shard/block_docs silently corrupts docIDs, so readers
-    load (or validate against) this row instead of trusting their caller."""
+    load (or validate against) this row instead of trusting their caller.
+
+    Also bumps the monotone ``generation`` stamp — every index mutation
+    (build, resume, purge, compacted rewrite, logical delete) rewrites the
+    meta row, so long-lived servers detect staleness with one tiny read
+    (IndexServer.refresh) instead of re-scanning index tables."""
+    gen = read_index_generation(index_dir) + 1
     S.for_index(spark, index_dir).overwrite(
         spark.createDataFrame(
-            [(cfg.docs_per_shard, cfg.block_docs, cfg.k1, cfg.b, cfg.positions)],
-            "docs_per_shard int, block_docs int, k1 double, b double, positions boolean",
+            [(cfg.docs_per_shard, cfg.block_docs, cfg.k1, cfg.b,
+              cfg.positions, gen)],
+            "docs_per_shard int, block_docs int, k1 double, b double, "
+            "positions boolean, generation long",
         ),
         "index_meta",
     )
+
+
+def read_index_generation(index_dir: str) -> int:
+    """Current generation stamp of an index (0 = no meta yet, or a
+    pre-generation meta row). Session-free pyarrow read for parquet paths —
+    the serving tier polls this without a Spark job."""
+    if index_dir.startswith(S.ICEBERG_SCHEME):
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return 0
+        try:
+            r = S.for_index(spark, index_dir).read("index_meta").first()
+        except Exception:  # noqa: BLE001 — table not created yet
+            return 0
+        try:
+            return int(r["generation"])
+        except Exception:  # noqa: BLE001 — pre-generation meta
+            return 0
+    import pyarrow.dataset as ds
+
+    try:
+        row = ds.dataset(
+            f"{index_dir}/index_meta", format="parquet"
+        ).to_table().to_pydict()
+    except FileNotFoundError:
+        return 0
+    gens = row.get("generation")
+    return int(gens[0]) if gens else 0
 
 
 def read_index_meta(index_dir: str) -> IndexConfig:

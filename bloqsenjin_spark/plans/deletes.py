@@ -49,11 +49,16 @@ def _parquet_only(index_dir: str) -> None:
 
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> None:
     """Logical delete: append tombstones (idempotent — duplicates tolerated,
-    readers dedupe)."""
+    readers dedupe). Bumps the index generation — a logical delete changes
+    query results, so long-lived servers must see it as a new generation."""
     _parquet_only(index_dir)
     spark.createDataFrame(
         [(int(d),) for d in doc_ids], "doc_id long"
     ).write.mode("append").parquet(f"{index_dir}/tombstones")
+    try:
+        write_index_meta(spark, index_dir, check_index_meta(index_dir, None))
+    except FileNotFoundError:
+        pass  # pre-meta index: nothing to stamp
 
 
 def load_tombstones(spark: SparkSession, index_dir: str) -> set[int]:

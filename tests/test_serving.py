@@ -275,3 +275,131 @@ def test_serving_near_matches_spark_path(spark, pos_index_dir):
     assert got == want and len(got) > 0
     phrases = [(q, p) for q, p, _ in near]
     assert srv.near_batch([(q, p, 0) for q, p in phrases]) == srv.phrase_batch(phrases)
+
+
+def test_serving_refresh_generations(spark, tmp_path):
+    """Generation-stamped refresh: logical deletes and purges bump the
+    index generation; a long-lived server serves its loaded snapshot until
+    refresh(), then becomes identical to a freshly constructed server."""
+    from bloqsenjin_spark.plans import deletes as D
+    from bloqsenjin_spark.plans.build import read_index_generation
+
+    d = str(tmp_path / "ridx")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    B.build_index_resumable(docs, d, CFG)
+    g0 = read_index_generation(d)
+    assert g0 >= 1
+    srv = IndexServer(d, CFG)
+    baseline = srv.query_batch(corpus.REFERENCE_QUERIES)
+    assert srv.refresh() is False  # nothing written since load
+
+    victims = [doc for q, _r, doc, _s in baseline if q == 1][:3]
+    assert victims
+    D.delete_docs(spark, d, victims)
+    assert read_index_generation(d) > g0
+    # stale-serve isolation: the old generation still answers consistently
+    assert srv.query_batch(corpus.REFERENCE_QUERIES) == baseline
+    assert srv.refresh() is True
+    after = srv.query_batch(corpus.REFERENCE_QUERIES)
+    assert after == IndexServer(d, CFG).query_batch(corpus.REFERENCE_QUERIES)
+    assert after != baseline
+    assert not any(doc in set(victims) for q, _r, doc, _s in after if q == 1)
+    assert srv.refresh() is False
+
+    # physical purge rewrites the index (fresh stats): another generation
+    D.purge_deletes(spark, d)
+    assert srv.refresh(), "purge must move the generation"
+    assert srv.query_batch(corpus.REFERENCE_QUERIES) == IndexServer(
+        d, CFG).query_batch(corpus.REFERENCE_QUERIES)
+
+
+def test_serving_refresh_after_streaming_compact(spark, tmp_path):
+    """build → serve → streaming append → compact → refresh(): the server
+    picks up the compacted index and matches both a fresh server and the
+    Spark query path."""
+    from pyspark.sql import functions as F
+
+    from bloqsenjin_spark.streaming import ingest
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    in_dir, seg_dir, ck_dir, serve_dir = (
+        str(tmp_path / x) for x in ("in", "seg", "ck", "serve")
+    )
+    docs.where(F.col("doc_id") < 250).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    ingest.start_ingest(spark, in_dir, seg_dir, ck_dir, cfg=CFG).awaitTermination(120)
+    B.write_index(ingest.compact(spark, seg_dir, CFG), serve_dir)
+    srv = IndexServer(serve_dir, CFG)
+    base = srv.query_batch(corpus.REFERENCE_QUERIES)
+    assert srv.n_docs == 250 and srv.refresh() is False
+
+    docs.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(in_dir)
+    ingest.start_ingest(spark, in_dir, seg_dir, ck_dir, cfg=CFG).awaitTermination(120)
+    B.write_index(ingest.compact(spark, seg_dir, CFG), serve_dir)
+
+    assert srv.refresh() is True
+    assert srv.n_docs == 500
+    got = sorted(srv.query_batch(corpus.REFERENCE_QUERIES))
+    assert got == sorted(IndexServer(serve_dir, CFG).query_batch(corpus.REFERENCE_QUERIES))
+    assert got != sorted(base)
+    idx = B.read_index(spark, serve_dir, CFG)
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            corpus.REFERENCE_QUERIES, CFG,
+        ).collect()
+    )
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+
+
+def test_serving_ann_full_probe_equals_brute(spark, index_dir):
+    """Serving IVF at full probe is exact: rank-identical to the Spark
+    brute-force cosine top-k (and to ann_cosine_ivf at full probe)."""
+    from bloqsenjin_spark.operators import similarity
+
+    emb = corpus.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    similarity.write_ivf(emb, index_dir, n_centroids=8)
+    srv = IndexServer(index_dir, CFG)
+    qids = list(range(10))
+    got = sorted(srv.ann_batch(qids, k=5, n_probe=8))
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["score"])
+        for r in similarity.cosine_topk(emb, qids, k=5).collect()
+    )
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+
+
+def test_serving_ann_pruned_probe_matches_spark_ivf(spark, index_dir):
+    """At pruned probe the serving replica is rank-identical to the Spark
+    IVF path (same deterministic centroids), and recall vs brute force stays
+    above the pinned floor."""
+    from bloqsenjin_spark.operators import similarity
+
+    emb = corpus.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    similarity.write_ivf(emb, index_dir, n_centroids=8)
+    srv = IndexServer(index_dir, CFG)
+    qids = list(range(10))
+    for n_probe in (2, 4):
+        got = sorted(srv.ann_batch(qids, k=5, n_probe=n_probe))
+        want = sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["score"])
+            for r in similarity.ann_cosine_ivf(
+                emb, qids, k=5, n_centroids=8, n_probe=n_probe
+            ).collect()
+        )
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            assert g[:3] == w[:3]
+            assert g[3] == pytest.approx(w[3], abs=1e-9)
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, qids, k=5).collect()
+    }
+    hits = {(q, v) for q, _r, v, _s in srv.ann_batch(qids, k=5, n_probe=2)}
+    recall = len(hits & brute) / len(brute)
+    assert recall >= 0.5, f"pruned-probe recall collapsed: {recall}"
