@@ -190,6 +190,35 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
         variants["filter_bitmap_build"] = round(allow_build, 4)
         allow_map.unpersist()
 
+        # ---- serving-tier query forms (no Spark job), min-of-3 interleaved --
+        from bloqsenjin_spark.operators import similarity as SIM
+
+        t0 = time.perf_counter()
+        SIM.write_ivf(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), idx_dir,
+            n_centroids=16,
+        )
+        ivf_build = time.perf_counter() - t0
+        srv.refresh()  # write_ivf bumped the generation
+        prefix_qs = [(1, "s", 10), (2, "c", 10)]
+        ann_ids = list(range(10))
+        sf_runs = {
+            "count": lambda: srv.count_batch(corpus.REFERENCE_QUERIES),
+            "prefix": lambda: srv.prefix_topk_batch(prefix_qs, max_expansions=8),
+            "boolean": lambda: srv.query_batch(boolean_qs),
+            "ann": lambda: srv.ann_batch(ann_ids, k=5, n_probe=4),
+        }
+        sf_ts: dict[str, list[float]] = {k: [] for k in sf_runs}
+        for fn in sf_runs.values():
+            fn()  # warm caches/replicas
+        for _ in range(3):
+            for name, fn in sf_runs.items():
+                t0 = time.perf_counter()
+                fn()
+                sf_ts[name].append(time.perf_counter() - t0)
+        serving_forms = {k: round(min(v), 5) for k, v in sf_ts.items()}
+        serving_forms["ivf_build_sec"] = round(ivf_build, 3)
+
         # ---- phrase path: positional build + match/top-k latency -------------
         # Reported as a SEPARATE sub-dict (not in `value`/p95) so the headline
         # metrics stay comparable across rounds; this documents the round-3
@@ -219,12 +248,33 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
                     pidx.avgdl, phrases, pcfg,
                 ).count()
                 pt_ts.append(time.perf_counter() - t0)
+            # positional serving forms (no Spark job), min-of-3 interleaved
+            psrv = IndexServer(pidx_dir, pcfg)
+            hl_qs = [(1, ["the", "fast"], "disjunctive", 10),
+                     (2, ["customer"], "disjunctive", 5)]
+            ps_runs = {
+                "phrase": lambda: psrv.phrase_batch(
+                    [(q, p) for q, p, _ in phrases]),
+                "phrase_topk": lambda: psrv.phrase_topk_batch(phrases),
+                "near": lambda: psrv.near_batch(
+                    [(q, p, 2) for q, p, _ in phrases]),
+                "highlight": lambda: psrv.highlight_batch(hl_qs),
+            }
+            ps_ts: dict[str, list[float]] = {k: [] for k in ps_runs}
+            for fn in ps_runs.values():
+                fn()  # warm
+            for _ in range(3):
+                for name, fn in ps_runs.items():
+                    t0 = time.perf_counter()
+                    fn()
+                    ps_ts[name].append(time.perf_counter() - t0)
             phrase = {
                 "build_sec": round(phrase_build, 3),
                 "build_docs_per_sec": round(n_docs / phrase_build, 1),
                 "match_sec": round(min(pm_ts), 4),
                 "topk_sec": round(min(pt_ts), 4),
                 "topk_rows": topk_rows,
+                "serving": {k: round(min(v), 5) for k, v in ps_ts.items()},
             }
             pidx.postings.unpersist()
             pidx.doc_lens.unpersist()
@@ -246,6 +296,7 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
         "p50_query_sec": round(p50, 4),
         "p95_query_sec": round(p95, 4),
         "p95_serving_sec": round(p95_serving, 5),
+        "serving_forms": serving_forms,
         "phrase": phrase,
         "variants": variants,
         "wand_rows": n_wand,
