@@ -346,6 +346,28 @@ def _q_topk_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
 PREFIX_QUERIES = [(1, "s", 10), (2, "c", 10), (3, "zz", 5)]
 _MAX_EXPANSIONS = 4  # small so the df-ranked expansion cap binds at sf0.01
 
+# fuzzy: (qid, word, max_dist, k) — typos of real vocabulary terms, one
+# multi-expansion case (4) and a zero-expansion guard (5)
+FUZZY_QUERIES = [
+    (1, "spork", 1, 10),
+    (2, "quary", 1, 10),
+    (3, "dta", 1, 10),
+    (4, "ow", 1, 5),
+    (5, "xyzzy", 1, 10),
+]
+
+
+def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery analog: dictionary expansion by Levenshtein ≤ max_dist
+    (distance ASC, df DESC, term ASC, capped) → one disjunctive BM25
+    ranking — the same one-batch-job expansion shape as prefix search."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG)
+    res = wand.fuzzy_bm25_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        FUZZY_QUERIES, _SF_CFG, max_expansions=_MAX_EXPANSIONS,
+    )
+    return res.withColumn("score", F.round("score", _R))
+
 
 def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrefixQuery analog: dictionary expansion (df DESC, term ASC, capped)
@@ -389,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_serving": _q_bm25_serving,
         "bm25_topk_filtered": _q_bm25_filtered,
         "bm25_topk_prefix": _q_prefix_topk,
+        "bm25_topk_fuzzy": _q_fuzzy_topk,
         "bm25_topk_boolean": _q_bm25_boolean,
         "bm25_topk_highlight": _q_topk_highlights,
         "bm25_match_counts": _q_match_counts,
@@ -461,6 +484,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_prefix": oracle.prefix_topk_sql(
             PREFIX_QUERIES, max_expansions=_MAX_EXPANSIONS
+        ),
+        "bm25_topk_fuzzy": oracle.fuzzy_topk_sql(
+            FUZZY_QUERIES, max_expansions=_MAX_EXPANSIONS
         ),
         "bm25_topk_boolean": oracle.bm25_topk_sql(
             [q[:4] for q in BOOLEAN_QUERIES],

@@ -520,3 +520,40 @@ def resolve_clusters(
             )
         )
     return labels.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    method: str = "minhash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """End-to-end dedup decision → the KEPT corpus (full doc rows): generate
+    near-dup pairs with the chosen method, resolve transitive clusters, keep
+    the min docID per cluster, left-semi-join the survivors back. This is
+    the one-call form of the pipeline a training-data user actually runs:
+
+        exact   — hash groupBy, no pair materialization
+        ngram   — exact n-gram Jaccard pairs (kwargs: threshold, n, ...)
+        minhash — MinHash+LSH candidates, exact verify
+        simhash — SimHash chunk buckets, popcount verify
+
+    Scale shape: the only additions over the pair generators are the
+    O(log n) pair-sized cluster-resolution rounds and one left-semi join of
+    the keep-list against the corpus."""
+    if method == "exact":
+        keep = exact_dedup(docs, text_col, id_col).where(F.col("keep"))
+    else:
+        gen = {
+            "ngram": ngram_jaccard_pairs,
+            "minhash": minhash_lsh_pairs,
+            "simhash": simhash_pairs,
+        }
+        if method not in gen:
+            raise ValueError(f"unknown method {method!r}")
+        pairs = gen[method](docs, text_col=text_col, id_col=id_col, **kwargs)
+        keep = resolve_clusters(pairs, docs, id_col).where(F.col("keep"))
+    return docs.join(
+        keep.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    )

@@ -437,6 +437,53 @@ class IndexServer:
                     )
         return sorted(out)
 
+    @staticmethod
+    def _levenshtein(a: str, b: str, cap: int) -> int:
+        """Standard Levenshtein distance (same semantics as Spark's and
+        DuckDB's ``levenshtein``), with a row-minimum early exit once the
+        distance provably exceeds ``cap``."""
+        if a == b:
+            return 0
+        if abs(len(a) - len(b)) > cap:
+            return cap + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, start=1):
+            cur = [i]
+            best = i
+            for j, cb in enumerate(b, start=1):
+                v = min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                cur.append(v)
+                best = min(best, v)
+            if best > cap:
+                return cap + 1
+            prev = cur
+        return prev[-1]
+
+    def fuzzy_topk_batch(
+        self, fuzzy_queries: list[tuple[int, str, int, int]],
+        max_expansions: int = 50, allowed_doc_ids=None,
+    ) -> list[tuple[int, int, int, float]]:
+        """→ [(query_id, rank, doc_id, score)] — typo-tolerant top-k,
+        rank-identical to operators/wand.fuzzy_bm25_topk on the same index.
+        Expansion scans the ALREADY-LOADED dictionary replica with the same
+        rule: Levenshtein ≤ max_dist, ranked (distance ASC, df DESC,
+        term ASC), capped at ``max_expansions``."""
+        queries = []
+        for qid, word, max_dist, k in fuzzy_queries:
+            cands = []
+            for t in self.df:
+                d = self._levenshtein(t, word, int(max_dist))
+                if d <= max_dist:
+                    cands.append((d, -self.df[t], t))
+            cands.sort()
+            terms = [t for _d, _ndf, t in cands[:max_expansions]]
+            if terms:
+                queries.append((int(qid), terms, "disjunctive", int(k)))
+        if not queries:
+            return []
+        return self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
+
     def _ann_tables(self):
         """Lazy-load the persisted IVF replica (similarity.write_ivf layout):
         the centroid matrix stays in memory; vectors are read per probe with

@@ -705,6 +705,80 @@ def prefix_bm25_topk(
     )
 
 
+def expand_fuzzy_terms(
+    term_stats: DataFrame,
+    fuzzy_queries: list[tuple[int, str, int, int]],
+    max_expansions: int = 50,
+) -> dict[int, list[str]]:
+    """Expand every fuzzy query word in ONE Spark job → {query_id: [terms]}:
+    vocabulary terms within ``max_dist`` Levenshtein edits of the query word,
+    capped at ``max_expansions`` by (distance ASC, df DESC, term ASC) —
+    closest first, then the head-biased rule shared with prefix expansion.
+
+    Same plan as expand_prefix_terms: broadcast the tiny (query_id, word,
+    max_dist) relation against the dictionary (one distributed vocab scan per
+    BATCH, not per word), rank-window cap, bounded collect. At a 100M-term
+    vocabulary a production system would pre-bucket the dictionary by
+    deletion neighborhoods / FST — this is the scan-based baseline, and the
+    serving tier answers from its in-memory dictionary replica instead."""
+    spark = term_stats.sparkSession
+    q = spark.createDataFrame(
+        [(int(qid), str(w), int(d)) for qid, w, d, _k in fuzzy_queries],
+        "query_id long, word string, max_dist int",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    rows = (
+        term_stats.select("term", "df")
+        .join(F.broadcast(q),
+              F.levenshtein(F.col("term"), F.col("word"))
+              <= F.col("max_dist"))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.col("word")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_expansions)
+        .select("query_id", "term", "rn")
+        .collect()
+    )
+    exp: dict[int, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rn"])):
+        exp.setdefault(int(r["query_id"]), []).append(r["term"])
+    return exp
+
+
+def fuzzy_bm25_topk(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    fuzzy_queries: list[tuple[int, str, int, int]],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    max_expansions: int = 50,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+) -> DataFrame:
+    """Typo-tolerant top-k (the FuzzyQuery analog): ``(query_id, word,
+    max_dist, k)`` expands to vocabulary terms within ``max_dist`` edits —
+    one batch dictionary job, distance-then-df-ranked, capped — then ranks
+    as ONE disjunctive BM25 query over the expansion set via the ordinary
+    bm25_wand_topk plan."""
+    exp = expand_fuzzy_terms(term_stats, fuzzy_queries, max_expansions)
+    queries = [
+        (int(qid), exp[int(qid)], "disjunctive", int(k))
+        for qid, _w, _d, k in fuzzy_queries
+        if exp.get(int(qid))
+    ]
+    if not queries:
+        spark = postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return bm25_wand_topk(
+        postings, doc_lens, term_stats, avgdl, queries, cfg,
+        tomb_map=tomb_map, allow_map=allow_map,
+    )
+
+
 def topk_highlights(
     postings: DataFrame,
     doc_lens: DataFrame,

@@ -219,6 +219,66 @@ FROM ranked WHERE rank <= k
 """.strip()
 
 
+def fuzzy_topk_sql(
+    fuzzy_queries: list[tuple[int, str, int, int]],
+    max_expansions: int = 50,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for fuzzy_bm25_topk: the SAME expansion rule in SQL —
+    vocabulary terms with levenshtein ≤ max_dist, capped at max_expansions by
+    (distance ASC, df DESC, term ASC) — then disjunctive BM25 with
+    full-corpus stats (DuckDB's levenshtein matches Spark's semantics)."""
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
+    idf = idf_sql("ts.df", "cs.n")
+    rows = ", ".join(
+        "({}, '{}', {}, {})".format(qid, w.replace("'", "''"), d, k)
+        for qid, w, d, k in fuzzy_queries
+    )
+    return f"""
+WITH q(query_id, word, max_dist, k) AS (VALUES {rows}),
+dtok AS (
+    SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM dtok),
+dl AS (SELECT doc_id, len(toks) AS dl FROM dtok),
+cs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+exp AS (
+    SELECT q.query_id, q.k, ts.term,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY levenshtein(ts.term, q.word) ASC,
+                                       ts.df DESC, ts.term ASC) AS rn
+    FROM q JOIN ts ON levenshtein(ts.term, q.word) <= q.max_dist
+),
+qt AS (SELECT query_id, k, term FROM exp WHERE rn <= {max_expansions}),
+contrib AS (
+    SELECT qt.query_id, tf.doc_id, qt.k, {idf} * {tfc} AS contrib
+    FROM qt
+    JOIN tf USING (term)
+    JOIN ts USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN cs
+),
+scored AS (
+    SELECT query_id, doc_id, k, sum(contrib) AS score
+    FROM contrib GROUP BY query_id, doc_id, k
+),
+ranked AS (
+    SELECT query_id, doc_id, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= k
+""".strip()
+
+
 def bm25_topk_decorated_sql(queries: list[tuple[int, list[str], str, int]]) -> str:
     base = bm25_topk_sql(queries)
     return f"""

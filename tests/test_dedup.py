@@ -259,3 +259,15 @@ def test_resolve_clusters_empty_pairs(spark, dup_docs):
     r = dedup.resolve_clusters(empty, dup_docs).collect()
     assert len(r) == 6
     assert all(x["keep"] and x["cluster_id"] == x["doc_id"] for x in r)
+
+
+@pytest.mark.parametrize("method,kwargs,kept", [
+    ("exact", {}, {0, 3, 4, 5}),
+    ("minhash", {"threshold": 0.9}, {0, 3, 4, 5}),
+    ("ngram", {"threshold": 0.5}, {0, 4, 5}),   # 3 joins 0's cluster at J=0.6
+    ("simhash", {"max_hamming": 3}, {0, 3, 4, 5}),
+])
+def test_dedup_corpus_end_to_end(spark, dup_docs, method, kwargs, kept):
+    got = {r["doc_id"] for r in
+           dedup.dedup_corpus(dup_docs, method, **kwargs).collect()}
+    assert got == kept

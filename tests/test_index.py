@@ -298,3 +298,46 @@ def test_match_count_partials_rows_bounded_by_queries_x_shards(spark):
         if r["n_hits"] > 0
     }
     assert got == want and got[1] > SMALL.docs_per_shard  # really match-heavy
+
+
+def test_fuzzy_topk_expansion_semantics(spark):
+    """fuzzy_bm25_topk == disjunctive bm25_wand_topk over the
+    (distance ASC, df DESC, term ASC)-ranked, capped expansion set; no
+    expansion ⇒ no rows."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, SMALL)
+    fuzzy = [(1, "sow", 1, 5), (2, "xyzzy", 1, 5)]  # sow → {row, slow}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    ts = {r["term"]: r["df"] for r in idx.term_stats.collect()}
+    cands = sorted(
+        ((lev(t, "sow"), -ts[t], t) for t in ts if lev(t, "sow") <= 1)
+    )
+    assert len(cands) == 2  # real multi-term expansion on this corpus
+    for cap in (1, 2):  # cap binds at 1, full expansion at 2
+        got = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in wand.fuzzy_bm25_topk(
+                idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+                fuzzy, SMALL, max_expansions=cap,
+            ).collect()
+        )
+        exp = [t for _d, _ndf, t in cands[:cap]]
+        want = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in wand.bm25_wand_topk(
+                idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+                [(1, exp, "disjunctive", 5)], SMALL,
+            ).collect()
+        )
+        assert got == want and len(got) == 5
+        assert not any(q == 2 for q, _, _, _ in got)  # no expansion ⇒ no rows

@@ -403,3 +403,26 @@ def test_serving_ann_pruned_probe_matches_spark_ivf(spark, index_dir):
     hits = {(q, v) for q, _r, v, _s in srv.ann_batch(qids, k=5, n_probe=2)}
     recall = len(hits & brute) / len(brute)
     assert recall >= 0.5, f"pruned-probe recall collapsed: {recall}"
+
+
+def test_serving_fuzzy_topk_matches_spark_path(spark, index_dir):
+    """Serving fuzzy top-k expands from the in-memory dictionary with the
+    same (distance, df, term) rule — rank-identical to wand.fuzzy_bm25_topk."""
+    fuzzy = [(1, "spork", 1, 5), (2, "ow", 1, 5), (3, "quary", 2, 4),
+             (4, "xyzzy", 1, 5)]
+    idx = B.read_index(spark, index_dir, CFG)
+    for cap in (2, 50):
+        want = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in wand.fuzzy_bm25_topk(
+                idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+                fuzzy, CFG, max_expansions=cap,
+            ).collect()
+        )
+        got = sorted(IndexServer(index_dir, CFG).fuzzy_topk_batch(
+            fuzzy, max_expansions=cap))
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            assert g[:3] == w[:3]
+            assert g[3] == pytest.approx(w[3], abs=1e-12)
+    assert not any(q == 4 for q, _, _, _ in got)
