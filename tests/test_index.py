@@ -236,6 +236,11 @@ def test_match_counts_semantics_and_plan(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # counting is an aggregation, never a rank
     assert "HashAggregate" in plan
+    # column pruning reaches the scan: counting reads doc_deltas only —
+    # neither tf payloads nor block-max metadata
+    scan = [l for l in plan.splitlines()
+            if "FileScan" in l and "doc_deltas" in l]
+    assert scan and "block_max_score" not in scan[0] and "tfs" not in scan[0]
 
 
 def test_prefix_expansion_is_one_batch_job(spark):
