@@ -304,6 +304,42 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+# weighted queries: (qid, terms, mode, k, MUST_NOT, {term: boost}) — dyadic
+# boosts so Spark/DuckDB float products agree exactly; q3 composes MUST_NOT
+WEIGHTED_QUERIES = [
+    (1, ["the", "fast"], "disjunctive", 10, [], {"the": 0.25, "fast": 2.0}),
+    (2, ["customer", "order"], "conjunctive", 10, [], {"order": 1.5}),
+    (3, ["join", "hash", "row"], "disjunctive", 10, ["merge"],
+     {"join": 2.0, "hash": 0.5}),
+]
+
+# deep paging: query_id → rows to skip (page 2+ of the standard query set)
+PAGE_OFFSETS = {1: 5, 2: 3, 4: 20, 5: 50, 7: 10}
+
+
+def _q_bm25_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term query boosts (6-tuple queries): each term's contribution AND
+    its block-max upper bound scale by the boost, so exact pruning survives
+    weighting — the same kernel, no new plan."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG)
+    res = wand.bm25_wand_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        WEIGHTED_QUERIES, _SF_CFG,
+    )
+    return res.withColumn("score", F.round("score", _R))
+
+
+def _q_bm25_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep paging: page (offset, offset+k] with GLOBAL ranks — per-shard
+    partials truncate at offset+k so page exactness is preserved."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG)
+    res = wand.bm25_topk_paged(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        corpus.REFERENCE_QUERIES, PAGE_OFFSETS, _SF_CFG,
+    )
+    return res.withColumn("score", F.round("score", _R))
+
+
 # boolean queries: (qid, MUST terms, mode, k, MUST_NOT terms)
 BOOLEAN_QUERIES = [
     (1, ["join", "hash"], "conjunctive", 10, ["merge"]),
@@ -413,6 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_prefix": _q_prefix_topk,
         "bm25_topk_fuzzy": _q_fuzzy_topk,
         "bm25_topk_boolean": _q_bm25_boolean,
+        "bm25_topk_weighted": _q_bm25_weighted,
+        "bm25_topk_paged": _q_bm25_paged,
         "bm25_topk_highlight": _q_topk_highlights,
         "bm25_match_counts": _q_match_counts,
         "phrase_match": _q_phrase_match,
@@ -491,6 +529,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_boolean": oracle.bm25_topk_sql(
             [q[:4] for q in BOOLEAN_QUERIES],
             must_not={q[0]: list(q[4]) for q in BOOLEAN_QUERIES if q[4]},
+        ),
+        "bm25_topk_weighted": oracle.weighted_topk_sql(WEIGHTED_QUERIES),
+        "bm25_topk_paged": oracle.paged_topk_sql(
+            corpus.REFERENCE_QUERIES, PAGE_OFFSETS
         ),
         "bm25_topk_highlight": oracle.topk_highlights_sql(
             corpus.REFERENCE_QUERIES

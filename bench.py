@@ -202,10 +202,14 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
         srv.refresh()  # write_ivf bumped the generation
         prefix_qs = [(1, "s", 10), (2, "c", 10)]
         ann_ids = list(range(10))
+        fuzzy_qs = [(1, "spork", 1, 10), (2, "custmer", 1, 10)]
         sf_runs = {
             "count": lambda: srv.count_batch(corpus.REFERENCE_QUERIES),
             "prefix": lambda: srv.prefix_topk_batch(prefix_qs, max_expansions=8),
+            "fuzzy": lambda: srv.fuzzy_topk_batch(fuzzy_qs, max_expansions=8),
             "boolean": lambda: srv.query_batch(boolean_qs),
+            "paged": lambda: srv.paged_batch(
+                corpus.REFERENCE_QUERIES, {q[0]: 10 for q in corpus.REFERENCE_QUERIES}),
             "ann": lambda: srv.ann_batch(ann_ids, k=5, n_probe=4),
         }
         sf_ts: dict[str, list[float]] = {k: [] for k in sf_runs}

@@ -68,12 +68,16 @@ def score_shard_blocks(
     out_d: list[np.ndarray] = []
     out_s: list[np.ndarray] = []
     for q in queries:
-        # 4-tuples (qid, terms, mode, k) or 5-tuples with MUST_NOT terms:
-        # docs containing ANY neg term are excluded before top-k. Exclusion
-        # is block-local AND complete — a doc's postings (positive and
-        # negative terms alike) all live in its one doc-range block.
+        # 4-tuples (qid, terms, mode, k), 5-tuples with MUST_NOT terms
+        # (docs containing ANY neg term are excluded before top-k — exclusion
+        # is block-local AND complete since a doc's postings, positive and
+        # negative terms alike, all live in its one doc-range block), or
+        # 6-tuples adding a per-term boost dict {term: weight} — each term's
+        # contribution AND its block-max upper bound scale by the weight, so
+        # the pruning stays exact under boosting.
         qid, terms, mode, k = q[:4]
         negs = sorted(set(q[4])) if len(q) > 4 and q[4] else ()
+        wmap = q[5] if len(q) > 5 and q[5] else None
         present = sorted(t for t in set(terms) if t in term_blocks)
         need = sorted(set(terms))
         if not present:
@@ -89,7 +93,14 @@ def score_shard_blocks(
                 cand.update(term_blocks[t])
         if not cand:
             continue
-        ubs = {bi: sum(term_bmax[t].get(bi, 0.0) for t in present) for bi in cand}
+
+        def wt(t):
+            return float(wmap.get(t, 1.0)) if wmap else 1.0
+
+        ubs = {
+            bi: sum(term_bmax[t].get(bi, 0.0) * wt(t) for t in present)
+            for bi in cand
+        }
         ordered = sorted(cand, key=lambda bi: (-ubs[bi], bi))
 
         scores_acc: list[np.ndarray] = []
@@ -108,7 +119,7 @@ def score_shard_blocks(
                     continue
                 ids, tfs = block_postings(ri, block_base)
                 off = ids - block_base
-                contrib = idf_map[t] * bm25.tf_component_np(
+                contrib = (idf_map[t] * wt(t)) * bm25.tf_component_np(
                     tfs, dls[ids - shard_base], avgdl, k1, b
                 )
                 acc[off] += contrib

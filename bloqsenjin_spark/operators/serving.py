@@ -222,7 +222,8 @@ class IndexServer:
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — rank-identical to
         operators/wand.bm25_wand_topk on the same index. Queries may carry a
-        5th element (MUST_NOT terms). ``allowed_doc_ids`` (any int iterable)
+        5th element (MUST_NOT terms) and a 6th (per-term boost dict — shared
+        kernel, pruning stays exact). ``allowed_doc_ids`` (any int iterable)
         restricts ranking to those docs — the serving-side form of
         bm25_topk_filtered's allow bitmaps, e.g. an ACL set."""
         all_terms = sorted(
@@ -265,6 +266,24 @@ class IndexServer:
 
     def query(self, terms: list[str], mode: str = "disjunctive", k: int = 10):
         return self.query_batch([(0, terms, mode, k)])
+
+    def paged_batch(
+        self, queries: list, offsets: dict[int, int], allowed_doc_ids=None,
+    ) -> list[tuple[int, int, int, float]]:
+        """→ page (offset, offset+k] of each ranking with GLOBAL ranks —
+        identical to operators/wand.bm25_topk_paged: rank at depth offset+k,
+        slice the page."""
+        deep = [
+            (q[0], q[1], q[2], int(q[3]) + int(offsets.get(q[0], 0)))
+            + tuple(q[4:])
+            for q in queries
+        ]
+        kmap = {int(q[0]): int(q[3]) for q in queries}
+        rows = self.query_batch(deep, allowed_doc_ids=allowed_doc_ids)
+        return [
+            r for r in rows
+            if offsets.get(r[0], 0) < r[1] <= offsets.get(r[0], 0) + kmap[r[0]]
+        ]
 
     def prefix_topk_batch(
         self, prefix_queries: list[tuple[int, str, int]],

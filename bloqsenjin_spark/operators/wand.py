@@ -556,6 +556,52 @@ def bm25_wand_topk(
     )
 
 
+def bm25_topk_paged(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    queries: list,
+    offsets: dict[int, int],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+) -> DataFrame:
+    """Deep paging: return page (offset, offset+k] of each query's ranking
+    (``offsets`` maps query_id → #rows to skip; the output ``rank`` is the
+    GLOBAL rank, so page boundaries are stable across requests).
+
+    Plan: the identical single scoring pass, with per-shard partials
+    truncated at offset+k — every row of the target page wins a
+    top-(offset+k) slot in its own shard, so exactness is preserved — then
+    the global window keeps ranks in (offset, offset+k]. Deep offsets cost
+    O(shards·(offset+k)) window input, the standard deep-paging tradeoff."""
+    deep = [
+        (q[0], q[1], q[2], int(q[3]) + int(offsets.get(q[0], 0)))
+        + tuple(q[4:])
+        for q in queries
+    ]
+    partial = wand_score_partials(
+        postings, doc_lens, term_stats, avgdl, deep, cfg,
+        tomb_map=tomb_map, allow_map=allow_map,
+    )
+    kmap = F.create_map(
+        *[x for q in queries for x in (F.lit(q[0]), F.lit(int(q[3])))]
+    )
+    omap = F.create_map(
+        *[x for q in queries
+          for x in (F.lit(q[0]), F.lit(int(offsets.get(q[0], 0))))]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    off = omap[F.col("query_id")]
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where((F.col("rank") > off)
+               & (F.col("rank") <= off + kmap[F.col("query_id")]))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def wand_score_partials(
     postings: DataFrame,
     doc_lens: DataFrame,
@@ -571,9 +617,11 @@ def wand_score_partials(
     once per query (it lives in one shard), so for match-set consumers
     (phrase_match_twostage candidates) this IS the result: no window, no
     per-query single-reducer sort."""
-    # queries may be 4-tuples or 5-tuples with MUST_NOT terms (scored by the
-    # kernel as block-local exclusions); neg terms' postings must be scanned
-    # too, so they join the pushed term filter
+    # queries may be 4-tuples, 5-tuples with MUST_NOT terms (scored by the
+    # kernel as block-local exclusions — neg terms' postings must be scanned
+    # too, so they join the pushed term filter), or 6-tuples adding a
+    # per-term boost dict (contribution AND block-max ub scale by the
+    # weight, so pruning stays exact — see score_shard_blocks)
     all_terms = sorted(
         {t for q in queries for t in q[1]}
         | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}

@@ -219,6 +219,102 @@ FROM ranked WHERE rank <= k
 """.strip()
 
 
+def weighted_topk_sql(
+    wqueries: list,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for boosted queries (6-tuples (qid, terms, mode, k, must_not,
+    {term: weight})): per-term contribution = (idf · w) · tfc — the SAME
+    multiplication order as the kernel, so rounded scores agree exactly.
+    Unweighted terms default to w = 1."""
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
+    idf = idf_sql("ts.df", "cs.n")
+    qt_rows, neg_rows = [], []
+    for qid, terms, mode, k, negs, weights in wqueries:
+        uniq = sorted(set(terms))
+        for t in uniq:
+            w = float((weights or {}).get(t, 1.0))
+            qt_rows.append(
+                "({}, '{}', {!r}::DOUBLE, '{}', {}, {})".format(
+                    qid, t.replace("'", "''"), w, mode, k, len(uniq))
+            )
+        for t in sorted(set(negs or ())):
+            neg_rows.append("({}, '{}')".format(qid, t.replace("'", "''")))
+    neg_cte, neg_join = "", ""
+    if neg_rows:
+        neg_cte = (
+            f"qn(query_id, term) AS (VALUES {', '.join(neg_rows)}),\n"
+            "excl AS (SELECT DISTINCT qn.query_id, tf.doc_id "
+            "FROM qn JOIN tf USING (term)),\n"
+        )
+        neg_join = "ANTI JOIN excl USING (query_id, doc_id)"
+    return f"""
+WITH qt(query_id, term, w, mode, k, n_terms) AS (VALUES
+        {', '.join(qt_rows)}),
+dtok AS (
+    SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM dtok),
+dl AS (SELECT doc_id, len(toks) AS dl FROM dtok),
+cs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+{neg_cte}contrib AS (
+    SELECT qt.query_id, tf.doc_id, qt.mode, qt.k, qt.n_terms,
+           ({idf} * qt.w) * {tfc} AS contrib
+    FROM qt
+    JOIN tf USING (term)
+    JOIN ts USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN cs
+),
+scored AS (
+    SELECT query_id, doc_id, mode, k, n_terms,
+           sum(contrib) AS score, count(*) AS nm
+    FROM contrib
+    GROUP BY query_id, doc_id, mode, k, n_terms
+    HAVING (mode = 'disjunctive' OR count(*) = n_terms)
+),
+ranked AS (
+    SELECT query_id, doc_id, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored {neg_join}
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= k
+""".strip()
+
+
+def paged_topk_sql(
+    queries: list[tuple[int, list[str], str, int]],
+    offsets: dict[int, int],
+) -> str:
+    """Oracle for bm25_topk_paged: rank at depth offset+k, keep the page
+    (offset, offset+k] with GLOBAL ranks."""
+    deep = [
+        (qid, terms, mode, int(k) + int(offsets.get(qid, 0)))
+        for qid, terms, mode, k in queries
+    ]
+    base = bm25_topk_sql(deep, round_score=False)
+    po = ", ".join(
+        f"({qid}, {int(offsets.get(qid, 0))}, {int(k)})"
+        for qid, _t, _m, k in queries
+    )
+    return f"""
+WITH deep AS ({base}),
+po(query_id, poff, page_k) AS (VALUES {po})
+SELECT d.query_id, d.rank, d.doc_id,
+       round(d.score, {SCORE_ROUND_DECIMALS}) AS score
+FROM deep d JOIN po USING (query_id)
+WHERE d.rank > po.poff AND d.rank <= po.poff + po.page_k
+""".strip()
+
+
 def fuzzy_topk_sql(
     fuzzy_queries: list[tuple[int, str, int, int]],
     max_expansions: int = 50,

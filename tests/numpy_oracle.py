@@ -36,7 +36,11 @@ def bm25_topk(
         df.update(c.keys())
 
     out = []
-    for qid, terms, mode, k in queries:
+    for q in queries:
+        # 4-tuples, 5-tuples (+MUST_NOT terms), 6-tuples (+{term: weight})
+        qid, terms, mode, k = q[:4]
+        negs = set(q[4]) if len(q) > 4 and q[4] else set()
+        weights = q[5] if len(q) > 5 and q[5] else {}
         uterms = sorted(set(terms))
         scored = []
         for d in docs:
@@ -45,12 +49,15 @@ def bm25_topk(
                 continue
             if mode == "conjunctive" and len(hits) != len(uterms):
                 continue
+            if negs and any(tf[d].get(t) for t in negs):
+                continue
             dl = len(toks[d])
             s = 0.0
             for t in hits:  # sorted term order = deterministic summation
                 idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
                 f = tf[d][t]
-                s += idf * f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dl / avgdl))
+                s += (idf * weights.get(t, 1.0)) * f * (k1 + 1.0) / (
+                    f + k1 * (1.0 - b + b * dl / avgdl))
             scored.append((d, s))
         scored.sort(key=lambda x: (-x[1], x[0]))
         for rank, (d, s) in enumerate(scored[:k], start=1):

@@ -346,3 +346,79 @@ def test_fuzzy_topk_expansion_semantics(spark):
         )
         assert got == want and len(got) == 5
         assert not any(q == 2 for q, _, _, _ in got)  # no expansion ⇒ no rows
+
+
+def test_weighted_queries_match_numpy_oracle(spark):
+    """6-tuple per-term boosts: kernel == independent NumPy oracle; a boost
+    dict of all-1.0 (or None) is bit-identical to the plain 4-tuple query."""
+    from tests import numpy_oracle
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, SMALL)
+    wq = [
+        (1, ["the", "fast"], "disjunctive", 8, [], {"the": 0.25, "fast": 2.0}),
+        (2, ["customer", "order"], "conjunctive", 8, [], {"order": 1.5}),
+        (3, ["join", "hash", "row"], "disjunctive", 8, ["merge"],
+         {"join": 2.0, "hash": 0.5}),
+    ]
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, wq, SMALL
+        ).collect()
+    )
+    dmap = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = sorted(numpy_oracle.bm25_topk(dmap, wq))
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+    # boosts really reorder: q1 down-weights the head term 8x vs plain
+    plain = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            [(1, ["the", "fast"], "disjunctive", 8)], SMALL,
+        ).collect()
+    }
+    assert any(plain[(1, rk)] != d for _q, rk, d, _s in got
+               if _q == 1 and (1, rk) in plain)
+
+    one = sorted(
+        tuple(r) for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            [(9, ["the", "fast"], "disjunctive", 6, [], {"the": 1.0})], SMALL,
+        ).collect()
+    )
+    base = sorted(
+        tuple(r) for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            [(9, ["the", "fast"], "disjunctive", 6)], SMALL,
+        ).collect()
+    )
+    assert one == base  # weight 1.0 is the identity, bit-exact
+
+
+def test_paged_topk_pages_partition_the_ranking(spark):
+    """Pages (0,7], (7,14], (14,20] concatenate to exactly the full top-20
+    with identical global ranks."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, SMALL)
+    q = [(1, ["the", "fast"], "disjunctive", 20)]
+    full = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, q, SMALL
+        ).collect()
+    )
+    assert len(full) == 20
+    pages = []
+    for off, k in ((0, 7), (7, 7), (14, 6)):
+        pages += [
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in wand.bm25_topk_paged(
+                idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+                [(1, ["the", "fast"], "disjunctive", k)], {1: off}, SMALL,
+            ).collect()
+        ]
+    assert sorted(pages) == full

@@ -129,3 +129,60 @@ def test_must_not_equals_python_reference_on_random_corpus(spark, seed):
         assert sorted(IndexServer(d, cfg).query_batch(queries)) == got
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", [11, 57])
+def test_weighted_boolean_paged_equal_numpy_on_random_corpus(spark, seed):
+    """Randomized 6-tuple (boost + MUST_NOT) queries == the independent
+    NumPy oracle, and random pages partition the full ranking."""
+    from tests import numpy_oracle
+
+    rng = random.Random(seed * 13 + 1)
+    docs_rows = _random_corpus(seed, 300)
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    cfg = IndexConfig(docs_per_shard=64, block_docs=8)
+    idx = build_index(docs, cfg)
+    queries = []
+    for q in range(1, 7):
+        terms = sorted(set(rng.choices([f"w{i}" for i in range(52)],
+                                       k=rng.randint(1, 4))))
+        negs = sorted(set(rng.choices([f"w{i}" for i in range(52)],
+                                      k=rng.randint(0, 2))) - set(terms))
+        weights = {t: rng.choice([0.25, 0.5, 1.0, 2.0, 4.0]) for t in terms
+                   if rng.random() < 0.7}
+        queries.append((q, terms, rng.choice(["conjunctive", "disjunctive"]),
+                        rng.choice([3, 10, 25]), negs, weights))
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            queries, cfg,
+        ).collect()
+    )
+    want = sorted(numpy_oracle.bm25_topk(dict(docs_rows), queries))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (seed, g, w)
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+
+    # paging partitions the full weighted ranking
+    q1 = queries[0]
+    deep = [(q1[0], q1[1], q1[2], 24) + tuple(q1[4:])]
+    full = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, deep, cfg
+        ).collect()
+    )
+    pages = []
+    for off in (0, 9, 18):
+        k = min(9, 24 - off)
+        pq = [(q1[0], q1[1], q1[2], k) + tuple(q1[4:])]
+        pages += [
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in wand.bm25_topk_paged(
+                idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+                pq, {q1[0]: off}, cfg,
+            ).collect()
+        ]
+    assert sorted(pages) == full

@@ -426,3 +426,39 @@ def test_serving_fuzzy_topk_matches_spark_path(spark, index_dir):
             assert g[:3] == w[:3]
             assert g[3] == pytest.approx(w[3], abs=1e-12)
     assert not any(q == 4 for q, _, _, _ in got)
+
+
+def test_serving_weighted_and_paged_match_spark_path(spark, index_dir):
+    """6-tuple boosts flow through the shared kernel unchanged, and
+    paged_batch slices the same global ranking as bm25_topk_paged."""
+    idx = B.read_index(spark, index_dir, CFG)
+    srv = IndexServer(index_dir, CFG)
+    wq = [
+        (1, ["the", "fast"], "disjunctive", 8, [], {"the": 0.25, "fast": 2.0}),
+        (2, ["join", "hash"], "conjunctive", 8, ["merge"], {"join": 2.0}),
+    ]
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, wq, CFG
+        ).collect()
+    )
+    got = sorted(srv.query_batch(wq))
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-12)
+
+    q = [(1, ["the", "fast"], "disjunctive", 6)]
+    offs = {1: 5}
+    want_p = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.bm25_topk_paged(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            q, offs, CFG,
+        ).collect()
+    )
+    got_p = sorted(srv.paged_batch(q, offs))
+    assert len(got_p) == len(want_p) > 0
+    assert [g[:3] for g in got_p] == [w[:3] for w in want_p]
+    assert all(5 < r <= 11 for _q, r, _d, _s in got_p)  # global ranks
