@@ -144,6 +144,22 @@ NEAR_QUERIES = [
 ]
 
 
+# ranked proximity: (qid, phrase, k, slop)
+NEAR_TOPK = [(1, "the fast", 10, 2), (2, "customer order", 10, 1),
+             (3, "spark query", 5, 3), (4, "zebra stripes", 10, 2)]
+
+
+def _q_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-filtered BM25 ranking: ordered windowed matches scored in
+    the same single cogrouped pass as phrase top-k (slop generalization)."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG_POS)
+    res = wand.near_bm25_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        NEAR_TOPK, _SF_CFG_POS,
+    )
+    return res.withColumn("score", F.round("score", _R))
+
+
 def _q_phrase_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered proximity ('terms within k positions, in order') from the
     positional index — the slop generalization of the phrase verifier; the
@@ -455,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_counts": _q_match_counts,
         "phrase_match": _q_phrase_match,
         "phrase_near": _q_phrase_near,
+        "phrase_near_topk": _q_near_topk,
         "phrase_topk": _q_phrase_topk,
         "postings_roundtrip": _q_postings_roundtrip,
         "term_stats": _q_term_stats,
@@ -540,6 +557,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_match_counts": oracle.match_counts_sql(corpus.REFERENCE_QUERIES),
         "phrase_match": oracle.phrase_match_sql(PHRASES),
         "phrase_near": oracle.near_match_sql(NEAR_QUERIES),
+        "phrase_near_topk": oracle.near_topk_sql(NEAR_TOPK),
         "phrase_topk": oracle.phrase_topk_sql(PHRASE_TOPK),
         "postings_roundtrip": (
             "WITH tok AS (SELECT doc_id, unnest(" + toks + ") AS term FROM documents) "

@@ -248,12 +248,13 @@ def minhash_lsh_pairs(
     # into both shingle joins so the corpus-wide shingle relation is filtered
     # map-side instead of shuffled against a small table; but bucket skew can
     # make cand quadratic-large, so only broadcast under a measured bound.
-    # The probe is a LIMIT-bounded count (no persist — a cached candidate set
-    # would otherwise leak executor storage for the session lifetime); the
-    # candidate plan is recomputed by the verify joins, which is one extra
-    # pass over the (map-side, shuffle-free) signature stage.
-    n_probe = cand.limit(broadcast_max_pairs + 1).count()
-    if n_probe <= broadcast_max_pairs:
+    # localCheckpoint (not persist): materializes the candidate set ONCE —
+    # the size probe is then a cheap count and the verify joins reuse the
+    # same blocks — and the ContextCleaner frees the blocks when the
+    # DataFrame is dereferenced, unlike CacheManager-pinned persist() which
+    # leaked cached partitions for the session lifetime.
+    cand = cand.localCheckpoint(eager=True)
+    if cand.count() <= broadcast_max_pairs:
         cand = F.broadcast(cand)
     ex = shingles(docs, n, text_col, id_col)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

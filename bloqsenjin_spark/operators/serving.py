@@ -387,9 +387,12 @@ class IndexServer:
         from bloqsenjin_spark.functions.scoring import global_topk
         from bloqsenjin_spark.operators.wand import _parse_phrases
 
+        # items are (qid, phrase, k) or (qid, phrase, k, slop) — slop turns
+        # exact-phrase filtering into ordered proximity (near_topk_batch)
+        slop_map = {int(q[0]): int(q[3]) if len(q) > 3 else 0 for q in phrases}
         parsed = [
-            (qid, toks, 0)
-            for qid, toks in _parse_phrases([(qid, p) for qid, p, _ in phrases])
+            (qid, toks, slop_map[qid])
+            for qid, toks in _parse_phrases([(q[0], q[1]) for q in phrases])
         ]
         dps = self.cfg.docs_per_shard
         k1, b = self.cfg.k1, self.cfg.b
@@ -413,8 +416,16 @@ class IndexServer:
         return global_topk(
             np.concatenate(q_parts), np.concatenate(d_parts),
             np.concatenate(s_parts),
-            [(qid, [], "", k) for qid, _, k in phrases],
+            [(int(q[0]), [], "", int(q[2])) for q in phrases],
         )
+
+    def near_topk_batch(
+        self, near_queries: list[tuple[int, str, int, int]]
+    ) -> list[tuple[int, int, int, float]]:
+        """→ [(query_id, rank, doc_id, score)] — proximity-filtered BM25
+        top-k ((query_id, phrase, k, slop)), rank-identical to
+        operators/wand.near_bm25_topk; phrase_topk_batch ≡ slop 0."""
+        return self.phrase_topk_batch(near_queries)
 
     def highlight_batch(
         self, queries: list, allowed_doc_ids=None

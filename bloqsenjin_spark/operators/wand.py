@@ -240,6 +240,8 @@ def _positional_match(
     """Shared phrase/proximity matcher (see phrase_match_positional /
     near_match_positional for the contract)."""
     slops = {int(qid): int(s) for qid, _p, s in queries_with_slop}
+    if len(slops) != len(queries_with_slop):
+        raise ValueError("duplicate query_ids in a phrase/proximity batch")
     parsed = [
         (qid, toks, slops[qid])
         for qid, toks in _parse_phrases([(q, p) for q, p, _s in queries_with_slop])
@@ -328,9 +330,14 @@ def phrase_score_partials(
     the match join), which was correct but a plan-level scale killer for
     phrases made of common terms.
     """
-    parsed = _parse_phrases([(qid, p) for qid, p, _ in phrases])
-    kmap_py = {qid: int(k) for qid, _, k in phrases}
-    all_terms = sorted({t for _, ts in parsed for t in ts})
+    # items are (qid, phrase, k) or (qid, phrase, k, slop): the optional 4th
+    # element turns exact-phrase filtering into ordered proximity (≤ slop
+    # intervening positions between consecutive tokens)
+    parsed3 = _parse_phrases([(q[0], q[1]) for q in phrases])
+    slop_map = {int(q[0]): int(q[3]) if len(q) > 3 else 0 for q in phrases}
+    parsed = [(qid, toks, slop_map[qid]) for qid, toks in parsed3]
+    kmap_py = {int(q[0]): int(q[2]) for q in phrases}
+    all_terms = sorted({t for _, ts, _ in parsed for t in ts})
     idf_map = {
         r["term"]: float(r["idf"])
         for r in term_stats.where(F.col("term").isin(all_terms)).collect()
@@ -362,7 +369,7 @@ def phrase_score_partials(
         out_q: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
         out_s: list[np.ndarray] = []
-        for qid, toks in parsed:
+        for qid, toks, slop in parsed:
             uniq = list(dict.fromkeys(toks))
             maps = [by_term.get(t) for t in uniq]
             if any(m is None for m in maps):
@@ -375,7 +382,7 @@ def phrase_score_partials(
             for bid in sorted(blocks):
                 per_term = {t: decode(m[bid], bid) for t, m in zip(uniq, maps)}
                 base = shard_base + bid * bdocs
-                hits = phrase_verify_block(per_term, toks, base)
+                hits = phrase_verify_block(per_term, toks, base, slop)
                 if tomb_mask is not None and hits.size:
                     hits = hits[~tomb_mask[hits - shard_base]]
                 if hits.size == 0:
@@ -441,13 +448,34 @@ def phrase_bm25_topk(
         tomb_map=tomb_map, allow_map=allow_map,
     )
     kmap = F.create_map(
-        *[x for qid, _, k in phrases for x in (F.lit(qid), F.lit(k))]
+        *[x for q in phrases for x in (F.lit(int(q[0])), F.lit(int(q[2])))]
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= kmap[F.col("query_id")])
         .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def near_bm25_topk(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    near_queries: list[tuple[int, str, int, int]],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+) -> DataFrame:
+    """Proximity-filtered BM25 top-k: ``(query_id, phrase, k, slop)`` —
+    ordered matches within slop ranked by BM25 over the query's deduped
+    terms. Identical single-pass plan to phrase_bm25_topk (which IS this
+    operator at slop 0, property-tested): verify + score in one cogrouped
+    pass, per-shard k-truncation, match-bounded rank window."""
+    return phrase_bm25_topk(
+        postings, doc_lens, term_stats, avgdl, near_queries, cfg,
+        tomb_map=tomb_map, allow_map=allow_map,
     )
 
 

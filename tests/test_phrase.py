@@ -448,3 +448,65 @@ def test_near_slop_zero_equals_phrase_and_monotone(spark):
         assert got >= prev
         prev = got
     assert prev > want  # wider slop really finds extra ordered matches here
+
+
+def test_near_topk_slop_zero_equals_phrase_topk_and_vs_reference(spark):
+    """near_bm25_topk(slop=0) is bit-identical to phrase_bm25_topk; at wider
+    slop the ranked set equals BM25 over the windowed match set (checked via
+    near_match_positional + brute BM25 restriction)."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, CFG_POS)
+    base = [(1, "the fast", 5), (2, "customer order", 5)]
+    want0 = sorted(
+        tuple(r) for r in wand.phrase_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            base, CFG_POS,
+        ).collect()
+    )
+    got0 = sorted(
+        tuple(r) for r in wand.near_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            [(q, p, k, 0) for q, p, k in base], CFG_POS,
+        ).collect()
+    )
+    assert got0 == want0 and len(got0) > 0
+
+    near = [(1, "the fast", 5, 2), (2, "customer order", 5, 1)]
+    got = sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 9))
+        for r in wand.near_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            near, CFG_POS,
+        ).collect()
+    )
+    # reference: windowed match set, then BM25 restricted to it
+    matches = {
+        (r["query_id"], r["doc_id"])
+        for r in wand.near_match_positional(
+            idx.postings, [(q, p, s) for q, p, _k, s in near], CFG_POS
+        ).collect()
+    }
+    assert {(q, d) for q, d, _ in got} <= matches
+    full = wand.wand_score_partials(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        [(q, sorted(set(p.split())), "conjunctive", 1 << 30) for q, p, _k, _s in near],
+        CFG_POS,
+    ).collect()
+    scores = {(r["query_id"], r["doc_id"]): round(r["score"], 9) for r in full}
+    ranked = {}
+    for q, _p, k, _s in near:
+        rows = sorted(
+            ((scores[(q, d)], d) for (qq, d) in matches if qq == q),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        ranked[q] = {(q, d, s) for s, d in rows}
+    assert set(got) == ranked[1] | ranked[2]
+    # wider slop really admits more matches (the ranked k saturates, so
+    # strictness shows at the match-set level)
+    m0 = {
+        (r["query_id"], r["doc_id"])
+        for r in wand.near_match_positional(
+            idx.postings, [(q, p, 0) for q, p, _k, _s in near], CFG_POS
+        ).collect()
+    }
+    assert matches > m0

@@ -462,3 +462,25 @@ def test_serving_weighted_and_paged_match_spark_path(spark, index_dir):
     assert len(got_p) == len(want_p) > 0
     assert [g[:3] for g in got_p] == [w[:3] for w in want_p]
     assert all(5 < r <= 11 for _q, r, _d, _s in got_p)  # global ranks
+
+
+def test_serving_near_topk_matches_spark_path(spark, pos_index_dir):
+    near = [(1, "the fast", 5, 2), (2, "customer order", 4, 1),
+            (3, "zebra stripes", 5, 3)]
+    idx = B.read_index(spark, pos_index_dir)
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.near_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            near, idx.cfg,
+        ).collect()
+    )
+    srv = IndexServer(pos_index_dir)
+    got = sorted(srv.near_topk_batch(near))
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert g[3] == w[3]  # bit-identical (same kernel, same order)
+    phrases = [(1, "the fast", 5), (2, "customer order", 4)]
+    assert srv.near_topk_batch([(q, p, k, 0) for q, p, k in phrases]) == \
+        srv.phrase_topk_batch(phrases)
