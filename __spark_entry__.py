@@ -395,6 +395,19 @@ def _q_topk_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topk_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet extraction: top-k + an 8-token window starting at each
+    result's first query-term occurrence — positions from the index, token
+    slice from ONE broadcast-pruned doc fetch (never a corpus scan)."""
+    docs = _docs(spark, sf_dir)
+    idx = build_index(docs, _SF_CFG_POS)
+    res = wand.topk_snippets(
+        docs, idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        corpus.REFERENCE_QUERIES, _SF_CFG_POS,
+    )
+    return res.withColumn("score", F.round("score", _R))
+
+
 PREFIX_QUERIES = [(1, "s", 10), (2, "c", 10), (3, "zz", 5)]
 _MAX_EXPANSIONS = 4  # small so the df-ranked expansion cap binds at sf0.01
 
@@ -468,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_weighted": _q_bm25_weighted,
         "bm25_topk_paged": _q_bm25_paged,
         "bm25_topk_highlight": _q_topk_highlights,
+        "bm25_topk_snippets": _q_topk_snippets,
         "bm25_match_counts": _q_match_counts,
         "phrase_match": _q_phrase_match,
         "phrase_near": _q_phrase_near,
@@ -554,6 +568,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_highlight": oracle.topk_highlights_sql(
             corpus.REFERENCE_QUERIES
         ),
+        "bm25_topk_snippets": oracle.topk_snippets_sql(corpus.REFERENCE_QUERIES),
         "bm25_match_counts": oracle.match_counts_sql(corpus.REFERENCE_QUERIES),
         "phrase_match": oracle.phrase_match_sql(PHRASES),
         "phrase_near": oracle.near_match_sql(NEAR_QUERIES),

@@ -34,12 +34,16 @@ class IndexServer:
 
     def __init__(self, index_dir: str, cfg: IndexConfig | None = None,
                  cache_terms: bool = True, max_cached_terms: int = 65536,
-                 max_cached_blocks: int = 8192):
+                 max_cached_blocks: int = 8192, auto_refresh: bool = False):
         self.index_dir = index_dir
         self._cfg_arg = cfg
         self._cache_terms = cache_terms
         self.max_cached_terms = max_cached_terms
         self.max_cached_blocks = max_cached_blocks
+        # auto_refresh: poll the generation stamp at the start of every batch
+        # entry point (one tiny parquet read) instead of relying on explicit
+        # refresh() calls — the opt-in always-fresh mode
+        self.auto_refresh = auto_refresh
         self.__dict__.update(self._read_state())
 
     def _read_state(self) -> dict:
@@ -226,6 +230,8 @@ class IndexServer:
         kernel, pruning stays exact). ``allowed_doc_ids`` (any int iterable)
         restricts ranking to those docs — the serving-side form of
         bm25_topk_filtered's allow bitmaps, e.g. an ACL set."""
+        if self.auto_refresh:
+            self.refresh()
         all_terms = sorted(
             {t for q in queries for t in q[1]}
             | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
@@ -364,6 +370,8 @@ class IndexServer:
         near_match_positional on the same index; slop=0 ≡ phrase_batch."""
         from bloqsenjin_spark.operators.wand import _parse_phrases
 
+        if self.auto_refresh:
+            self.refresh()
         slops = {int(qid): int(s) for qid, _p, s in near_queries}
         parsed = [
             (qid, toks, slops[qid])
@@ -387,6 +395,8 @@ class IndexServer:
         from bloqsenjin_spark.functions.scoring import global_topk
         from bloqsenjin_spark.operators.wand import _parse_phrases
 
+        if self.auto_refresh:
+            self.refresh()
         # items are (qid, phrase, k) or (qid, phrase, k, slop) — slop turns
         # exact-phrase filtering into ordered proximity (near_topk_batch)
         slop_map = {int(q[0]): int(q[3]) if len(q) > 3 else 0 for q in phrases}
@@ -542,6 +552,8 @@ class IndexServer:
         (n_probe == n_centroids) is exact ⇒ rank-identical to the brute-force
         path; at equal n_probe it is rank-identical to the Spark
         ann_cosine_ivf (same deterministic centroids) — both pytest-pinned."""
+        if self.auto_refresh:
+            self.refresh()
         cents, vds = self._ann_tables()
         ids = sorted({int(i) for i in query_ids})
         qt = vds.to_table(
@@ -595,6 +607,8 @@ class IndexServer:
         (round 3 ranked the FULL match set with k=2^30 just to count it)."""
         from bloqsenjin_spark.functions.scoring import count_shard_matches
 
+        if self.auto_refresh:
+            self.refresh()
         all_terms = sorted(
             {t for q in queries for t in q[1]}
             | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}

@@ -875,12 +875,19 @@ def topk_highlights(
     (shard, block) pairs broadcast-join-prune the postings before any
     positions blob is decoded, so decode cost is O(topk_blocks × terms),
     not O(posting lists). Requires IndexConfig(positions=True)."""
-    from bloqsenjin_spark.operators.postings import decode_postings
-
     tk = bm25_wand_topk(
         postings, doc_lens, term_stats, avgdl, queries, cfg,
         tomb_map=tomb_map, allow_map=allow_map,
     )
+    return _decode_topk_positions(tk, postings, queries, cfg)
+
+
+def _decode_topk_positions(tk: DataFrame, postings: DataFrame, queries: list,
+                           cfg: IndexConfig) -> DataFrame:
+    """Ranked set → (query_id, rank, doc_id, term, pos): the block-pruned
+    positional decode shared by topk_highlights and topk_snippets."""
+    from bloqsenjin_spark.operators.postings import decode_postings
+
     all_terms = sorted({t for q in queries for t in q[1]})
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
     blocks = tk.select(
@@ -903,6 +910,61 @@ def topk_highlights(
         .where(F.array_contains(qterms[F.col("query_id")], F.col("term")))
         .select("query_id", "rank", "doc_id", "term",
                 F.col("pos").cast("long").alias("pos"))
+    )
+
+
+def topk_snippets(
+    docs: DataFrame,
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    queries: list,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    window: int = 8,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k + a text snippet per result → (query_id, rank, doc_id, score,
+    snip_pos, snippet).
+
+    Deterministic snippet rule: start at the result's FIRST query-term
+    occurrence (min position over matched query terms, straight from the
+    positional index) and span ``window`` tokens of the SAME normalized
+    token stream the index was built from.
+
+    Plan: ordinary top-k → block-pruned positional decode (identical to
+    topk_highlights) → min(pos) per (query, doc) → ONE broadcast-hash join
+    of the tiny ranked set against the docs table to slice the token array:
+    the doc store is read once (columnar, two columns, no shuffle) and only
+    the O(Σk) joined rows are tokenized/sliced. This is the one query form
+    that touches the document store, because snippets ARE document content —
+    term-vector-free engines pay the same keyed doc fetch."""
+    from bloqsenjin_spark.functions.text import tokens
+
+    tk = bm25_wand_topk(
+        postings, doc_lens, term_stats, avgdl, queries, cfg,
+        tomb_map=tomb_map, allow_map=allow_map,
+    )
+    pos = _decode_topk_positions(tk, postings, queries, cfg)
+    best = pos.groupBy("query_id", "doc_id").agg(
+        F.min("pos").alias("snip_pos")
+    )
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    return (
+        F.broadcast(tk.join(best, ["query_id", "doc_id"]))
+        .join(src, "doc_id")
+        .select(
+            "query_id", "rank", "doc_id", "score", "snip_pos",
+            F.concat_ws(
+                " ",
+                F.slice("_toks", (F.col("snip_pos") + 1).cast("int"), window),
+            ).alias("snippet"),
+        )
     )
 
 

@@ -161,6 +161,50 @@ JOIN tokpos tp ON tp.doc_id = t.doc_id AND tp.term = qt.term
 """.strip()
 
 
+def topk_snippets_sql(
+    queries: list[tuple[int, list[str], str, int]],
+    window: int = 8,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for topk_snippets: min query-term position per ranked (query,
+    doc) from the tokenized stream, then a ``window``-token slice of the same
+    stream joined back onto the ranking."""
+    base = bm25_topk_sql(queries, doc_table, text_col, id_col,
+                         round_score=False)
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    qt_rows = ", ".join(
+        "({}, '{}')".format(qid, t.replace("'", "''"))
+        for qid, terms, _m, _k in queries for t in sorted(set(terms))
+    )
+    return f"""
+WITH topk AS ({base}),
+qt(query_id, term) AS (VALUES {qt_rows}),
+dtok AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}),
+tokpos AS (
+    SELECT doc_id, unnest(toks) AS term,
+           (generate_subscripts(toks, 1) - 1)::BIGINT AS pos
+    FROM dtok
+),
+best AS (
+    SELECT t.query_id, t.doc_id, min(tp.pos) AS snip_pos
+    FROM topk t
+    JOIN qt ON qt.query_id = t.query_id
+    JOIN tokpos tp ON tp.doc_id = t.doc_id AND tp.term = qt.term
+    GROUP BY t.query_id, t.doc_id
+)
+SELECT t.query_id, t.rank, t.doc_id,
+       round(t.score, {SCORE_ROUND_DECIMALS}) AS score, b.snip_pos,
+       array_to_string(
+           list_slice(d.toks, (b.snip_pos + 1)::INT,
+                      (b.snip_pos + {window})::INT), ' ') AS snippet
+FROM topk t
+JOIN best b ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+JOIN dtok d ON d.doc_id = t.doc_id
+""".strip()
+
+
 def prefix_topk_sql(
     prefix_queries: list[tuple[int, str, int]],
     max_expansions: int = 100,

@@ -510,3 +510,38 @@ def test_near_topk_slop_zero_equals_phrase_topk_and_vs_reference(spark):
         ).collect()
     }
     assert matches > m0
+
+
+def test_topk_snippets_rule_and_shape(spark):
+    """Snippets start AT a query-term occurrence (the result's first), span
+    ≤ window tokens of the normalized stream, and ride on the same ranking
+    as bm25_wand_topk."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, CFG_POS)
+    queries = [(1, ["the", "fast"], "disjunctive", 5),
+               (2, ["customer", "order"], "conjunctive", 4)]
+    rows = wand.topk_snippets(
+        docs, idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        queries, CFG_POS, window=8,
+    ).collect()
+    tk = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            queries, CFG_POS,
+        ).collect()
+    }
+    assert len(rows) == len(tk) > 0
+    qterms = {q[0]: set(q[1]) for q in queries}
+    import re
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rows:
+        assert tk[(r["query_id"], r["doc_id"])] == (r["rank"], r["score"])
+        toks = r["snippet"].split(" ")
+        assert 1 <= len(toks) <= 8
+        assert toks[0] in qterms[r["query_id"]]  # starts at a term hit
+        # the snippet is a verbatim window of the doc's normalized stream
+        norm = [t for t in re.split("[^a-z0-9]+", texts[r["doc_id"]].lower()) if t]
+        p = int(r["snip_pos"])
+        assert norm[p:p + 8] == toks
+        assert not any(t in qterms[r["query_id"]] for t in norm[:p])  # FIRST hit

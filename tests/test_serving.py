@@ -484,3 +484,20 @@ def test_serving_near_topk_matches_spark_path(spark, pos_index_dir):
     phrases = [(1, "the fast", 5), (2, "customer order", 4)]
     assert srv.near_topk_batch([(q, p, k, 0) for q, p, k in phrases]) == \
         srv.phrase_topk_batch(phrases)
+
+
+def test_serving_auto_refresh(spark, tmp_path):
+    """auto_refresh=True servers pick up a new generation at the next batch
+    without an explicit refresh() call."""
+    from bloqsenjin_spark.plans import deletes as D
+
+    d = str(tmp_path / "aridx")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    B.build_index_resumable(docs, d, CFG)
+    srv = IndexServer(d, CFG, auto_refresh=True)
+    base = srv.query_batch(corpus.REFERENCE_QUERIES)
+    victims = [doc for q, _r, doc, _s in base if q == 1][:2]
+    D.delete_docs(spark, d, victims)
+    after = srv.query_batch(corpus.REFERENCE_QUERIES)  # no refresh() call
+    assert after != base
+    assert after == IndexServer(d, CFG).query_batch(corpus.REFERENCE_QUERIES)
