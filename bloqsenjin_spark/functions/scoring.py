@@ -17,6 +17,20 @@ from bloqsenjin_spark.functions import bm25
 from bloqsenjin_spark.functions.codec import delta_decode, varint_decode
 
 
+def _check_boosts(queries: list) -> None:
+    """Reject negative per-term boosts: contribution ub = block_max · w is an
+    UPPER bound only for w ≥ 0 — a negative weight silently breaks exact
+    block-max pruning, so fail loudly at the entry points instead."""
+    for q in queries:
+        if len(q) > 5 and q[5]:
+            bad = {t: w for t, w in q[5].items() if w < 0}
+            if bad:
+                raise ValueError(
+                    f"negative term boosts break exact pruning: {bad} "
+                    f"(query_id={q[0]})"
+                )
+
+
 def score_shard_blocks(
     shard: int,
     terms_col: np.ndarray,

@@ -24,7 +24,11 @@ import numpy as np
 
 from bloqsenjin_spark.config import DEFAULT_CONFIG, IndexConfig
 from bloqsenjin_spark.functions.codec import varint_decode
-from bloqsenjin_spark.functions.scoring import global_topk, score_shard_blocks
+from bloqsenjin_spark.functions.scoring import (
+    _check_boosts,
+    global_topk,
+    score_shard_blocks,
+)
 
 
 class IndexServer:
@@ -49,9 +53,11 @@ class IndexServer:
     def _read_state(self) -> dict:
         """Load every generation-dependent attribute into a dict — applied
         with ONE __dict__.update so refresh() swaps the whole state (stats,
-        doc_lens, tombstones, fresh empty caches) atomically under the GIL:
-        concurrent readers see either the old generation or the new one,
-        never a mix."""
+        doc_lens, tombstones, fresh empty caches) atomically under the GIL.
+        Per-BATCH consistency comes from _snap(): every public batch method
+        runs on a shallow copy that pins this state for its duration, so a
+        concurrent refresh can never tear an in-flight batch across
+        generations."""
         import pyarrow.dataset as ds
 
         from bloqsenjin_spark.plans.build import (
@@ -133,6 +139,25 @@ class IndexServer:
         self.__dict__.update(self._read_state())
         return True
 
+    def _snap(self) -> "IndexServer":
+        """Freeze ONE batch's view of the server: auto_refresh polls first,
+        then a shallow copy pins every generation-dependent attribute (stats,
+        doc_lens, tombstones, caches, dictionary) for the batch's duration —
+        a concurrent refresh() swaps the ORIGINAL object's state atomically
+        while the in-flight batch keeps its consistent snapshot, so no batch
+        ever mixes two generations (including prefix/fuzzy expansion, which
+        reads the dictionary before scoring). Caches are shared by reference
+        until a refresh replaces them, so warm-cache benefits persist."""
+        import copy
+
+        if self.auto_refresh:
+            self.refresh()
+        snap = copy.copy(self)
+        snap.auto_refresh = False
+        snap._is_snap = True
+        return snap
+
+    _is_snap = False
     _BM25_COLS = ("term", "shard", "block_id", "block_max_score",
                   "doc_deltas", "tfs")
     _POS_COLS = ("term", "shard", "block_id", "doc_deltas", "tfs", "positions")
@@ -230,8 +255,10 @@ class IndexServer:
         kernel, pruning stays exact). ``allowed_doc_ids`` (any int iterable)
         restricts ranking to those docs — the serving-side form of
         bm25_topk_filtered's allow bitmaps, e.g. an ACL set."""
-        if self.auto_refresh:
-            self.refresh()
+        if not self._is_snap:
+            return self._snap().query_batch(queries,
+                                            allowed_doc_ids=allowed_doc_ids)
+        _check_boosts(queries)
         all_terms = sorted(
             {t for q in queries for t in q[1]}
             | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
@@ -300,6 +327,10 @@ class IndexServer:
         Expansion is a scan of the ALREADY-LOADED dictionary replica (the
         df dict — no file I/O, no Spark job), same rule as the distributed
         path: df DESC, term ASC, capped at ``max_expansions``."""
+        if not self._is_snap:
+            return self._snap().prefix_topk_batch(
+                prefix_queries, max_expansions=max_expansions,
+                allowed_doc_ids=allowed_doc_ids)
         queries = []
         for qid, prefix, k in prefix_queries:
             cands = [t for t in self.df if t.startswith(prefix)]
@@ -370,9 +401,11 @@ class IndexServer:
         near_match_positional on the same index; slop=0 ≡ phrase_batch."""
         from bloqsenjin_spark.operators.wand import _parse_phrases
 
-        if self.auto_refresh:
-            self.refresh()
+        if not self._is_snap:
+            return self._snap().near_batch(near_queries)
         slops = {int(qid): int(s) for qid, _p, s in near_queries}
+        if len(slops) != len(near_queries):
+            raise ValueError("duplicate query_ids in a phrase/proximity batch")
         parsed = [
             (qid, toks, slops[qid])
             for qid, toks in _parse_phrases([(q, p) for q, p, _s in near_queries])
@@ -395,11 +428,13 @@ class IndexServer:
         from bloqsenjin_spark.functions.scoring import global_topk
         from bloqsenjin_spark.operators.wand import _parse_phrases
 
-        if self.auto_refresh:
-            self.refresh()
+        if not self._is_snap:
+            return self._snap().phrase_topk_batch(phrases)
         # items are (qid, phrase, k) or (qid, phrase, k, slop) — slop turns
         # exact-phrase filtering into ordered proximity (near_topk_batch)
         slop_map = {int(q[0]): int(q[3]) if len(q) > 3 else 0 for q in phrases}
+        if len(slop_map) != len(phrases):
+            raise ValueError("duplicate query_ids in a phrase/proximity batch")
         parsed = [
             (qid, toks, slop_map[qid])
             for qid, toks in _parse_phrases([(q[0], q[1]) for q in phrases])
@@ -445,6 +480,9 @@ class IndexServer:
         same (positions=True) index: rank via the shared kernel, positions
         decoded only for the ranked docs' blocks (per-block LRU shared with
         the phrase paths via _decode_pos_block)."""
+        if not self._is_snap:
+            return self._snap().highlight_batch(
+                queries, allowed_doc_ids=allowed_doc_ids)
         if not self.cfg.positions:
             raise ValueError(
                 "highlight serving needs a positional index — build with "
@@ -509,6 +547,10 @@ class IndexServer:
         Expansion scans the ALREADY-LOADED dictionary replica with the same
         rule: Levenshtein ≤ max_dist, ranked (distance ASC, df DESC,
         term ASC), capped at ``max_expansions``."""
+        if not self._is_snap:
+            return self._snap().fuzzy_topk_batch(
+                fuzzy_queries, max_expansions=max_expansions,
+                allowed_doc_ids=allowed_doc_ids)
         queries = []
         for qid, word, max_dist, k in fuzzy_queries:
             cands = []
@@ -552,8 +594,8 @@ class IndexServer:
         (n_probe == n_centroids) is exact ⇒ rank-identical to the brute-force
         path; at equal n_probe it is rank-identical to the Spark
         ann_cosine_ivf (same deterministic centroids) — both pytest-pinned."""
-        if self.auto_refresh:
-            self.refresh()
+        if not self._is_snap:
+            return self._snap().ann_batch(query_ids, k=k, n_probe=n_probe)
         cents, vds = self._ann_tables()
         ids = sorted({int(i) for i in query_ids})
         qt = vds.to_table(
@@ -607,8 +649,9 @@ class IndexServer:
         (round 3 ranked the FULL match set with k=2^30 just to count it)."""
         from bloqsenjin_spark.functions.scoring import count_shard_matches
 
-        if self.auto_refresh:
-            self.refresh()
+        if not self._is_snap:
+            return self._snap().count_batch(queries,
+                                            allowed_doc_ids=allowed_doc_ids)
         all_terms = sorted(
             {t for q in queries for t in q[1]}
             | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}

@@ -335,6 +335,8 @@ def phrase_score_partials(
     # intervening positions between consecutive tokens)
     parsed3 = _parse_phrases([(q[0], q[1]) for q in phrases])
     slop_map = {int(q[0]): int(q[3]) if len(q) > 3 else 0 for q in phrases}
+    if len(slop_map) != len(phrases):
+        raise ValueError("duplicate query_ids in a phrase/proximity batch")
     parsed = [(qid, toks, slop_map[qid]) for qid, toks in parsed3]
     kmap_py = {int(q[0]): int(q[2]) for q in phrases}
     all_terms = sorted({t for _, ts, _ in parsed for t in ts})
@@ -649,7 +651,11 @@ def wand_score_partials(
     # kernel as block-local exclusions — neg terms' postings must be scanned
     # too, so they join the pushed term filter), or 6-tuples adding a
     # per-term boost dict (contribution AND block-max ub scale by the
-    # weight, so pruning stays exact — see score_shard_blocks)
+    # weight, so pruning stays exact for w ≥ 0 — validated here, see
+    # score_shard_blocks)
+    from bloqsenjin_spark.functions.scoring import _check_boosts
+
+    _check_boosts(queries)
     all_terms = sorted(
         {t for q in queries for t in q[1]}
         | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
@@ -807,10 +813,13 @@ def expand_fuzzy_terms(
     )
     rows = (
         term_stats.select("term", "df")
-        .join(F.broadcast(q),
-              F.levenshtein(F.col("term"), F.col("word"))
-              <= F.col("max_dist"))
+        .crossJoin(F.broadcast(q))
+        # distance computed ONCE per (term, word) pair: project-then-filter
+        # (a levenshtein in the join condition would be re-evaluated by the
+        # dist projection — Catalyst doesn't share subexpressions across
+        # Join and Project)
         .withColumn("dist", F.levenshtein(F.col("term"), F.col("word")))
+        .where(F.col("dist") <= F.col("max_dist"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= max_expansions)
         .select("query_id", "term", "rn")
@@ -953,8 +962,11 @@ def topk_snippets(
         F.min("pos").alias("snip_pos")
     )
     src = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
     )
+    # tokenize ABOVE the join: the doc store is scanned once (two columns,
+    # no shuffle) but the regex tokenizer runs only on the O(Σk) joined rows
+    # — a projection below the join would tokenize the whole corpus
     return (
         F.broadcast(tk.join(best, ["query_id", "doc_id"]))
         .join(src, "doc_id")
@@ -962,7 +974,8 @@ def topk_snippets(
             "query_id", "rank", "doc_id", "score", "snip_pos",
             F.concat_ws(
                 " ",
-                F.slice("_toks", (F.col("snip_pos") + 1).cast("int"), window),
+                F.slice(tokens(F.col("_text")),
+                        (F.col("snip_pos") + 1).cast("int"), window),
             ).alias("snippet"),
         )
     )

@@ -422,3 +422,18 @@ def test_paged_topk_pages_partition_the_ranking(spark):
             ).collect()
         ]
     assert sorted(pages) == full
+
+
+def test_negative_boost_rejected_spark_path(spark):
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, SMALL)
+    with pytest.raises(ValueError, match="negative term boosts"):
+        wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            [(1, ["the"], "disjunctive", 5, [], {"the": -2.0})], SMALL,
+        )
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        wand.near_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            [(1, "the fast", 5, 0), (1, "customer order", 5, 1)], SMALL,
+        )

@@ -501,3 +501,44 @@ def test_serving_auto_refresh(spark, tmp_path):
     after = srv.query_batch(corpus.REFERENCE_QUERIES)  # no refresh() call
     assert after != base
     assert after == IndexServer(d, CFG).query_batch(corpus.REFERENCE_QUERIES)
+
+
+def test_serving_auto_refresh_covers_dictionary_expansion(spark, tmp_path):
+    """The batch snapshot must poll the generation BEFORE prefix/fuzzy
+    expansion — otherwise one batch expands from the old dictionary and
+    scores against the new index (torn generations)."""
+    d = str(tmp_path / "dictidx")
+    a = spark.createDataFrame(
+        [(i, "alpha alder amber stone") for i in range(8)],
+        "doc_id long, text string")
+    B.build_index_resumable(a, d, CFG)
+    srv = IndexServer(d, CFG, auto_refresh=True)
+    assert srv.prefix_topk_batch([(1, "a", 5)])  # warm: old dictionary
+    # rebuild the SAME dir with a disjoint vocabulary (new generation)
+    import shutil
+    for t in ("postings", "doc_lens", "term_stats", "corpus_stats",
+              "checkpoints", "build_metrics"):
+        shutil.rmtree(f"{d}/{t}", ignore_errors=True)
+    b = spark.createDataFrame(
+        [(i, "beta birch bronze stone") for i in range(8)],
+        "doc_id long, text string")
+    B.build_index_resumable(b, d, CFG)
+    fresh = IndexServer(d, CFG)
+    got = srv.prefix_topk_batch([(1, "b", 5)])
+    assert got == fresh.prefix_topk_batch([(1, "b", 5)]) and got
+    assert srv.prefix_topk_batch([(1, "a", 5)]) == []  # old vocab gone
+    assert srv.fuzzy_topk_batch([(1, "birxh", 1, 5)]) == \
+        fresh.fuzzy_topk_batch([(1, "birxh", 1, 5)])
+
+
+def test_serving_guards(spark, index_dir, pos_index_dir):
+    """Duplicate query_ids in proximity batches and negative boosts fail
+    loudly instead of silently corrupting results."""
+    psrv = IndexServer(pos_index_dir)
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        psrv.near_batch([(1, "the fast", 0), (1, "customer order", 2)])
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        psrv.phrase_topk_batch([(1, "the fast", 5), (1, "customer order", 5)])
+    srv = IndexServer(index_dir, CFG)
+    with pytest.raises(ValueError, match="negative term boosts"):
+        srv.query_batch([(1, ["the"], "disjunctive", 5, [], {"the": -1.0})])
