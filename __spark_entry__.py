@@ -395,6 +395,36 @@ def _q_topk_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fielded search: title = first 5 tokens, body = the rest (derived fields —
+# the driver corpus has one text column; the DERIVATION is pinned identically
+# in Spark and the SQL oracle), title boosted 2x
+BM25F_WEIGHTS = {"title": 2.0, "body": 1.0}
+BM25F_QUERIES = [q for q in corpus.REFERENCE_QUERIES if q[2] == "disjunctive"]
+
+
+def _q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field ranking: score = Σ_field w_field · BM25_field with
+    per-field stats, combined per shard with the shared kernel (the fields'
+    indexes share the doc-range sharding, so a doc's complete fielded score
+    lives in one shard group)."""
+    from bloqsenjin_spark.functions.text import tokens
+    from bloqsenjin_spark.operators import fielded
+
+    docs = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    fields = {
+        "title": F.concat_ws(" ", F.slice(t, 1, 5)),
+        "body": F.concat_ws(
+            " ",
+            F.when(F.size(t) > 5, F.slice(t, 6, F.size(t) - 5))
+            .otherwise(F.array().cast("array<string>")),
+        ),
+    }
+    idxs = fielded.build_fielded_index(docs, fields, _SF_CFG)
+    res = fielded.bm25f_topk(idxs, BM25F_QUERIES, BM25F_WEIGHTS, _SF_CFG)
+    return res.withColumn("score", F.round("score", _R))
+
+
 def _q_topk_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snippet extraction: top-k + an 8-token window starting at each
     result's first query-term occurrence — positions from the index, token
@@ -482,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_paged": _q_bm25_paged,
         "bm25_topk_highlight": _q_topk_highlights,
         "bm25_topk_snippets": _q_topk_snippets,
+        "bm25_topk_fielded": _q_bm25f,
         "bm25_match_counts": _q_match_counts,
         "phrase_match": _q_phrase_match,
         "phrase_near": _q_phrase_near,
@@ -569,6 +600,12 @@ def oracle_sql() -> dict[str, str]:
             corpus.REFERENCE_QUERIES
         ),
         "bm25_topk_snippets": oracle.topk_snippets_sql(corpus.REFERENCE_QUERIES),
+        "bm25_topk_fielded": oracle.bm25f_topk_sql(
+            BM25F_QUERIES,
+            {"title": "list_slice(toks, 1, 5)",
+             "body": "list_slice(toks, 6, len(toks))"},
+            BM25F_WEIGHTS,
+        ),
         "bm25_match_counts": oracle.match_counts_sql(corpus.REFERENCE_QUERIES),
         "phrase_match": oracle.phrase_match_sql(PHRASES),
         "phrase_near": oracle.near_match_sql(NEAR_QUERIES),

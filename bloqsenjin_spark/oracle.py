@@ -263,6 +263,75 @@ FROM ranked WHERE rank <= k
 """.strip()
 
 
+def bm25f_topk_sql(
+    queries: list[tuple[int, list[str], str, int]],
+    field_toks: dict[str, str],
+    field_weights: dict[str, float],
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for fielded search (operators/fielded.bm25f_topk):
+    score = Σ_field w_field · BM25_field with per-field df/avgdl/dl.
+    ``field_toks`` maps field name → a SQL list expression over ``toks``
+    (the full tokenized stream) defining that field's token list — the SAME
+    derivation the Spark side uses. Disjunctive only."""
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
+    idf = idf_sql("ts.df", "cs.n")
+    qrows = []
+    for qid, terms, mode, k in queries:
+        assert mode == "disjunctive", "fielded oracle is disjunctive-only"
+        uniq = sorted(set(terms))
+        lit = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in uniq) + "]"
+        qrows.append(f"({qid}, {lit}, {int(k)})")
+    ft_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{f}' AS field, {expr} AS ftoks FROM dtok"
+        for f, expr in sorted(field_toks.items())
+    )
+    wrows = ", ".join(
+        f"('{f}', {float(field_weights.get(f, 1.0))!r}::DOUBLE)"
+        for f in sorted(field_toks)
+    )
+    return f"""
+WITH q(query_id, terms, k) AS (VALUES {', '.join(qrows)}),
+dtok AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}),
+ft AS (
+{ft_selects}
+),
+tok AS (SELECT doc_id, field, unnest(ftoks) AS term FROM ft),
+dl AS (SELECT doc_id, field, len(ftoks) AS dl FROM ft),
+cs AS (SELECT field, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY field),
+tf AS (SELECT field, term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+ts AS (SELECT field, term, count(*) AS df FROM tf GROUP BY 1, 2),
+fw(field, w) AS (VALUES {wrows}),
+qt AS (SELECT query_id, k, unnest(terms) AS term FROM q),
+contrib AS (
+    SELECT qt.query_id, tf.doc_id, qt.k,
+           ({idf} * fw.w) * {tfc} AS contrib
+    FROM qt
+    JOIN tf USING (term)
+    JOIN ts ON ts.field = tf.field AND ts.term = tf.term
+    JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
+    JOIN cs ON cs.field = tf.field
+    JOIN fw ON fw.field = tf.field
+),
+scored AS (
+    SELECT query_id, doc_id, k, sum(contrib) AS score
+    FROM contrib GROUP BY query_id, doc_id, k
+),
+ranked AS (
+    SELECT query_id, doc_id, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= k
+""".strip()
+
+
 def weighted_topk_sql(
     wqueries: list,
     doc_table: str = "documents",

@@ -1,0 +1,125 @@
+"""Fielded (multi-field) BM25: per-field stats, weighted per-field sum,
+shard-aligned combine — vs an independent NumPy reference and the
+single-field identity."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloqsenjin_spark import corpus
+from bloqsenjin_spark.config import BM25_B, BM25_K1, IndexConfig
+from bloqsenjin_spark.functions.text import tokens
+from bloqsenjin_spark.operators import fielded, wand
+from bloqsenjin_spark.plans.build import build_index
+
+CFG = IndexConfig(docs_per_shard=128, block_docs=16)
+
+
+def _split_fields(text):
+    toks = [t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t]
+    return {"title": toks[:5], "body": toks[5:]}
+
+
+def _bm25f_ref(docs_rows, queries, weights, k1=BM25_K1, b=BM25_B):
+    """Independent reference: per-field BM25 with that field's stats,
+    weighted sum over fields, rank (score desc, doc asc)."""
+    per_field = {f: {} for f in ("title", "body")}
+    for d, text in docs_rows:
+        fx = _split_fields(text)
+        for f in per_field:
+            per_field[f][d] = fx[f]
+    n = len(docs_rows)
+    out = []
+    for qid, terms, _mode, k in queries:
+        uterms = sorted(set(terms))
+        combined: dict[int, float] = {}
+        for f in sorted(per_field):
+            toks = per_field[f]
+            avgdl = (sum(len(v) for v in toks.values()) / n) or 1.0
+            df = {}
+            for v in toks.values():
+                for t in set(v):
+                    df[t] = df.get(t, 0) + 1
+            for d, v in toks.items():
+                s, hit = 0.0, False
+                for t in uterms:
+                    tf = v.count(t)
+                    if not tf:
+                        continue
+                    hit = True
+                    idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                    s += idf * tf * (k1 + 1.0) / (
+                        tf + k1 * (1.0 - b + b * len(v) / avgdl))
+                if hit:
+                    combined[d] = combined.get(d, 0.0) + weights[f] * s
+        ranked = sorted(combined.items(), key=lambda x: (-x[1], x[0]))[:k]
+        out += [(qid, r, d, s) for r, (d, s) in enumerate(ranked, 1)]
+    return sorted(out)
+
+
+def _field_exprs():
+    t = tokens(F.col("text"))
+    return {
+        "title": F.concat_ws(" ", F.slice(t, 1, 5)),
+        "body": F.concat_ws(
+            " ",
+            F.when(F.size(t) > 5, F.slice(t, 6, F.size(t) - 5))
+            .otherwise(F.array().cast("array<string>")),
+        ),
+    }
+
+
+def test_bm25f_matches_numpy_reference(spark):
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idxs = fielded.build_fielded_index(docs, _field_exprs(), CFG)
+    queries = [(1, ["spark"], "disjunctive", 10),
+               (2, ["the", "fast"], "disjunctive", 8),
+               (3, ["zebra"], "disjunctive", 5)]
+    weights = {"title": 2.0, "body": 1.0}
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in fielded.bm25f_topk(idxs, queries, weights, CFG).collect()
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    want = _bm25f_ref(rows, queries, weights)
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+    assert not any(q == 3 for q, _, _, _ in got)
+
+
+def test_bm25f_single_field_identity(spark):
+    """One field covering the whole text at weight 1 must equal the ordinary
+    single-index ranking exactly."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    queries = [(1, ["the", "fast"], "disjunctive", 10),
+               (2, ["customer", "order"], "disjunctive", 6)]
+    idxs = fielded.build_fielded_index(docs, {"all": F.col("text")}, CFG)
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in fielded.bm25f_topk(idxs, queries, {"all": 1.0}, CFG).collect()
+    )
+    idx = build_index(docs, CFG)
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            queries, CFG,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bm25f_guards(spark):
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idxs = fielded.build_fielded_index(docs, {"all": F.col("text")}, CFG)
+    with pytest.raises(ValueError, match="disjunctive"):
+        fielded.bm25f_topk(idxs, [(1, ["the"], "conjunctive", 5)], {}, CFG)
+    with pytest.raises(ValueError, match="negative field weights"):
+        fielded.bm25f_topk(
+            idxs, [(1, ["the"], "disjunctive", 5)], {"all": -1.0}, CFG)
