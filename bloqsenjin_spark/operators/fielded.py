@@ -8,17 +8,16 @@ weighted-sum model used by e.g. Lucene's multi-field boolean dismax-less
 combination); true BM25F (weighted tf merged before saturation) would need
 per-field tf in one posting row and is a deliberate non-goal here.
 
-Scale shape: the per-field indexes share the doc-range sharding, so a doc's
-complete fielded score lives in ONE shard group of the union relation —
-the combiner cogroups the fields' (term-filtered) posting rows and packed
-doc-length rows by shard, scores each field with the SHARED kernel
-(functions.scoring.score_shard_blocks, per-field stats), sums the weighted
-per-field scores in one NumPy array bounded by docs_per_shard, and emits a
-per-(query, shard) top-k partial. The Arrow boundary carries O(shards · Σk)
-rows; per-shard work is bounded by the shard size, never the corpus. Fielded
-queries don't block-max prune (the per-field pass scores every query-term
-match in the shard — the same bound as match counting); a combined
-cross-field upper bound is future work.
+Scale shape: the per-field indexes share the doc-range sharding AND the
+doc-range-aligned blocks, so a doc's complete fielded score lives in ONE
+block of one shard group of the union relation. The combiner cogroups the
+fields' (term-filtered) posting rows and packed doc-length rows by shard and
+runs a fielded variant of the block-max kernel: blocks are processed in
+COMBINED upper-bound order, ub[block] = Σ_{(field, term)} w_field ·
+block_max_field(term, block), with the usual top-k early exit — exact for
+w ≥ 0 (each doc's combined score is bounded by the block's combined ub), so
+fielded queries prune exactly like single-field ones. Per-(query, shard)
+partials are k-truncated; the Arrow boundary carries O(shards · Σk) rows.
 
 No reference analog (the reference has no text search); this is the standard
 next query form after single-field ranking.
@@ -55,6 +54,119 @@ def build_fielded_index(
     }
 
 
+def _score_shard_fielded(
+    shard: int,
+    fields_col: np.ndarray,
+    terms_col: np.ndarray,
+    bids: np.ndarray,
+    bmax_col: np.ndarray,
+    deltas_col: np.ndarray,
+    tfs_col: np.ndarray,
+    dls_by_field: dict[str, np.ndarray],
+    queries: list,
+    idf_maps: dict[str, dict[str, float]],
+    avgdls: dict[str, float],
+    weights: dict[str, float],
+    cfg: IndexConfig,
+):
+    """Fielded block-max scorer for ONE shard: the single-field kernel's
+    loop with (field, term) keys and a COMBINED per-block upper bound
+    ub = Σ w_f · bmax_f(t, block) — exact pruning for w ≥ 0 because blocks
+    are doc-range aligned across fields, so a doc's whole fielded score
+    lives in the one block being bounded. Contributions accumulate in
+    sorted (field, term) order (deterministic float sums); matching is
+    disjunctive across fields."""
+    from bloqsenjin_spark.functions import bm25
+    from bloqsenjin_spark.functions.codec import delta_decode
+
+    dps, bdocs = cfg.docs_per_shard, cfg.block_docs
+    k1, b = cfg.k1, cfg.b
+    shard_base = shard * dps
+
+    term_blocks: dict[tuple, dict[int, int]] = {}
+    term_bmax: dict[tuple, dict[int, float]] = {}
+    for i in range(len(terms_col)):
+        key = (fields_col[i], terms_col[i])
+        term_blocks.setdefault(key, {})[int(bids[i])] = i
+        term_bmax.setdefault(key, {})[int(bids[i])] = float(bmax_col[i])
+
+    decoded: dict[int, tuple] = {}
+
+    def block_postings(row_idx: int, block_base: int):
+        got = decoded.get(row_idx)
+        if got is None:
+            ids = delta_decode(bytes(deltas_col[row_idx]), base=block_base)
+            tfs = varint_decode(bytes(tfs_col[row_idx])).astype(np.float64)
+            got = decoded[row_idx] = (ids, tfs)
+        return got
+
+    out_q: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    for q in queries:
+        qid, terms, _mode, k = q[:4]
+        present = sorted(
+            key for key in (
+                (f, t) for f in dls_by_field for t in set(terms)
+            ) if key in term_blocks
+        )
+        if not present:
+            continue
+        cand: set[int] = set()
+        for key in present:
+            cand.update(term_blocks[key])
+        ubs = {
+            bi: sum(
+                term_bmax[key].get(bi, 0.0) * weights[key[0]]
+                for key in present
+            )
+            for bi in cand
+        }
+        ordered = sorted(cand, key=lambda bi: (-ubs[bi], bi))
+
+        scores_acc: list[np.ndarray] = []
+        docs_acc: list[np.ndarray] = []
+        n_found = 0
+        threshold = -np.inf
+        for bi in ordered:
+            if n_found >= k and ubs[bi] < threshold - 1e-12:
+                break
+            block_base = shard_base + bi * bdocs
+            acc = np.zeros(bdocs, dtype=np.float64)
+            matched = np.zeros(bdocs, dtype=bool)
+            for f, t in present:  # sorted (field, term) = deterministic sums
+                ri = term_blocks[(f, t)].get(bi)
+                if ri is None:
+                    continue
+                ids, tfs = block_postings(ri, block_base)
+                off = ids - block_base
+                contrib = (idf_maps[f][t] * weights[f]) * bm25.tf_component_np(
+                    tfs, dls_by_field[f][ids - shard_base], avgdls[f], k1, b
+                )
+                acc[off] += contrib
+                matched[off] = True
+            offs = np.flatnonzero(matched)
+            if offs.size == 0:
+                continue
+            docs_acc.append(offs + block_base)
+            scores_acc.append(acc[offs])
+            n_found += offs.size
+            if n_found >= k:
+                allx = np.concatenate(scores_acc)
+                threshold = np.partition(allx, allx.size - k)[allx.size - k]
+        if not docs_acc:
+            continue
+        docs = np.concatenate(docs_acc)
+        scs = np.concatenate(scores_acc)
+        if docs.size > k:
+            order = np.lexsort((docs, -scs))[:k]
+            docs, scs = docs[order], scs[order]
+        out_q.append(np.full(docs.size, qid, dtype=np.int64))
+        out_d.append(docs)
+        out_s.append(scs)
+    return out_q, out_d, out_s
+
+
 def bm25f_topk(
     indexes: dict[str, Index],
     queries: list[tuple[int, list[str], str, int]],
@@ -88,11 +200,6 @@ def bm25f_topk(
         for f in fields
     }
     avgdls = {f: float(indexes[f].avgdl) for f in fields}
-    dps = cfg.docs_per_shard
-    # per-shard pass scores every match (bounded by the shard, not the
-    # corpus); k-truncation happens on the COMBINED score below
-    unb = [(int(q[0]), q[1], "disjunctive", dps) for q in queries]
-    kmap_py = {int(q[0]): int(q[3]) for q in queries}
 
     pq = reduce(
         lambda a, b: a.unionByName(b),
@@ -117,59 +224,28 @@ def bm25f_topk(
     )
 
     def combine(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
-        from bloqsenjin_spark.functions.scoring import score_shard_blocks
-
         empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
             {"query_id": "int64", "doc_id": "int64", "score": "float64"}
         )
         if pl.empty or dl_pdf.empty:
             return empty
         shard = int(pl["shard"].iloc[0])
-        shard_base = shard * dps
-        acc: dict[int, np.ndarray] = {}
-        seen: dict[int, np.ndarray] = {}
-        for f in fields:  # sorted field order = deterministic summation
-            m = (pl["field"] == f).to_numpy()
-            if not m.any():
-                continue
-            dl_rows = dl_pdf[dl_pdf["field"] == f]
-            if dl_rows.empty:
-                continue
-            dls = varint_decode(bytes(dl_rows["dls"].iloc[0])).astype(np.float64)
-            sub = pl[m]
-            oq, od, os_ = score_shard_blocks(
-                shard,
-                sub["term"].to_numpy(),
-                sub["block_id"].to_numpy(),
-                sub["block_max_score"].to_numpy(),
-                sub["doc_deltas"].to_numpy(),
-                sub["tfs"].to_numpy(),
-                dls, unb, idf_maps[f], avgdls[f], cfg,
-            )
-            w = weights[f]
-            for qa, da, sa in zip(oq, od, os_):
-                qid = int(qa[0])
-                a = acc.get(qid)
-                if a is None:
-                    a = acc[qid] = np.zeros(dps, dtype=np.float64)
-                    seen[qid] = np.zeros(dps, dtype=bool)
-                local = da - shard_base
-                a[local] += w * sa
-                seen[qid][local] = True
-        if not acc:
+        dls_by_field = {
+            str(r.field): varint_decode(bytes(r.dls)).astype(np.float64)
+            for r in dl_pdf.itertuples(index=False)
+        }
+        out_q, out_d, out_s = _score_shard_fielded(
+            shard,
+            pl["field"].to_numpy(),
+            pl["term"].to_numpy(),
+            pl["block_id"].to_numpy(),
+            pl["block_max_score"].to_numpy(),
+            pl["doc_deltas"].to_numpy(),
+            pl["tfs"].to_numpy(),
+            dls_by_field, queries, idf_maps, avgdls, weights, cfg,
+        )
+        if not out_q:
             return empty
-        out_q, out_d, out_s = [], [], []
-        for qid in sorted(acc):
-            local = np.flatnonzero(seen[qid])
-            scs = acc[qid][local]
-            docs = local + shard_base
-            k = kmap_py[qid]
-            if docs.size > k:  # exact: every global winner wins its shard
-                order = np.lexsort((docs, -scs))[:k]
-                docs, scs = docs[order], scs[order]
-            out_q.append(np.full(docs.size, qid, dtype=np.int64))
-            out_d.append(docs)
-            out_s.append(scs)
         return pd.DataFrame(
             {
                 "query_id": np.concatenate(out_q),
