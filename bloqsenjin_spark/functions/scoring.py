@@ -56,10 +56,22 @@ def score_shard_blocks(
     surviving docs use the stats baked at build time until a purge refreshes
     them). Per-shard bitmaps instead of a global docID array so the caller
     never has to collect or broadcast the full tombstone set.
+
+    ``dls``/``avgdl`` may also be dicts keyed BY TERM: the multi-field path
+    (operators/fielded.py) encodes (field, term) into composite term keys
+    and supplies that field's doc-length array / avgdl per key — one shared
+    kernel for single- and multi-field ranking.
     """
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
     k1, b = cfg.k1, cfg.b
     shard_base = shard * dps
+    keyed_dls = isinstance(dls, dict)
+
+    def term_dls(t):
+        return dls[t] if keyed_dls else dls
+
+    def term_avgdl(t):
+        return avgdl[t] if keyed_dls else avgdl
 
     term_blocks: dict[str, dict[int, int]] = {}
     term_bmax: dict[str, dict[int, float]] = {}
@@ -134,7 +146,7 @@ def score_shard_blocks(
                 ids, tfs = block_postings(ri, block_base)
                 off = ids - block_base
                 contrib = (idf_map[t] * wt(t)) * bm25.tf_component_np(
-                    tfs, dls[ids - shard_base], avgdl, k1, b
+                    tfs, term_dls(t)[ids - shard_base], term_avgdl(t), k1, b
                 )
                 acc[off] += contrib
                 matched[off] += 1

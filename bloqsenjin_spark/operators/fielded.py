@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 
 from bloqsenjin_spark.config import DEFAULT_CONFIG, IndexConfig
 from bloqsenjin_spark.functions.codec import varint_decode
+from bloqsenjin_spark.operators.wand import _effective_mask, _with_tomb
 from bloqsenjin_spark.plans.build import Index, build_index
+
+# composite (field, term) key separator — NUL never appears in tokens
+_SEP = "\x00"
 
 
 def build_fielded_index(
@@ -54,131 +58,31 @@ def build_fielded_index(
     }
 
 
-def _score_shard_fielded(
-    shard: int,
-    fields_col: np.ndarray,
-    terms_col: np.ndarray,
-    bids: np.ndarray,
-    bmax_col: np.ndarray,
-    deltas_col: np.ndarray,
-    tfs_col: np.ndarray,
-    dls_by_field: dict[str, np.ndarray],
-    queries: list,
-    idf_maps: dict[str, dict[str, float]],
-    avgdls: dict[str, float],
-    weights: dict[str, float],
-    cfg: IndexConfig,
-):
-    """Fielded block-max scorer for ONE shard: the single-field kernel's
-    loop with (field, term) keys and a COMBINED per-block upper bound
-    ub = Σ w_f · bmax_f(t, block) — exact pruning for w ≥ 0 because blocks
-    are doc-range aligned across fields, so a doc's whole fielded score
-    lives in the one block being bounded. Contributions accumulate in
-    sorted (field, term) order (deterministic float sums); matching is
-    disjunctive across fields."""
-    from bloqsenjin_spark.functions import bm25
-    from bloqsenjin_spark.functions.codec import delta_decode
-
-    dps, bdocs = cfg.docs_per_shard, cfg.block_docs
-    k1, b = cfg.k1, cfg.b
-    shard_base = shard * dps
-
-    term_blocks: dict[tuple, dict[int, int]] = {}
-    term_bmax: dict[tuple, dict[int, float]] = {}
-    for i in range(len(terms_col)):
-        key = (fields_col[i], terms_col[i])
-        term_blocks.setdefault(key, {})[int(bids[i])] = i
-        term_bmax.setdefault(key, {})[int(bids[i])] = float(bmax_col[i])
-
-    decoded: dict[int, tuple] = {}
-
-    def block_postings(row_idx: int, block_base: int):
-        got = decoded.get(row_idx)
-        if got is None:
-            ids = delta_decode(bytes(deltas_col[row_idx]), base=block_base)
-            tfs = varint_decode(bytes(tfs_col[row_idx])).astype(np.float64)
-            got = decoded[row_idx] = (ids, tfs)
-        return got
-
-    out_q: list[np.ndarray] = []
-    out_d: list[np.ndarray] = []
-    out_s: list[np.ndarray] = []
-    for q in queries:
-        qid, terms, _mode, k = q[:4]
-        present = sorted(
-            key for key in (
-                (f, t) for f in dls_by_field for t in set(terms)
-            ) if key in term_blocks
-        )
-        if not present:
-            continue
-        cand: set[int] = set()
-        for key in present:
-            cand.update(term_blocks[key])
-        ubs = {
-            bi: sum(
-                term_bmax[key].get(bi, 0.0) * weights[key[0]]
-                for key in present
-            )
-            for bi in cand
-        }
-        ordered = sorted(cand, key=lambda bi: (-ubs[bi], bi))
-
-        scores_acc: list[np.ndarray] = []
-        docs_acc: list[np.ndarray] = []
-        n_found = 0
-        threshold = -np.inf
-        for bi in ordered:
-            if n_found >= k and ubs[bi] < threshold - 1e-12:
-                break
-            block_base = shard_base + bi * bdocs
-            acc = np.zeros(bdocs, dtype=np.float64)
-            matched = np.zeros(bdocs, dtype=bool)
-            for f, t in present:  # sorted (field, term) = deterministic sums
-                ri = term_blocks[(f, t)].get(bi)
-                if ri is None:
-                    continue
-                ids, tfs = block_postings(ri, block_base)
-                off = ids - block_base
-                contrib = (idf_maps[f][t] * weights[f]) * bm25.tf_component_np(
-                    tfs, dls_by_field[f][ids - shard_base], avgdls[f], k1, b
-                )
-                acc[off] += contrib
-                matched[off] = True
-            offs = np.flatnonzero(matched)
-            if offs.size == 0:
-                continue
-            docs_acc.append(offs + block_base)
-            scores_acc.append(acc[offs])
-            n_found += offs.size
-            if n_found >= k:
-                allx = np.concatenate(scores_acc)
-                threshold = np.partition(allx, allx.size - k)[allx.size - k]
-        if not docs_acc:
-            continue
-        docs = np.concatenate(docs_acc)
-        scs = np.concatenate(scores_acc)
-        if docs.size > k:
-            order = np.lexsort((docs, -scs))[:k]
-            docs, scs = docs[order], scs[order]
-        out_q.append(np.full(docs.size, qid, dtype=np.int64))
-        out_d.append(docs)
-        out_s.append(scs)
-    return out_q, out_d, out_s
-
-
 def bm25f_topk(
     indexes: dict[str, Index],
     queries: list[tuple[int, list[str], str, int]],
     field_weights: dict[str, float],
     cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
 ) -> DataFrame:
     """→ (query_id, rank, doc_id, score): fielded top-k, score = Σ_field
     w_field · BM25_field. Disjunctive queries only (cross-field conjunctive
     semantics are ambiguous — all-terms-in-one-field vs anywhere — so the
     operator refuses rather than guessing). Weights must be ≥ 0 (pruning/
-    rank-safety contract shared with per-term boosts)."""
+    rank-safety contract shared with per-term boosts).
+
+    Implementation: ONE SHARED KERNEL with the single-field paths —
+    (field, term) is encoded into a composite term key and
+    functions.scoring.score_shard_blocks receives per-key doc-length arrays
+    and avgdl (its keyed-dls mode) plus per-key boost weights, so every
+    kernel property (combined block-max pruning, the tie epsilon,
+    tombstone/allow masking via ``tomb_map``/``allow_map``, negative-boost
+    validation) applies to fielded queries automatically."""
     fields = sorted(indexes)
+    qids = {int(q[0]) for q in queries}
+    if len(qids) != len(queries):
+        raise ValueError("duplicate query_ids in a fielded batch")
     for q in queries:
         if q[2] != "disjunctive":
             raise ValueError(
@@ -186,20 +90,45 @@ def bm25f_topk(
                 "cross-field semantics must be decided by the caller "
                 "(all-in-one-field == per-field bm25_wand_topk conjunctive)"
             )
+    unknown = set(field_weights) - set(fields)
+    if unknown:
+        raise ValueError(
+            f"field_weights name unknown fields {sorted(unknown)}; "
+            f"indexes have {fields}"
+        )
     weights = {f: float(field_weights.get(f, 1.0)) for f in fields}
     if any(w < 0 for w in weights.values()):
         raise ValueError(f"negative field weights are not rankable: {weights}")
     all_terms = sorted({t for q in queries for t in q[1]})
-    idf_maps = {
-        f: {
-            r["term"]: float(r["idf"])
-            for r in indexes[f].term_stats.where(
-                F.col("term").isin(all_terms)
-            ).collect()
-        }
-        for f in fields
+    # ONE driver job for every field's query-term idf (union tagged by field)
+    ts_rows = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            indexes[f].term_stats.select("term", "idf")
+            .where(F.col("term").isin(all_terms))
+            .withColumn("field", F.lit(f))
+            for f in fields
+        ],
+    ).collect()
+    idf_map = {
+        f"{r['field']}{_SEP}{r['term']}": float(r["idf"]) for r in ts_rows
     }
     avgdls = {f: float(indexes[f].avgdl) for f in fields}
+
+    # composite-key query tuples: disjunctive over every (field, term), with
+    # the field weight riding as the kernel's per-term boost
+    comp_queries = [
+        (
+            int(q[0]),
+            [f"{f}{_SEP}{t}" for f in fields for t in sorted(set(q[1]))],
+            "disjunctive",
+            int(q[3]),
+            (),
+            {f"{f}{_SEP}{t}": weights[f]
+             for f in fields for t in sorted(set(q[1]))},
+        )
+        for q in queries
+    ]
 
     pq = reduce(
         lambda a, b: a.unionByName(b),
@@ -222,27 +151,42 @@ def bm25f_topk(
             for f in fields
         ],
     )
+    dl = _with_tomb(dl, tomb_map, allow_map)
+    has_allow = allow_map is not None
 
     def combine(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        from bloqsenjin_spark.functions.scoring import score_shard_blocks
+
         empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
             {"query_id": "int64", "doc_id": "int64", "score": "float64"}
         )
         if pl.empty or dl_pdf.empty:
+            return empty
+        tomb_mask, skip = _effective_mask(dl_pdf, has_allow)
+        if skip:
             return empty
         shard = int(pl["shard"].iloc[0])
         dls_by_field = {
             str(r.field): varint_decode(bytes(r.dls)).astype(np.float64)
             for r in dl_pdf.itertuples(index=False)
         }
-        out_q, out_d, out_s = _score_shard_fielded(
+        comp_terms = np.array(
+            [f"{f}{_SEP}{t}" for f, t in zip(pl["field"], pl["term"])],
+            dtype=object,
+        )
+        dls_map = {
+            k: dls_by_field[k.split(_SEP, 1)[0]] for k in set(comp_terms)
+        }
+        avgdl_map = {k: avgdls[k.split(_SEP, 1)[0]] for k in set(comp_terms)}
+        out_q, out_d, out_s = score_shard_blocks(
             shard,
-            pl["field"].to_numpy(),
-            pl["term"].to_numpy(),
+            comp_terms,
             pl["block_id"].to_numpy(),
             pl["block_max_score"].to_numpy(),
             pl["doc_deltas"].to_numpy(),
             pl["tfs"].to_numpy(),
-            dls_by_field, queries, idf_maps, avgdls, weights, cfg,
+            dls_map, comp_queries, idf_map, avgdl_map, cfg,
+            tomb_mask=tomb_mask,
         )
         if not out_q:
             return empty

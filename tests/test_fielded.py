@@ -123,3 +123,32 @@ def test_bm25f_guards(spark):
     with pytest.raises(ValueError, match="negative field weights"):
         fielded.bm25f_topk(
             idxs, [(1, ["the"], "disjunctive", 5)], {"all": -1.0}, CFG)
+
+
+def test_bm25f_tombstones_and_guards(spark):
+    """Fielded queries honor tombstone bitmaps (shared kernel), and the
+    batch rejects duplicate query_ids / unknown field names."""
+    from bloqsenjin_spark.operators.bitmaps import shard_bitmap_df
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idxs = fielded.build_fielded_index(docs, _field_exprs(), CFG)
+    queries = [(1, ["the", "fast"], "disjunctive", 8)]
+    weights = {"title": 2.0, "body": 1.0}
+    base = fielded.bm25f_topk(idxs, queries, weights, CFG).collect()
+    victims = [r["doc_id"] for r in base][:3]
+    tomb = shard_bitmap_df(
+        spark.createDataFrame([(int(d),) for d in victims], "doc_id long"),
+        CFG, bitmap_col="tomb",
+    )
+    after = fielded.bm25f_topk(idxs, queries, weights, CFG, tomb_map=tomb).collect()
+    got = [r["doc_id"] for r in after]
+    assert not set(got) & set(victims) and len(after) == 8
+    survivors = [r["doc_id"] for r in base if r["doc_id"] not in victims]
+    assert got[: len(survivors)] == survivors  # order of survivors unchanged
+
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        fielded.bm25f_topk(
+            idxs, [(1, ["the"], "disjunctive", 5),
+                   (1, ["fast"], "disjunctive", 5)], weights, CFG)
+    with pytest.raises(ValueError, match="unknown fields"):
+        fielded.bm25f_topk(idxs, queries, {"titel": 2.0}, CFG)
