@@ -543,29 +543,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_asset_metadata": _q_asset_metadata,
         "mm_fake_features": _q_multimodal_features,
         "mm_decode_pixels": _q_decode_pixels,
-        # relational parity (SURVEY §2)
-        "rel_select_project_filter": _rel(relational.select_project_filter, "lineitem"),
-        "rel_join_groupby_view": _rel(relational.join_groupby_view, "customer", "orders"),
-        # part_names serialized to a '|'-joined string: the driver's pandas
-        # canonicalizer cannot sort/hash raw array columns
-        "rel_enrichment_join": lambda spark, sf_dir: _rel(
-            relational.enrichment_join, "orders", "lineitem", "part"
-        )(spark, sf_dir).withColumn("part_names", F.array_join("part_names", "|")),
-        "rel_semi_join_exists": _rel(relational.semi_join_exists, "customer", "orders"),
-        "rel_anti_join_guard": _rel(relational.anti_join_guard, "customer", "orders"),
-        "rel_cooccurrence_pairs": _rel(relational.cooccurrence_pairs, "lineitem"),
-        "rel_interval_filter": _rel(relational.interval_filter, "orders"),
-        "rel_top1_per_group": _rel(relational.top1_per_group, "orders"),
-        "rel_quota_count": _rel(relational.quota_count, "orders"),
-        "rel_level_curve": _rel(relational.level_curve, "events"),
-        "rel_bitmask_ops": _rel(relational.bitmask_ops, "events"),
-        "rel_schema_merge_union": _rel(relational.schema_merge_union, "orders"),
-        "rel_validate_rows": _rel(relational.validate_rows, "part"),
-        "rel_rollup_metrics": _rel(relational.rollup_metrics, "lineitem"),
-        "rel_lag_lead_deltas": _rel(relational.lag_lead_deltas, "events"),
-        "rel_json_extract": _rel(relational.json_extract_props, "events"),
-        "rel_scalar_funcs": _rel(relational.scalar_funcs_demo, "orders"),
-        "rel_windowed_event_counts": _rel(relational.windowed_event_counts, "events"),
+        # relational parity (SURVEY §2) — 18 per-operator queries consolidated
+        # into 4 UNION-tagged composite suites so the whole surface fits the
+        # driver's 50-entry verification window (round-4 verdict #1); each
+        # suite branch calls the unchanged operator, and per-operator oracle
+        # checks live in tests/test_relational.py
+        "rel_scan_set_suite": _rel(relational.scan_set_suite, "lineitem", "orders"),
+        "rel_join_suite": _rel(relational.join_suite, "customer", "orders",
+                               "lineitem", "part"),
+        "rel_agg_window_suite": _rel(relational.agg_window_suite, "orders",
+                                     "lineitem", "events"),
+        "rel_scalar_suite": _rel(relational.scalar_suite, "events", "orders", "part"),
         "term_prefix_scan": _q_prefix_scan,
     }
 
@@ -637,5 +625,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_pixels": oracle.decode_pixels_sql(),
         "term_prefix_scan": oracle.prefix_scan_sql("s", 10),
     }
-    out.update(oracle.RELATIONAL_SQL)
+    out.update(oracle.COMPOSITE_RELATIONAL_SQL)
     return out
