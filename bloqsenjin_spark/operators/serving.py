@@ -118,6 +118,10 @@ class IndexServer:
         st["_pos_term_cache"] = OrderedDict() if self._cache_terms else None
         st["_block_cache"] = OrderedDict()
         st["_ann"] = None  # IVF replica loads lazily; refresh invalidates it
+        # SymSpell deletion-neighborhood indexes, built lazily per distinct
+        # max_dist on first fuzzy query of a generation (shared by snapshots;
+        # refresh() drops them with the rest of the state)
+        st["_fuzzy_idx"] = {}
         return st
 
     def refresh(self, force: bool = False) -> bool:
@@ -327,6 +331,8 @@ class IndexServer:
         Expansion is a scan of the ALREADY-LOADED dictionary replica (the
         df dict — no file I/O, no Spark job), same rule as the distributed
         path: df DESC, term ASC, capped at ``max_expansions``."""
+        if len({q[0] for q in prefix_queries}) != len(prefix_queries):
+            raise ValueError("duplicate query_ids in prefix_queries")
         if not self._is_snap:
             return self._snap().prefix_topk_batch(
                 prefix_queries, max_expansions=max_expansions,
@@ -538,15 +544,63 @@ class IndexServer:
             prev = cur
         return prev[-1]
 
+    # SymSpell index memory grows ~|term|^d per term; Lucene caps fuzzy at 2
+    # edits for the same reason. Larger dists fall back to the full dict scan.
+    _SYMSPELL_MAX_DIST = 2
+
+    @staticmethod
+    def _deletes(word: str, max_dist: int) -> set[str]:
+        """All strings reachable from ``word`` by deleting ≤ max_dist chars
+        (including word itself)."""
+        out = {word}
+        frontier = {word}
+        for _ in range(max_dist):
+            nxt = {w[:i] + w[i + 1:] for w in frontier for i in range(len(w))}
+            nxt -= out
+            out |= nxt
+            frontier = nxt
+        return out
+
+    def _fuzzy_candidates(self, word: str, max_dist: int) -> "list[str]":
+        """Candidate dictionary terms possibly within ``max_dist`` edits of
+        ``word``, via a precomputed SymSpell deletion-neighborhood index:
+        lev(w, t) ≤ d implies some ≤d-deletion of w equals some ≤d-deletion
+        of t, so hashing every term under all its ≤d-deletion variants makes
+        expansion O(|w|^d) bucket lookups instead of a full dictionary scan
+        (the round-4 verdict's serving-tier scale fix). Candidates still go
+        through exact Levenshtein verification — the bucket join is a
+        superset, never a filter."""
+        if max_dist > self._SYMSPELL_MAX_DIST:
+            return list(self.df)  # documented fallback: exact full scan
+        idx = self._fuzzy_idx.get(max_dist)
+        if idx is None:
+            # one pass over the loaded dict replica per (generation, dist);
+            # snapshots share the parent's dict so concurrent builders are
+            # idempotent and the last assignment wins under the GIL
+            idx = {}
+            for t in self.df:
+                for dv in self._deletes(t, max_dist):
+                    idx.setdefault(dv, []).append(t)
+            self._fuzzy_idx[max_dist] = idx
+        seen: set[str] = set()
+        for dv in self._deletes(word, max_dist):
+            bucket = idx.get(dv)
+            if bucket:
+                seen.update(bucket)
+        return list(seen)
+
     def fuzzy_topk_batch(
         self, fuzzy_queries: list[tuple[int, str, int, int]],
         max_expansions: int = 50, allowed_doc_ids=None,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — typo-tolerant top-k,
         rank-identical to operators/wand.fuzzy_bm25_topk on the same index.
-        Expansion scans the ALREADY-LOADED dictionary replica with the same
-        rule: Levenshtein ≤ max_dist, ranked (distance ASC, df DESC,
-        term ASC), capped at ``max_expansions``."""
+        Expansion rule (identical to the Spark path): Levenshtein ≤ max_dist,
+        ranked (distance ASC, df DESC, term ASC), capped at
+        ``max_expansions`` — but candidates come from the SymSpell deletion
+        index (sub-linear in vocabulary) instead of a full dict scan."""
+        if len({q[0] for q in fuzzy_queries}) != len(fuzzy_queries):
+            raise ValueError("duplicate query_ids in fuzzy_queries")
         if not self._is_snap:
             return self._snap().fuzzy_topk_batch(
                 fuzzy_queries, max_expansions=max_expansions,
@@ -554,7 +608,7 @@ class IndexServer:
         queries = []
         for qid, word, max_dist, k in fuzzy_queries:
             cands = []
-            for t in self.df:
+            for t in self._fuzzy_candidates(word, int(max_dist)):
                 d = self._levenshtein(t, word, int(max_dist))
                 if d <= max_dist:
                     cands.append((d, -self.df[t], t))

@@ -770,6 +770,8 @@ def prefix_bm25_topk(
     at serving scale it comes from the in-memory dictionary replica
     (IndexServer.prefix_topk_batch), never the postings. The ranking pass is
     the ordinary bm25_wand_topk plan over the expanded terms' postings."""
+    if len({q[0] for q in prefix_queries}) != len(prefix_queries):
+        raise ValueError("duplicate query_ids in prefix_queries")
     exp = expand_prefix_terms(term_stats, prefix_queries, max_expansions)
     queries = [
         (int(qid), exp[int(qid)], "disjunctive", int(k))
@@ -847,6 +849,8 @@ def fuzzy_bm25_topk(
     one batch dictionary job, distance-then-df-ranked, capped — then ranks
     as ONE disjunctive BM25 query over the expansion set via the ordinary
     bm25_wand_topk plan."""
+    if len({q[0] for q in fuzzy_queries}) != len(fuzzy_queries):
+        raise ValueError("duplicate query_ids in fuzzy_queries")
     exp = expand_fuzzy_terms(term_stats, fuzzy_queries, max_expansions)
     queries = [
         (int(qid), exp[int(qid)], "disjunctive", int(k))

@@ -542,3 +542,52 @@ def test_serving_guards(spark, index_dir, pos_index_dir):
     srv = IndexServer(index_dir, CFG)
     with pytest.raises(ValueError, match="negative term boosts"):
         srv.query_batch([(1, ["the"], "disjunctive", 5, [], {"the": -1.0})])
+
+
+def test_symspell_candidates_equal_full_scan(index_dir):
+    """The SymSpell deletion-neighborhood expansion must be a lossless
+    replacement for the round-4 full-dictionary scan: for every (word, dist)
+    the verified candidate set equals brute-force Levenshtein over the whole
+    loaded dictionary (the SymSpell lemma, checked empirically on the real
+    index vocabulary plus adversarial words)."""
+    srv = IndexServer(index_dir, CFG)._snap()
+    vocab = list(srv.df)
+    words = ["spork", "ow", "quary", "xyzzy", "", "a",
+             vocab[0], vocab[len(vocab) // 2], vocab[-1] + "x"]
+    for word in words:
+        for dist in (0, 1, 2):
+            brute = {t for t in vocab
+                     if srv._levenshtein(t, word, dist) <= dist}
+            sym = {t for t in srv._fuzzy_candidates(word, dist)
+                   if srv._levenshtein(t, word, dist) <= dist}
+            assert sym == brute, (word, dist)
+    # candidate sets are bucket-bounded: far fewer than the vocabulary for a
+    # typical word (the sub-linearity this structure exists for)
+    assert len(srv._fuzzy_candidates("spork", 1)) < len(vocab)
+
+
+def test_symspell_index_shared_and_dropped_on_refresh(index_dir):
+    srv = IndexServer(index_dir, CFG)
+    srv.fuzzy_topk_batch([(1, "spork", 1, 5)])
+    assert 1 in srv._fuzzy_idx  # built lazily, visible on the parent
+    idx_obj = srv._fuzzy_idx
+    srv.refresh(force=True)
+    assert srv._fuzzy_idx is not idx_obj and srv._fuzzy_idx == {}
+
+
+def test_fuzzy_and_prefix_duplicate_qid_raise(index_dir):
+    srv = IndexServer(index_dir, CFG)
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        srv.fuzzy_topk_batch([(1, "spork", 1, 5), (1, "quary", 1, 5)])
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        srv.prefix_topk_batch([(1, "s", 5), (1, "c", 5)])
+
+
+def test_wand_duplicate_qid_raise():
+    """Spark-side prefix/fuzzy entry points share the duplicate-qid guard
+    (raised before any plan is built, so no real index is needed)."""
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        wand.prefix_bm25_topk(None, None, None, 0.0, [(1, "s", 5), (1, "c", 5)])
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        wand.fuzzy_bm25_topk(None, None, None, 0.0,
+                             [(1, "a", 1, 5), (1, "b", 1, 5)])
