@@ -425,6 +425,32 @@ def _q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("score", F.round("score", _R))
 
 
+def _q_bm25f_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE BM25F: per-field normalized tfs weighted and merged BEFORE the
+    concave saturation, document-level idf — the probabilistically grounded
+    fielded model (vs _q_bm25f's per-field-sum). Same derived fields, same
+    weights; the two models' scores provably differ (pytest-pinned)."""
+    from bloqsenjin_spark.functions.text import tokens
+    from bloqsenjin_spark.operators import fielded
+
+    docs = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    fields = {
+        "title": F.concat_ws(" ", F.slice(t, 1, 5)),
+        "body": F.concat_ws(
+            " ",
+            F.when(F.size(t) > 5, F.slice(t, 6, F.size(t) - 5))
+            .otherwise(F.array().cast("array<string>")),
+        ),
+    }
+    idxs = fielded.build_fielded_index(docs, fields, _SF_CFG)
+    tok = topk.tokenized(docs)
+    doc_ts = topk.term_stats_df(topk.term_freqs(tok), tok.count())
+    res = fielded.bm25f_merged_topk(idxs, BM25F_QUERIES, BM25F_WEIGHTS,
+                                    doc_ts, _SF_CFG)
+    return res.withColumn("score", F.round("score", _R))
+
+
 def _q_topk_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snippet extraction: top-k + an 8-token window starting at each
     result's first query-term occurrence — positions from the index, token
@@ -513,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_highlight": _q_topk_highlights,
         "bm25_topk_snippets": _q_topk_snippets,
         "bm25_topk_fielded": _q_bm25f,
+        "bm25f_merged": _q_bm25f_merged,
         "bm25_match_counts": _q_match_counts,
         "phrase_match": _q_phrase_match,
         "phrase_near": _q_phrase_near,
@@ -589,6 +616,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_snippets": oracle.topk_snippets_sql(corpus.REFERENCE_QUERIES),
         "bm25_topk_fielded": oracle.bm25f_topk_sql(
+            BM25F_QUERIES,
+            {"title": "list_slice(toks, 1, 5)",
+             "body": "list_slice(toks, 6, len(toks))"},
+            BM25F_WEIGHTS,
+        ),
+        "bm25f_merged": oracle.bm25f_merged_topk_sql(
             BM25F_QUERIES,
             {"title": "list_slice(toks, 1, 5)",
              "body": "list_slice(toks, 6, len(toks))"},

@@ -180,6 +180,155 @@ def score_shard_blocks(
     return out_q, out_d, out_s
 
 
+def score_shard_blocks_bm25f(
+    shard: int,
+    terms_col: np.ndarray,
+    bids: np.ndarray,
+    bmax_col: np.ndarray,
+    deltas_col: np.ndarray,
+    tfs_col: np.ndarray,
+    dls_map: dict[str, np.ndarray],
+    queries: list[tuple[int, list[str], str, int]],
+    doc_idf: dict[str, float],
+    field_idf: dict[str, float],
+    avgdl_map: dict[str, float],
+    weight_map: dict[str, float],
+    fields: list[str],
+    sep: str,
+    cfg: IndexConfig,
+    tomb_mask: np.ndarray | None = None,
+) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
+    """TRUE BM25F (merged-tf) scoring of one shard's composite-key block rows:
+
+        score(d, q) = Σ_t idf_doc(t) · (k1+1)·tf̃ / (tf̃ + k1),
+        tf̃ = Σ_f w_f · tf_{f,t,d} / (1 − b + b·dl_{f,d}/avgdl_f)
+
+    i.e. per-field length-normalized tfs are weighted and MERGED BEFORE
+    saturation (Zaragoza & Robertson's BM25F), with a document-level idf —
+    unlike score_shard_blocks' composite-key mode, which saturates per field
+    and sums afterwards (the per-field-sum model).
+
+    Needs NO storage-format change: the stored per-(field,term) block max is
+    bm = idf_f · sat(tf̄_max) with sat monotone, so the block's max normalized
+    tf is recovered exactly by inverting sat: tf̄_max = k1·m/((k1+1)−m),
+    m = bm/idf_f. The merged block bound Σ_t idf_doc(t)·sat(Σ_f w_f·tf̄_max)
+    is then an exact upper bound for w ≥ 0 (sat is monotone and each doc's
+    tf̃ is ≤ the weighted sum of per-field block maxima), so block-max
+    pruning keeps the same exactness guarantee as the single-field kernel.
+
+    ``terms_col`` carries composite ``field⟂term`` keys (``sep`` separator);
+    queries carry PLAIN terms. Disjunctive 4-tuple queries only — MUST_NOT /
+    per-term boosts are the per-field-sum path's surface.
+    """
+    dps, bdocs = cfg.docs_per_shard, cfg.block_docs
+    k1, b = cfg.k1, cfg.b
+    shard_base = shard * dps
+
+    # composite key → {block_id: row}, plus recovered per-block max
+    # normalized tf (the inverse-sat trick)
+    key_blocks: dict[str, dict[int, int]] = {}
+    key_tfn_max: dict[str, dict[int, float]] = {}
+    for i in range(len(terms_col)):
+        key = terms_col[i]
+        bi = int(bids[i])
+        key_blocks.setdefault(key, {})[bi] = i
+        m = float(bmax_col[i]) / field_idf[key]
+        key_tfn_max.setdefault(key, {})[bi] = (
+            k1 * m / max((k1 + 1.0) - m, 1e-300)
+        )
+
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def block_postings(row_idx: int, block_base: int):
+        got = decoded.get(row_idx)
+        if got is None:
+            ids = delta_decode(bytes(deltas_col[row_idx]), base=block_base)
+            tfs = varint_decode(bytes(tfs_col[row_idx])).astype(np.float64)
+            got = decoded[row_idx] = (ids, tfs)
+        return got
+
+    def sat(x: np.ndarray) -> np.ndarray:
+        return (k1 + 1.0) * x / (x + k1)
+
+    out_q: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    for qid, terms, mode, k in (q[:4] for q in queries):
+        if mode != "disjunctive":
+            raise ValueError("bm25f merged scoring is disjunctive-only")
+        present = sorted(
+            t for t in set(terms)
+            if any(f"{f}{sep}{t}" in key_blocks for f in fields)
+        )
+        if not present:
+            continue
+        cand: set[int] = set()
+        for t in present:
+            for f in fields:
+                cand.update(key_blocks.get(f"{f}{sep}{t}", ()))
+        if not cand:
+            continue
+        ubs = {
+            bi: sum(
+                doc_idf[t] * float(sat(np.float64(sum(
+                    weight_map[f] * key_tfn_max.get(f"{f}{sep}{t}", {}).get(bi, 0.0)
+                    for f in fields
+                ))))
+                for t in present
+            )
+            for bi in cand
+        }
+        ordered = sorted(cand, key=lambda bi: (-ubs[bi], bi))
+
+        scores_acc: list[np.ndarray] = []
+        docs_acc: list[np.ndarray] = []
+        n_found = 0
+        threshold = -np.inf
+        for bi in ordered:
+            if n_found >= k and ubs[bi] < threshold - 1e-12:
+                break
+            block_base = shard_base + bi * bdocs
+            acc = np.zeros(bdocs, dtype=np.float64)
+            matched = np.zeros(bdocs, dtype=bool)
+            for t in present:  # lexicographic = deterministic summation
+                tfn = np.zeros(bdocs, dtype=np.float64)
+                for f in fields:  # sorted by caller = deterministic
+                    key = f"{f}{sep}{t}"
+                    ri = key_blocks.get(key, {}).get(bi)
+                    if ri is None:
+                        continue
+                    ids, tfs = block_postings(ri, block_base)
+                    dl = dls_map[key][ids - shard_base]
+                    norm = 1.0 - b + b * dl / avgdl_map[key]
+                    tfn[ids - block_base] += weight_map[f] * tfs / norm
+                hit = tfn > 0.0
+                if hit.any():
+                    acc[hit] += doc_idf[t] * sat(tfn[hit])
+                    matched |= hit
+            offs = np.flatnonzero(matched)
+            if offs.size and tomb_mask is not None:
+                offs = offs[~tomb_mask[offs + (block_base - shard_base)]]
+            if offs.size == 0:
+                continue
+            docs_acc.append(offs + block_base)
+            scores_acc.append(acc[offs])
+            n_found += offs.size
+            if n_found >= k:
+                allx = np.concatenate(scores_acc)
+                threshold = np.partition(allx, allx.size - k)[allx.size - k]
+        if not docs_acc:
+            continue
+        docs = np.concatenate(docs_acc)
+        scs = np.concatenate(scores_acc)
+        if docs.size > k:
+            order = np.lexsort((docs, -scs))[:k]
+            docs, scs = docs[order], scs[order]
+        out_q.append(np.full(docs.size, qid, dtype=np.int64))
+        out_d.append(docs)
+        out_s.append(scs)
+    return out_q, out_d, out_s
+
+
 def count_shard_matches(
     shard: int,
     terms_col: np.ndarray,

@@ -210,3 +210,158 @@ def bm25f_topk(
         .where(F.col("rank") <= kmap[F.col("query_id")])
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def bm25f_merged_topk(
+    indexes: dict[str, Index],
+    queries: list[tuple[int, list[str], str, int]],
+    field_weights: dict[str, float],
+    doc_term_stats: DataFrame,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+) -> DataFrame:
+    """TRUE BM25F (Zaragoza & Robertson): per-field length-normalized tfs are
+    weighted and merged BEFORE saturation,
+
+        score(d, q) = Σ_t idf_doc(t) · (k1+1)·tf̃ / (tf̃ + k1),
+        tf̃ = Σ_f w_f · tf_{f,t,d} / (1 − b + b·dl_{f,d}/avgdl_f)
+
+    with a DOCUMENT-level idf (``doc_term_stats``: term→idf over whole
+    documents — the fields partition each document, so "term in any field" ≡
+    "term in document"). This differs from bm25f_topk (per-field-sum, the
+    Lucene-style weighted combination): merging before the concave saturation
+    rewards a term spread across fields less than the same tf concentrated —
+    the probabilistically grounded behavior (test pins the divergence).
+
+    Same distributed plan as bm25f_topk — shard-aligned per-field indexes,
+    ONE cogroup over the term-filtered union — but scored by the merged-tf
+    kernel (functions/scoring.score_shard_blocks_bm25f), whose block bound
+    recovers per-field block-max normalized tf by inverting the stored
+    monotone saturation, so NO storage-format change and pruning stays exact
+    for w ≥ 0. Reference shape: the per-entity multi-valued column sets at
+    /root/reference/internal/models/bloq.go:75-84 (no text-search analog).
+    """
+    fields = sorted(indexes)
+    if len({int(q[0]) for q in queries}) != len(queries):
+        raise ValueError("duplicate query_ids in a fielded batch")
+    for q in queries:
+        if q[2] != "disjunctive":
+            raise ValueError("bm25f_merged_topk supports disjunctive queries only")
+    unknown = set(field_weights) - set(fields)
+    if unknown:
+        raise ValueError(
+            f"field_weights name unknown fields {sorted(unknown)}; "
+            f"indexes have {fields}"
+        )
+    weights = {f: float(field_weights.get(f, 1.0)) for f in fields}
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"negative field weights are not rankable: {weights}")
+    all_terms = sorted({t for q in queries for t in q[1]})
+
+    doc_idf = {
+        r["term"]: float(r["idf"])
+        for r in doc_term_stats.select("term", "idf")
+        .where(F.col("term").isin(all_terms)).collect()
+    }
+    # per-field idf is needed ONLY to invert the stored block-max back to a
+    # normalized-tf bound — one tagged-union driver job, like bm25f_topk's
+    ts_rows = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            indexes[f].term_stats.select("term", "idf")
+            .where(F.col("term").isin(all_terms))
+            .withColumn("field", F.lit(f))
+            for f in fields
+        ],
+    ).collect()
+    field_idf = {
+        f"{r['field']}{_SEP}{r['term']}": float(r["idf"]) for r in ts_rows
+    }
+    avgdls = {f: float(indexes[f].avgdl) for f in fields}
+
+    plain_queries = [
+        (int(q[0]), sorted(set(q[1])), "disjunctive", int(q[3])) for q in queries
+    ]
+
+    pq = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            indexes[f].postings.select(
+                "term", "shard", "block_id", "block_max_score",
+                "doc_deltas", "tfs",
+            )
+            .where(F.col("term").isin(all_terms))
+            .withColumn("field", F.lit(f))
+            for f in fields
+        ],
+    )
+    dl = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            indexes[f].doc_lens.select("shard", "dls").withColumn(
+                "field", F.lit(f)
+            )
+            for f in fields
+        ],
+    )
+    dl = _with_tomb(dl, tomb_map, allow_map)
+    has_allow = allow_map is not None
+
+    def combine(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        from bloqsenjin_spark.functions.scoring import score_shard_blocks_bm25f
+
+        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+            {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+        )
+        if pl.empty or dl_pdf.empty:
+            return empty
+        tomb_mask, skip = _effective_mask(dl_pdf, has_allow)
+        if skip:
+            return empty
+        shard = int(pl["shard"].iloc[0])
+        dls_by_field = {
+            str(r.field): varint_decode(bytes(r.dls)).astype(np.float64)
+            for r in dl_pdf.itertuples(index=False)
+        }
+        comp_terms = np.array(
+            [f"{f}{_SEP}{t}" for f, t in zip(pl["field"], pl["term"])],
+            dtype=object,
+        )
+        dls_map = {
+            k: dls_by_field[k.split(_SEP, 1)[0]] for k in set(comp_terms)
+        }
+        avgdl_map = {k: avgdls[k.split(_SEP, 1)[0]] for k in set(comp_terms)}
+        out_q, out_d, out_s = score_shard_blocks_bm25f(
+            shard,
+            comp_terms,
+            pl["block_id"].to_numpy(),
+            pl["block_max_score"].to_numpy(),
+            pl["doc_deltas"].to_numpy(),
+            pl["tfs"].to_numpy(),
+            dls_map, plain_queries, doc_idf, field_idf, avgdl_map,
+            weights, fields, _SEP, cfg,
+            tomb_mask=tomb_mask,
+        )
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    partial = pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
+        combine, schema="query_id long, doc_id long, score double"
+    )
+    kmap = F.create_map(
+        *[x for q in queries for x in (F.lit(int(q[0])), F.lit(int(q[3])))]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kmap[F.col("query_id")])
+        .select("query_id", "rank", "doc_id", "score")
+    )

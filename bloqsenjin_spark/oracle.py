@@ -332,6 +332,88 @@ FROM ranked WHERE rank <= k
 """.strip()
 
 
+def bm25f_merged_topk_sql(
+    queries: list[tuple[int, list[str], str, int]],
+    field_toks: dict[str, str],
+    field_weights: dict[str, float],
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for TRUE merged-tf BM25F (operators/fielded.bm25f_merged_topk):
+
+        tf̃ = Σ_f w_f · tf_{f,t,d} / (1 − b + b·dl_f/avgdl_f)
+        score = Σ_t idf_doc(t) · (k1+1)·tf̃ / (tf̃ + k1)
+
+    Independently re-derived: per-field tf/dl/avgdl CTEs as in the fielded
+    oracle, but the weighted normalized tfs are SUMMED FIRST (tfm) and
+    saturated once, with idf from whole-document df. Disjunctive only."""
+    from bloqsenjin_spark.config import BM25_B, BM25_K1
+
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    k1, b = BM25_K1, BM25_B
+    idf = idf_sql("dts.df", "(SELECT count(*) FROM dtok)")
+    qrows = []
+    for qid, terms, mode, k in queries:
+        assert mode == "disjunctive", "merged-bm25f oracle is disjunctive-only"
+        uniq = sorted(set(terms))
+        lit = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in uniq) + "]"
+        qrows.append(f"({qid}, {lit}, {int(k)})")
+    ft_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{f}' AS field, {expr} AS ftoks FROM dtok"
+        for f, expr in sorted(field_toks.items())
+    )
+    wrows = ", ".join(
+        f"('{f}', {float(field_weights.get(f, 1.0))!r}::DOUBLE)"
+        for f in sorted(field_toks)
+    )
+    return f"""
+WITH q(query_id, terms, k) AS (VALUES {', '.join(qrows)}),
+dtok AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}),
+ft AS (
+{ft_selects}
+),
+tok AS (SELECT doc_id, field, unnest(ftoks) AS term FROM ft),
+dl AS (SELECT doc_id, field, len(ftoks) AS dl FROM ft),
+cs AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY field),
+tf AS (SELECT field, term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+dtf AS (SELECT term, doc_id FROM (SELECT doc_id, unnest(toks) AS term FROM dtok)
+        GROUP BY term, doc_id),
+dts AS (SELECT term, count(*) AS df FROM dtf GROUP BY term),
+fw(field, w) AS (VALUES {wrows}),
+qt AS (SELECT query_id, k, unnest(terms) AS term FROM q),
+tfm AS (
+    SELECT qt.query_id, tf.doc_id, qt.term, qt.k,
+           sum(fw.w * tf.tf / ({1.0 - b} + {b} * dl.dl / cs.avgdl)) AS tfm
+    FROM qt
+    JOIN tf USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
+    JOIN cs ON cs.field = tf.field
+    JOIN fw ON fw.field = tf.field
+    GROUP BY 1, 2, 3, 4
+),
+contrib AS (
+    SELECT tfm.query_id, tfm.doc_id, tfm.k,
+           {idf} * ({k1 + 1.0} * tfm.tfm / (tfm.tfm + {k1})) AS contrib
+    FROM tfm JOIN dts ON dts.term = tfm.term
+    WHERE tfm.tfm > 0
+),
+scored AS (
+    SELECT query_id, doc_id, k, sum(contrib) AS score
+    FROM contrib GROUP BY query_id, doc_id, k
+),
+ranked AS (
+    SELECT query_id, doc_id, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= k
+""".strip()
+
+
 def weighted_topk_sql(
     wqueries: list,
     doc_table: str = "documents",

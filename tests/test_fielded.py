@@ -152,3 +152,162 @@ def test_bm25f_tombstones_and_guards(spark):
                    (1, ["fast"], "disjunctive", 5)], weights, CFG)
     with pytest.raises(ValueError, match="unknown fields"):
         fielded.bm25f_topk(idxs, queries, {"titel": 2.0}, CFG)
+
+
+# ---- TRUE (merged-tf) BM25F --------------------------------------------------
+
+def _doc_ts(spark, docs):
+    from bloqsenjin_spark.operators import topk
+
+    tok = topk.tokenized(docs)
+    return topk.term_stats_df(topk.term_freqs(tok), tok.count())
+
+
+def _bm25f_merged_ref(docs_rows, queries, weights, k1=BM25_K1, b=BM25_B):
+    """Independent merged-tf reference: tf̃ = Σ_f w_f·tf/(1−b+b·dl_f/avgdl_f)
+    summed BEFORE saturation, document-level idf."""
+    per_field = {f: {} for f in ("title", "body")}
+    doc_toks = {}
+    for d, text in docs_rows:
+        fx = _split_fields(text)
+        doc_toks[d] = fx["title"] + fx["body"]
+        for f in per_field:
+            per_field[f][d] = fx[f]
+    n = len(docs_rows)
+    avgdl = {
+        f: (sum(len(v) for v in per_field[f].values()) / n) or 1.0
+        for f in per_field
+    }
+    ddf = {}
+    for v in doc_toks.values():
+        for t in set(v):
+            ddf[t] = ddf.get(t, 0) + 1
+    out = []
+    for qid, terms, _mode, k in queries:
+        uterms = sorted(set(terms))
+        scored: dict[int, float] = {}
+        for d in doc_toks:
+            s, hit = 0.0, False
+            for t in uterms:
+                tfm = 0.0
+                for f in sorted(per_field):
+                    tf = per_field[f][d].count(t)
+                    if tf:
+                        dl = len(per_field[f][d])
+                        tfm += weights[f] * tf / (1.0 - b + b * dl / avgdl[f])
+                if tfm > 0:
+                    hit = True
+                    idf = math.log((n - ddf[t] + 0.5) / (ddf[t] + 0.5) + 1.0)
+                    s += idf * (k1 + 1.0) * tfm / (tfm + k1)
+            if hit:
+                scored[d] = s
+        ranked = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
+        out += [(qid, r, d, s) for r, (d, s) in enumerate(ranked, 1)]
+    return sorted(out)
+
+
+def test_bm25f_merged_matches_numpy_reference(spark):
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idxs = fielded.build_fielded_index(docs, _field_exprs(), CFG)
+    queries = [(1, ["spark"], "disjunctive", 10),
+               (2, ["the", "fast"], "disjunctive", 8),
+               (3, ["zebra"], "disjunctive", 5)]
+    weights = {"title": 2.0, "body": 1.0}
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in fielded.bm25f_merged_topk(
+            idxs, queries, weights, _doc_ts(spark, docs), CFG).collect()
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    want = _bm25f_merged_ref(rows, queries, weights)
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+
+
+def test_bm25f_merged_differs_from_per_field_sum(spark):
+    """Guard against silently re-implementing the per-field-sum model: on a
+    corpus where a term is SPLIT across fields vs CONCENTRATED in one, the
+    two models must rank differently (merging before the concave saturation
+    rewards spread less), while both stay internally consistent."""
+    rows = [
+        (0, "x x x x x f f f f f f"),       # 'x' concentrated in title
+        (1, "x a b c d x f f x x x f"),     # 'x' spread title+body
+        (2, "q w e r t y u i o p"),
+        (3, "x y y y y y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idxs = fielded.build_fielded_index(docs, _field_exprs(), CFG)
+    queries = [(1, ["x"], "disjunctive", 4)]
+    weights = {"title": 3.0, "body": 1.0}
+    persum = {
+        (r["doc_id"]): r["score"]
+        for r in fielded.bm25f_topk(idxs, queries, weights, CFG).collect()
+    }
+    merged = {
+        (r["doc_id"]): r["score"]
+        for r in fielded.bm25f_merged_topk(
+            idxs, queries, weights, _doc_ts(spark, docs), CFG).collect()
+    }
+    assert set(persum) == set(merged)
+    diffs = [d for d in persum if abs(persum[d] - merged[d]) > 1e-9]
+    assert diffs, "merged-tf scores identical to per-field-sum — wrong model"
+    # and the merged scores match the independent reference on this corpus
+    want = dict(
+        (d, s) for _q, _r, d, s in
+        _bm25f_merged_ref(rows, queries, weights)
+    )
+    for d, s in merged.items():
+        assert s == pytest.approx(want[d], abs=1e-9)
+
+
+def test_bm25f_merged_pruning_exact_small_blocks(spark):
+    """Block-max pruning (via the inverse-saturation bound) must not change
+    results: tiny blocks force many prune decisions; compare against the
+    same operator at one-giant-block config (no pruning possible)."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    queries = [(1, ["the", "fast"], "disjunctive", 10),
+               (2, ["customer", "order", "spark"], "disjunctive", 7)]
+    weights = {"title": 2.0, "body": 1.0}
+    outs = []
+    for cfg in (IndexConfig(docs_per_shard=64, block_docs=4),
+                IndexConfig(docs_per_shard=512, block_docs=512)):
+        idxs = fielded.build_fielded_index(docs, _field_exprs(), cfg)
+        outs.append(sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in fielded.bm25f_merged_topk(
+                idxs, queries, weights, _doc_ts(spark, docs), cfg).collect()
+        ))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_bm25f_merged_guards_and_tombstones(spark):
+    from bloqsenjin_spark.operators.bitmaps import shard_bitmap_df
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idxs = fielded.build_fielded_index(docs, _field_exprs(), CFG)
+    dts = _doc_ts(spark, docs)
+    weights = {"title": 2.0, "body": 1.0}
+    with pytest.raises(ValueError, match="disjunctive"):
+        fielded.bm25f_merged_topk(
+            idxs, [(1, ["the"], "conjunctive", 5)], weights, dts, CFG)
+    with pytest.raises(ValueError, match="negative field weights"):
+        fielded.bm25f_merged_topk(
+            idxs, [(1, ["the"], "disjunctive", 5)],
+            {"title": -1.0, "body": 1.0}, dts, CFG)
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        fielded.bm25f_merged_topk(
+            idxs, [(1, ["the"], "disjunctive", 5),
+                   (1, ["fast"], "disjunctive", 5)], weights, dts, CFG)
+    queries = [(1, ["the", "fast"], "disjunctive", 8)]
+    base = fielded.bm25f_merged_topk(idxs, queries, weights, dts, CFG).collect()
+    victims = [r["doc_id"] for r in base][:3]
+    tomb = shard_bitmap_df(
+        spark.createDataFrame([(int(d),) for d in victims], "doc_id long"),
+        CFG, bitmap_col="tomb",
+    )
+    after = fielded.bm25f_merged_topk(
+        idxs, queries, weights, dts, CFG, tomb_map=tomb).collect()
+    got = [r["doc_id"] for r in after]
+    assert not set(got) & set(victims) and len(after) == 8
