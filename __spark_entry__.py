@@ -168,6 +168,26 @@ def _q_phrase_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand.near_match_positional(idx.postings, NEAR_QUERIES, _SF_CFG_POS)
 
 
+# unordered proximity: reversed-order phrases so the result provably differs
+# from (exceeds) the ordered operator on the same corpus; query 4 zero-hit
+NEAR_UNORDERED = [
+    (1, "fast the", 0),
+    (2, "order customer", 1),
+    (3, "query spark", 3),
+    (4, "zebra stripes", 4),
+]
+
+
+def _q_phrase_near_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered proximity ('all terms within a window, any order') — the
+    symmetric NEAR semantics: window width = (n_tokens−1)·(slop+1), the
+    ordered chain's maximum span, so unordered ⊇ ordered at equal slop
+    (property-tested). Same postings-only plan as the ordered operator."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG_POS)
+    return wand.near_match_positional(idx.postings, NEAR_UNORDERED,
+                                      _SF_CFG_POS, ordered=False)
+
+
 def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase-filtered BM25 ranking: exact matches from the positional index,
     ranked by BM25 over the phrase terms — composition of the two operators."""
@@ -543,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_counts": _q_match_counts,
         "phrase_match": _q_phrase_match,
         "phrase_near": _q_phrase_near,
+        "phrase_near_unordered": _q_phrase_near_unordered,
         "phrase_near_topk": _q_near_topk,
         "phrase_topk": _q_phrase_topk,
         "postings_roundtrip": _q_postings_roundtrip,
@@ -630,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_match_counts": oracle.match_counts_sql(corpus.REFERENCE_QUERIES),
         "phrase_match": oracle.phrase_match_sql(PHRASES),
         "phrase_near": oracle.near_match_sql(NEAR_QUERIES),
+        "phrase_near_unordered": oracle.near_unordered_match_sql(NEAR_UNORDERED),
         "phrase_near_topk": oracle.near_topk_sql(NEAR_TOPK),
         "phrase_topk": oracle.phrase_topk_sql(PHRASE_TOPK),
         "postings_roundtrip": (

@@ -459,6 +459,59 @@ def phrase_verify_block(
     return base + np.unique(S >> shift)
 
 
+def near_verify_block_unordered(
+    per_term: dict, toks: list[str], base: int, slop: int = 0
+) -> "np.ndarray":
+    """Vectorized UNORDERED proximity verification for one doc-range-aligned
+    block: a doc matches iff all DISTINCT query terms occur within a common
+    position window of width W = (len(toks) − 1) · (slop + 1) — i.e. there
+    is an anchor position x with every term occurring in [x, x + W]. The
+    window derives from the ordered chain's maximum span, so at equal slop
+    this is a superset of the ordered match (property-tested): any ordered
+    chain p_0 < … < p_{m−1} with gaps ≤ slop+1 fits a width-W window
+    anchored at p_0.
+
+    Same int64 ``(doc − base) << 34 | pos`` key trick as
+    phrase_verify_block: the anchor can WLOG be the minimum chosen position,
+    hence a position of SOME query term, so matching reduces to, for each
+    anchor term a: keep anchors A where every other term has a key in
+    [A, A + W] — two searchsorteds per (anchor term, other term) pair over
+    the whole block at once (W < 2^31 keeps the +W arithmetic inside the
+    doc's key range). No per-candidate-doc loop.
+    """
+    uniq = list(dict.fromkeys(toks))
+    W = np.int64((len(toks) - 1) * (slop + 1))
+    shift = np.int64(34)
+
+    keys = {}
+    for t in uniq:
+        ids, flat, offs = per_term[t]
+        local = np.asarray(ids, dtype=np.int64) - base
+        reps = np.repeat(local, np.diff(offs))
+        keys[t] = (reps << shift) | np.asarray(flat, dtype=np.int64)
+
+    matched: list[np.ndarray] = []
+    for a in uniq:
+        A = keys[a]
+        if A.size == 0:
+            continue
+        ok = np.ones(A.size, dtype=bool)
+        for t in uniq:
+            if t == a:
+                continue
+            K = keys[t]
+            lo = np.searchsorted(K, A)
+            hi = np.searchsorted(K, A + W + 1)
+            ok &= hi > lo
+            if not ok.any():
+                break
+        if ok.any():
+            matched.append(A[ok] >> shift)
+    if not matched:
+        return np.empty(0, dtype=np.int64)
+    return base + np.unique(np.concatenate(matched))
+
+
 def global_topk(
     qids: np.ndarray, docs: np.ndarray, scores: np.ndarray,
     queries: list[tuple[int, list[str], str, int]],

@@ -348,11 +348,16 @@ class IndexServer:
             return []
         return self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
 
-    def _phrase_hit_blocks(self, parsed):
+    def _phrase_hit_blocks(self, parsed, ordered: bool = True):
         """Shared phrase/proximity machinery over (qid, toks, slop) triples:
         yields (qid, uniq_terms, shard, hits, per_term) for every block with
         ≥1 verified, tombstone-masked match."""
-        from bloqsenjin_spark.functions.scoring import phrase_verify_block
+        from bloqsenjin_spark.functions.scoring import (
+            near_verify_block_unordered,
+            phrase_verify_block,
+        )
+
+        verify_fn = phrase_verify_block if ordered else near_verify_block_unordered
 
         if not self.cfg.positions:
             raise ValueError(
@@ -384,7 +389,7 @@ class IndexServer:
                     for t, m in zip(uniq, maps)
                 }
                 base = shard * dps + bid * bdocs
-                hits = phrase_verify_block(per_term, toks, base, slop)
+                hits = verify_fn(per_term, toks, base, slop)
                 tm = self.tomb_masks.get(shard)
                 if tm is not None and hits.size:
                     hits = hits[~tm[hits - shard * dps]]
@@ -399,16 +404,18 @@ class IndexServer:
         return self.near_batch([(qid, p, 0) for qid, p in phrases])
 
     def near_batch(
-        self, near_queries: list[tuple[int, str, int]]
+        self, near_queries: list[tuple[int, str, int]], ordered: bool = True
     ) -> list[tuple[int, int]]:
-        """→ [(query_id, doc_id)] — ordered proximity matches ((query_id,
-        phrase, slop): tokens in order, ≤ slop intervening positions between
-        consecutive tokens), identical results to operators/wand.
-        near_match_positional on the same index; slop=0 ≡ phrase_batch."""
+        """→ [(query_id, doc_id)] — proximity matches ((query_id, phrase,
+        slop)), identical results to operators/wand.near_match_positional on
+        the same index. ``ordered=True``: tokens in order, ≤ slop intervening
+        positions between consecutive tokens (slop=0 ≡ phrase_batch);
+        ``ordered=False``: all distinct terms in any order within a window of
+        width (len(tokens)−1)·(slop+1) — a superset of the ordered match."""
         from bloqsenjin_spark.operators.wand import _parse_phrases
 
         if not self._is_snap:
-            return self._snap().near_batch(near_queries)
+            return self._snap().near_batch(near_queries, ordered=ordered)
         slops = {int(qid): int(s) for qid, _p, s in near_queries}
         if len(slops) != len(near_queries):
             raise ValueError("duplicate query_ids in a phrase/proximity batch")
@@ -417,7 +424,8 @@ class IndexServer:
             for qid, toks in _parse_phrases([(q, p) for q, p, _s in near_queries])
         ]
         out: list[tuple[int, int]] = []
-        for qid, _uniq, _shard, hits, _pt in self._phrase_hit_blocks(parsed):
+        for qid, _uniq, _shard, hits, _pt in self._phrase_hit_blocks(
+                parsed, ordered=ordered):
             out.extend((qid, int(d)) for d in hits)
         return sorted(out)
 

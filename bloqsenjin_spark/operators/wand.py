@@ -185,16 +185,23 @@ def near_match_positional(
     near_queries: list[tuple[int, str, int]],
     cfg: IndexConfig = DEFAULT_CONFIG,
     tomb_map: "DataFrame | None" = None,
+    ordered: bool = True,
 ) -> DataFrame:
-    """Ordered proximity search → (query_id, doc_id): ``(query_id, phrase,
-    slop)`` matches docs where the phrase's tokens occur IN ORDER with at
-    most ``slop`` intervening positions between consecutive tokens —
-    near(slop=0) ≡ exact phrase (property-tested). Same plan as
-    phrase_match_positional (it IS this operator at slop 0): postings-only
-    scan filtered to the query terms, block-aligned candidate intersection,
-    whole-block vectorized position-window verify (functions.scoring.
-    phrase_verify_block's slop generalization)."""
-    return _positional_match(postings, near_queries, cfg, tomb_map)
+    """Proximity search → (query_id, doc_id): ``(query_id, phrase, slop)``.
+
+    ``ordered=True`` (default): tokens occur IN ORDER with at most ``slop``
+    intervening positions between consecutive tokens — near(slop=0) ≡ exact
+    phrase (property-tested). ``ordered=False``: the other standard NEAR
+    semantics — all distinct terms occur in ANY order within a position
+    window of width (len(tokens)−1)·(slop+1), the ordered chain's maximum
+    span, so unordered ⊇ ordered at equal slop (property-tested).
+
+    Same plan either way (phrase_match_positional IS this operator at
+    slop 0, ordered): postings-only scan filtered to the query terms,
+    block-aligned candidate intersection, whole-block vectorized verify
+    (functions.scoring.phrase_verify_block / near_verify_block_unordered)."""
+    return _positional_match(postings, near_queries, cfg, tomb_map,
+                             ordered=ordered)
 
 
 def phrase_match_positional(
@@ -236,6 +243,7 @@ def _positional_match(
     queries_with_slop: list[tuple[int, str, int]],
     cfg: IndexConfig,
     tomb_map: "DataFrame | None",
+    ordered: bool = True,
 ) -> DataFrame:
     """Shared phrase/proximity matcher (see phrase_match_positional /
     near_match_positional for the contract)."""
@@ -263,8 +271,12 @@ def _positional_match(
         tomb_mask = _unpack_tomb(tomb_pdf) if tomb_pdf is not None else None
         by_term, decode = _positional_ctx(pdf, shard, dps, bdocs)
 
-        from bloqsenjin_spark.functions.scoring import phrase_verify_block
+        from bloqsenjin_spark.functions.scoring import (
+            near_verify_block_unordered,
+            phrase_verify_block,
+        )
 
+        verify_fn = phrase_verify_block if ordered else near_verify_block_unordered
         out_q: list[int] = []
         out_d: list[int] = []
         for qid, toks, slop in parsed:
@@ -279,7 +291,7 @@ def _positional_match(
                 per_term = {t: decode(m[bid], bid) for t, m in zip(uniq, maps)}
                 base = shard * dps + bid * bdocs
                 # whole-block vectorized verify — no per-candidate-doc loop
-                hits = phrase_verify_block(per_term, toks, base, slop)
+                hits = verify_fn(per_term, toks, base, slop)
                 if tomb_mask is not None and hits.size:
                     hits = hits[~tomb_mask[hits - shard_base]]
                 out_q.extend([qid] * hits.size)

@@ -910,6 +910,48 @@ tokpos AS (
 """.strip()
 
 
+def near_unordered_match_sql(near_queries: list[tuple[int, str, int]]) -> str:
+    """Oracle for near_match_positional(ordered=False): symmetric
+    position-window containment — a doc matches iff some anchor position p
+    of ANY query term has every distinct term occurring in [p, p + W],
+    W = (n_tokens − 1) · (slop + 1). Independent re-derivation as an
+    anchor-join + HAVING count(DISTINCT term) = n_terms, not a mirror of the
+    engine's searchsorted kernel."""
+    import re
+
+    toks_sql = DUCKDB_TOKENS_SQL.format(col="text")
+    selects = []
+    for qid, phrase, slop in near_queries:
+        toks = [t for t in re.split(TOKEN_SPLIT_REGEX, phrase.lower()) if t]
+        if not toks:
+            continue
+        uniq = sorted(set(toks))
+        w = (len(toks) - 1) * (int(slop) + 1)
+        lits = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+        selects.append(
+            f"SELECT DISTINCT {int(qid)} AS query_id, a.doc_id\n"
+            f"FROM tokpos a JOIN tokpos p ON p.doc_id = a.doc_id\n"
+            f"  AND p.pos BETWEEN a.pos AND a.pos + {w}\n"
+            f"WHERE a.term IN ({lits}) AND p.term IN ({lits})\n"
+            f"GROUP BY a.doc_id, a.pos\n"
+            f"HAVING count(DISTINCT p.term) = {len(uniq)}"
+        )
+    body = "\nUNION ALL\n".join(selects) if selects else (
+        "SELECT NULL::BIGINT AS query_id, NULL::BIGINT AS doc_id WHERE FALSE"
+    )
+    return f"""
+WITH dtok AS (SELECT doc_id, {toks_sql} AS toks FROM documents),
+tokpos AS (
+    SELECT doc_id, unnest(toks) AS term,
+           (generate_subscripts(toks, 1) - 1)::BIGINT AS pos
+    FROM dtok
+)
+SELECT DISTINCT query_id, doc_id FROM (
+{body}
+)
+""".strip()
+
+
 def phrase_topk_sql(phrases: list[tuple[int, str, int]],
                     round_to: int = SCORE_ROUND_DECIMALS) -> str:
     """Phrase-filtered BM25 top-k: exact-phrase matches ranked by BM25 over

@@ -545,3 +545,92 @@ def test_topk_snippets_rule_and_shape(spark):
         p = int(r["snip_pos"])
         assert norm[p:p + 8] == toks
         assert not any(t in qterms[r["query_id"]] for t in norm[:p])  # FIRST hit
+
+
+# ---- unordered proximity -----------------------------------------------------
+
+def _near_unordered_ref(docs_rows, queries):
+    """Independent reference: all distinct terms within a window of width
+    (n_tokens − 1)·(slop + 1), any order (anchor containment)."""
+    import re as _re
+
+    want = set()
+    for doc_id, text in docs_rows:
+        toks = [t for t in _re.split("[^a-z0-9]+", (text or "").lower()) if t]
+        pos: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            pos.setdefault(t, []).append(i)
+        for qid, phrase, slop in queries:
+            q = [t for t in _re.split("[^a-z0-9]+", phrase.lower()) if t]
+            uniq = sorted(set(q))
+            w = (len(q) - 1) * (slop + 1)
+            if any(t not in pos for t in uniq):
+                continue
+            anchors = sorted(p for t in uniq for p in pos[t])
+            if any(
+                all(any(a <= p <= a + w for p in pos[t]) for t in uniq)
+                for a in anchors
+            ):
+                want.add((qid, doc_id))
+    return want
+
+
+@pytest.mark.parametrize("cfg", [CFG_POS, CFG_POS_TINY])
+def test_near_unordered_semantics_vs_python_reference(spark, cfg):
+    docs = spark.createDataFrame(NEAR_DOCS, "doc_id long, text string")
+    idx = build_index(docs, cfg)
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in wand.near_match_positional(
+            idx.postings, NEAR_QS, cfg, ordered=False).collect()
+    }
+    assert got == _near_unordered_ref(NEAR_DOCS, NEAR_QS)
+    # hand-pinned: "b a" slop 0 (window 1) now ALSO matches docs where the
+    # pair appears as "a b" adjacent — the defining unordered behavior
+    assert (5, 0) in got and (5, 1) not in got
+    # ordered q1 "a b" slop0: same doc set as q5 under unordered symmetry
+    q1 = {d for q, d in got if q == 1}
+    q5 = {d for q, d in got if q == 5}
+    assert q1 == q5
+
+
+def test_near_unordered_superset_of_ordered(spark):
+    """unordered ⊇ ordered at equal slop — on the real corpus, for several
+    slops, including a case where the containment is strict."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, CFG_POS)
+    phrases = [(1, "the fast"), (2, "customer order"), (3, "spark group query")]
+    strict = False
+    for slop in (0, 1, 3):
+        qs = [(q, p, slop) for q, p in phrases]
+        ordered = {
+            (r["query_id"], r["doc_id"])
+            for r in wand.near_match_positional(idx.postings, qs, CFG_POS).collect()
+        }
+        unordered = {
+            (r["query_id"], r["doc_id"])
+            for r in wand.near_match_positional(
+                idx.postings, qs, CFG_POS, ordered=False).collect()
+        }
+        assert unordered >= ordered and len(unordered) > 0
+        strict = strict or unordered > ordered
+    assert strict  # the relaxation finds genuinely extra docs somewhere
+
+
+def test_near_unordered_serving_twin(spark, tmp_path):
+    """IndexServer.near_batch(ordered=False) ≡ the Spark operator."""
+    from bloqsenjin_spark.operators.serving import IndexServer
+    from bloqsenjin_spark.plans import build as B
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    d = str(tmp_path / "pidx_unord")
+    B.build_index_resumable(docs, d, CFG_POS)
+    idx = B.read_index(spark, d, CFG_POS)
+    qs = [(1, "fast the", 0), (2, "order customer", 1), (3, "query spark", 3)]
+    want = sorted(
+        (r["query_id"], r["doc_id"])
+        for r in wand.near_match_positional(
+            idx.postings, qs, CFG_POS, ordered=False).collect()
+    )
+    got = IndexServer(d, CFG_POS).near_batch(qs, ordered=False)
+    assert got == want and len(got) > 0
