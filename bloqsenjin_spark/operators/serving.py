@@ -118,6 +118,7 @@ class IndexServer:
         st["_pos_term_cache"] = OrderedDict() if self._cache_terms else None
         st["_block_cache"] = OrderedDict()
         st["_ann"] = None  # IVF replica loads lazily; refresh invalidates it
+        st["_doc_store"] = None  # snippet replica handle, same lifecycle
         # SymSpell deletion-neighborhood indexes, built lazily per distinct
         # max_dist on first fuzzy query of a generation (shared by snapshots;
         # refresh() drops them with the rest of the state)
@@ -505,6 +506,13 @@ class IndexServer:
         tk = self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
         if not tk:
             return []
+        return sorted(self._topk_positions(tk, queries))
+
+    def _topk_positions(self, tk, queries) -> list[tuple[int, int, int, str, int]]:
+        """(query_id, rank, doc_id, term, pos) rows for already-ranked
+        results — the shared decode step of highlight_batch / snippet_batch
+        (positions decoded only for the ranked docs' blocks, per-block LRU
+        shared with the phrase paths via _decode_pos_block)."""
         all_terms = sorted({t for q in queries for t in q[1]})
         tbl = self._load_terms(all_terms, positional=True)
         by_term: dict[str, dict[tuple[int, int], int]] = {}
@@ -527,7 +535,66 @@ class IndexServer:
                         (qid, rank, doc, t, int(p))
                         for p in flat[offs[j]:offs[j + 1]]
                     )
+        return out
+
+    def snippet_batch(
+        self, queries: list, window: int = 8, allowed_doc_ids=None,
+    ) -> list[tuple[int, int, int, float, int, str]]:
+        """→ [(query_id, rank, doc_id, score, snip_pos, snippet)] — top-k
+        with text snippets, result-identical to operators/wand.topk_snippets
+        on the same index (pytest-pinned): rank + first-query-term position
+        from the positional index, then the ``window``-token slice comes from
+        the DOC-STORE REPLICA (plans.build.write_doc_store — opt-in,
+        doc-range-partitioned (doc_id, toks)) via ONE shard-pruned,
+        doc_id-filtered pyarrow read — never a corpus scan, no Spark job.
+        Generation-stamped with the rest of the index: refresh() swaps it."""
+        if not self._is_snap:
+            return self._snap().snippet_batch(
+                queries, window=window, allowed_doc_ids=allowed_doc_ids)
+        if not self.cfg.positions:
+            raise ValueError(
+                "snippet serving needs a positional index — build with "
+                "IndexConfig(positions=True)"
+            )
+        tk = self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
+        if not tk:
+            return []
+        best: dict[tuple[int, int], int] = {}
+        for qid, _rank, doc, _t, p in self._topk_positions(tk, queries):
+            key = (qid, doc)
+            if p < best.get(key, 1 << 60):
+                best[key] = p
+        dps = self.cfg.docs_per_shard
+        need = sorted({doc for _q, _r, doc, _s in tk})
+        store = self._doc_store_ds()
+        filt = self._ds.field("shard").isin(
+            sorted({d // dps for d in need})
+        ) & self._ds.field("doc_id").isin(need)
+        t = store.to_table(columns=["doc_id", "toks"], filter=filt)
+        toks_by_doc = dict(zip(t["doc_id"].to_pylist(), t["toks"].to_pylist()))
+        out: list[tuple[int, int, int, float, int, str]] = []
+        for qid, rank, doc, score in tk:
+            p = best[(qid, doc)]  # every ranked doc matched ≥1 query term
+            toks = toks_by_doc[doc]
+            out.append((qid, rank, doc, score, p,
+                        " ".join(toks[p:p + window])))
         return sorted(out)
+
+    def _doc_store_ds(self):
+        """Lazy handle on the doc-store replica (loaded per generation —
+        refresh() drops it with the rest of the state)."""
+        if self._doc_store is None:
+            try:
+                self._doc_store = self._ds.dataset(
+                    f"{self.index_dir}/doc_store", format="parquet",
+                    partitioning="hive",
+                )
+            except FileNotFoundError:
+                raise ValueError(
+                    "no doc_store table in this index — snippet serving needs "
+                    "the opt-in replica (plans.build.write_doc_store)"
+                ) from None
+        return self._doc_store
 
     @staticmethod
     def _levenshtein(a: str, b: str, cap: int) -> int:

@@ -137,6 +137,38 @@ def write_index(idx: Index, index_dir: str) -> None:
     write_index_meta(spark, index_dir, idx.cfg)
 
 
+def write_doc_store(
+    docs: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """OPT-IN doc-store replica for serving-side snippets: ``(doc_id, toks)``
+    partitioned by the SAME doc-range shards as postings/doc_lens, so a
+    server's pyarrow snippet fetch prunes to the ranked docs' shard
+    partitions (and row groups within — rows are written doc_id-sorted).
+
+    Opt-in because it duplicates corpus bytes inside the index layout — the
+    price every engine pays for serving document content without touching
+    the source table (stored fields in Lucene terms). Tokens, not raw text:
+    the snippet rule slices the SAME normalized token stream the index was
+    built from (wand.topk_snippets), so storing post-tokenization is both
+    smaller and exactly what serving needs. Bumps the index generation like
+    every other mutation, so live servers pick it up on refresh()."""
+    from bloqsenjin_spark.functions.text import tokens
+
+    spark = docs.sparkSession
+    store = S.for_index(spark, index_dir)
+    df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+        (F.col(id_col) / cfg.docs_per_shard).cast("int").alias("shard"),
+    )
+    store.overwrite_shards(df, "doc_store", sort_within="doc_id")
+    write_index_meta(spark, index_dir, cfg)
+
+
 def write_index_meta(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> None:
     """Persist the layout-defining config WITH the index: decoding with a
     different docs_per_shard/block_docs silently corrupts docIDs, so readers

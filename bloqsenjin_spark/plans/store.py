@@ -71,10 +71,16 @@ class ParquetStore:
             df = df.coalesce(coalesce)
         df.write.mode("overwrite").parquet(self._p(table))
 
-    def overwrite_shards(self, df: DataFrame, table: str) -> None:
+    def overwrite_shards(self, df: DataFrame, table: str,
+                         sort_within: str | None = None) -> None:
         """Replace exactly the shard partitions present in df (idempotent
-        per-shard retry). repartition(shard) ⇒ one file per shard partition."""
-        df.repartition(F.col("shard")).write.partitionBy("shard").option(
+        per-shard retry). repartition(shard) ⇒ one file per shard partition;
+        ``sort_within`` orders rows inside each file (row-group pruning for
+        keyed point reads, e.g. the doc-store snippet fetch)."""
+        out = df.repartition(F.col("shard"))
+        if sort_within:
+            out = out.sortWithinPartitions(sort_within)
+        out.write.partitionBy("shard").option(
             "partitionOverwriteMode", "dynamic"
         ).mode("overwrite").parquet(self._p(table))
 
@@ -116,16 +122,20 @@ class IcebergStore:
             df = df.coalesce(coalesce)
         df.writeTo(self._t(table)).using("iceberg").createOrReplace()
 
-    def overwrite_shards(self, df: DataFrame, table: str) -> None:
+    def overwrite_shards(self, df: DataFrame, table: str,
+                         sort_within: str | None = None) -> None:
         """Atomic snapshot commit replacing only the shard partitions present
         in df — Iceberg's native form of dynamic partition overwrite."""
         t = self._t(table)
+        out = df.repartition(F.col("shard"))
+        if sort_within:
+            out = out.sortWithinPartitions(sort_within)
         if not self.spark.catalog.tableExists(t):
-            df.repartition(F.col("shard")).writeTo(t).using("iceberg").partitionedBy(
+            out.writeTo(t).using("iceberg").partitionedBy(
                 F.col("shard")
             ).create()
             return
-        df.repartition(F.col("shard")).writeTo(t).overwritePartitions()
+        out.writeTo(t).overwritePartitions()
 
     def replace_all(self, df: DataFrame, table: str) -> None:
         """Full-table replace as ONE snapshot commit."""

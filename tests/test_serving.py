@@ -591,3 +591,63 @@ def test_wand_duplicate_qid_raise():
     with pytest.raises(ValueError, match="duplicate query_ids"):
         wand.fuzzy_bm25_topk(None, None, None, 0.0,
                              [(1, "a", 1, 5), (1, "b", 1, 5)])
+
+
+# ---- serving-side snippets (doc-store replica) -------------------------------
+
+CFG_POS_SNIP = IndexConfig(docs_per_shard=128, block_docs=16, positions=True)
+
+
+@pytest.fixture(scope="module")
+def snippet_index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("serve_snip_idx"))
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    B.build_index_resumable(docs, d, CFG_POS_SNIP)
+    B.write_doc_store(docs, d, CFG_POS_SNIP)
+    return d
+
+
+def test_snippet_batch_matches_spark_path(spark, snippet_index_dir):
+    """IndexServer.snippet_batch ≡ wand.topk_snippets: rank, score, snip_pos
+    and the snippet TEXT all identical (the doc-store replica serves the same
+    normalized token stream the Spark path slices from the corpus)."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = B.read_index(spark, snippet_index_dir, CFG_POS_SNIP)
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9),
+         r["snip_pos"], r["snippet"])
+        for r in wand.topk_snippets(
+            docs, idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            corpus.REFERENCE_QUERIES, CFG_POS_SNIP,
+        ).collect()
+    )
+    got = [
+        (q, r, d, round(s, 9), p, sn)
+        for q, r, d, s, p, sn in IndexServer(
+            snippet_index_dir, CFG_POS_SNIP).snippet_batch(corpus.REFERENCE_QUERIES)
+    ]
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_snippet_batch_requires_doc_store(spark, tmp_path):
+    """Without the opt-in replica the server refuses loudly."""
+    d = str(tmp_path / "no_store_idx")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    B.build_index_resumable(docs, d, CFG_POS_SNIP)
+    srv = IndexServer(d, CFG_POS_SNIP)
+    with pytest.raises(ValueError, match="doc_store"):
+        srv.snippet_batch([(1, ["the", "fast"], "disjunctive", 5)])
+
+
+def test_doc_store_bumps_generation_and_refresh_picks_it_up(spark, tmp_path):
+    d = str(tmp_path / "gen_idx")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    B.build_index_resumable(docs, d, CFG_POS_SNIP)
+    srv = IndexServer(d, CFG_POS_SNIP)
+    g0 = srv.generation
+    B.write_doc_store(docs, d, CFG_POS_SNIP)
+    assert B.read_index_generation(d) > g0
+    assert srv.refresh() is True
+    rows = srv.snippet_batch([(1, ["the", "fast"], "disjunctive", 5)])
+    assert rows and all(isinstance(r[5], str) and r[5] for r in rows)
