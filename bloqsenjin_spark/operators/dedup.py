@@ -10,9 +10,10 @@ Scale shapes (what survives 100 TB):
   (and the reference's pairwise co-occurrence loop,
   /root/reference/internal/models/profile.go:335-395, done as one join+groupBy
   instead of O(n²) point updates). Hot shingles are the head-term skew case:
-  candidate fan-out is capped non-lossily — buckets past max_shingle_df
-  degrade to pivot-star candidates (see _candidate_pairs), verification
-  stays exact over full shingle sets.
+  candidate fan-out is capped connectivity-preservingly — buckets past
+  max_shingle_df degrade to pivot-star candidates (lossless only when the
+  pivot verifies; see _candidate_pairs' caveat), verification stays exact
+  over full shingle sets.
 * MinHash+LSH: per-doc signatures map-side (JVM xxhash64 inside a transform
   lambda + one Arrow pass for the k permutations), band→bucket join for
   candidates, exact-Jaccard verify. Only candidate pairs are ever joined.
@@ -52,19 +53,24 @@ def _perm_params() -> tuple[np.ndarray, np.ndarray]:
 def _candidate_pairs(df: DataFrame, key_cols: list[str], id_col: str,
                      cap: int | None) -> DataFrame:
     """→ (d1, d2) candidate pairs (d1 < d2, distinct) from a bucketed
-    relation, with NON-LOSSY skew capping.
+    relation, with connectivity-preserving skew capping.
 
     Cold buckets (≤ ``cap`` members) self-join as usual. A hot bucket shared
     by d docs would emit d(d−1)/2 rows — the head-term skew case (web
     boilerplate, near-empty docs hashing alike) — so instead of dropping it
     (which silently loses exactly the heavy-duplication clusters dedup exists
     for), each hot bucket degrades to a PIVOT STAR: every member pairs with
-    the bucket's min docID only (d−1 rows). Connectivity through the pivot is
-    preserved, so downstream cluster resolution (``resolve_clusters``) still
-    recovers the full duplicate cluster whenever the pivot genuinely matches
-    its members; only the explicit non-pivot pair rows are elided, and
-    verification of emitted candidates stays exact. cap=None = plain
-    self-join (the oracle-parity path)."""
+    the bucket's min docID only (d−1 rows).
+
+    CAVEAT (the precise contract — this is NOT fully lossless): downstream
+    cluster resolution (``resolve_clusters``) recovers the full duplicate
+    cluster only WHEN THE PIVOT VERIFIES against its members. If the bucket's
+    min-docID pivot fails exact verification against members that would
+    pairwise pass, those qualifying pairs (and their cluster connectivity)
+    are lost — capping trades that single-pivot failure mode for bounded
+    fan-out. Verification of the pairs that ARE emitted stays exact.
+    cap=None = plain all-pairs self-join (the oracle-parity path, and the
+    setting under which the ≥-threshold contract is exhaustive)."""
     x, y = df.alias("x"), df.alias("y")
     keys_eq = [F.col(f"x.{k}") == F.col(f"y.{k}") for k in key_cols]
 
@@ -136,7 +142,10 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """→ (d1, d2, jaccard) for all pairs with exact n-gram Jaccard ≥ threshold.
+    """→ (d1, d2, jaccard) pairs with exact n-gram Jaccard ≥ threshold —
+    exhaustive when ``max_shingle_df=None``; with a cap, exhaustive except
+    for pairs reachable only through a hot bucket whose pivot fails
+    verification (see _candidate_pairs' caveat).
 
     ``max_shingle_df`` caps CANDIDATE GENERATION only: hot shingles (df >
     cap) degrade to pivot-star candidates instead of a quadratic self-join
@@ -220,8 +229,9 @@ def minhash_lsh_pairs(
     J=0.9 is missed with p≈4e-8 — treat results as exact at thresholds ≥0.9
     (verification removes all false positives; recall note in docstring).
 
-    ``max_bucket_df`` caps band-bucket fan-out non-lossily (hot buckets
-    degrade to pivot stars — see _candidate_pairs); ``broadcast_max_pairs``
+    ``max_bucket_df`` caps band-bucket fan-out connectivity-preservingly
+    (hot buckets degrade to pivot stars — lossless only when the pivot
+    verifies, see _candidate_pairs' caveat); ``broadcast_max_pairs``
     bounds the candidate broadcast into the shingle verify joins — beyond it
     (dup-heavy corpora where candidate pairs are legitimately huge) the joins
     degrade gracefully to shuffle joins instead of failing on the broadcast
@@ -296,8 +306,9 @@ def embedding_near_dup_pairs(
     lsh_signatures) generate candidates, exact cosine verifies — the scale
     path: the self-join touches same-bucket pairs only, and every returned
     score is exact (precision 1; recall pinned in tests). ``max_bucket_df``
-    caps per-bucket fan-out non-lossily (hot buckets degrade to pivot stars
-    — see _candidate_pairs) so one degenerate bucket can't go quadratic;
+    caps per-bucket fan-out connectivity-preservingly (hot buckets degrade
+    to pivot stars — lossless only when the pivot verifies, see
+    _candidate_pairs' caveat) so one degenerate bucket can't go quadratic;
     ignored by method="exact".
     """
     from bloqsenjin_spark.operators.similarity import _SEED, _cosine, lsh_signatures

@@ -760,7 +760,9 @@ class IndexServer:
             if not sel.any():
                 continue
             q = qv[qid]
-            s = (mat[sel] @ q) / (norms[sel] * np.sqrt(q @ q))
+            # same epsilon as the probe normalization: an all-zero query
+            # vector yields score 0 everywhere instead of NaN-ordered ranks
+            s = (mat[sel] @ q) / (norms[sel] * np.sqrt(q @ q) + 1e-12)
             d = vid[sel]
             order = np.lexsort((d, -s))[:k]
             out.extend(

@@ -206,6 +206,75 @@ def write_ivf(
     return cents
 
 
+def append_ivf(
+    new_embeddings: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skew_threshold: float | None = 4.0,
+) -> bool:
+    """Incremental add to a persisted IVF index (write_ivf layout): assign the
+    NEW vectors to the EXISTING centroids (one distributed Arrow pass) and
+    APPEND them to their cluster partitions — existing cells are never
+    rewritten, so the cost is proportional to the batch, not the corpus.
+    Bumps the index generation (a serving refresh() invalidates its lazy ANN
+    replica and sees the appends). Caller contract: new vec_ids are disjoint
+    from the stored ones (the ordinary upsert-vs-append split).
+
+    Appending under frozen centroids slowly degrades cell balance (drift):
+    after the append, if max/mean cell size exceeds ``skew_threshold`` the
+    index is RECLUSTERED — write_ivf over all stored vectors recomputes
+    centroids and rewrites the cells (the standard IVF retrain policy; pass
+    None to disable). Returns True iff a recluster ran.
+
+    Exactness: a FULL probe scans every cell, so append-then-query is exact
+    regardless of how stale the centroids are (pytest-pinned ≡ brute force);
+    drift only affects the recall/cost tradeoff of PRUNED probes.
+    """
+    spark = new_embeddings.sparkSession
+    crows = spark.read.parquet(f"{index_dir}/ann_centroids").collect()
+    cents = np.stack([
+        np.asarray(r["v"], dtype=np.float64)
+        for r in sorted(crows, key=lambda r: r["cluster"])
+    ])
+    assigned = ivf_assign(new_embeddings, cents, id_col, vec_col)
+    base = new_embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).join(assigned, "vec_id")
+    base.repartition(F.col("cluster")).write.partitionBy("cluster").mode(
+        "append"
+    ).parquet(f"{index_dir}/ann_vectors")
+
+    reclustered = False
+    if skew_threshold is not None:
+        sizes = (
+            spark.read.parquet(f"{index_dir}/ann_vectors")
+            .groupBy("cluster").count().collect()
+        )
+        counts = np.array([r["count"] for r in sizes], dtype=np.float64)
+        if counts.size and counts.max() / counts.mean() > skew_threshold:
+            # retrain: recompute centroids over ALL stored vectors and
+            # rewrite the cells; localCheckpoint cuts lineage so the rewrite
+            # doesn't read the path it is overwriting
+            allv = (
+                spark.read.parquet(f"{index_dir}/ann_vectors")
+                .select("vec_id", F.col("v").alias(vec_col))
+                .localCheckpoint(eager=True)
+            )
+            write_ivf(allv, index_dir, n_centroids=len(cents),
+                      id_col="vec_id", vec_col=vec_col)
+            return True
+
+    try:
+        from bloqsenjin_spark.plans.build import check_index_meta, write_index_meta
+
+        write_index_meta(spark, index_dir, check_index_meta(index_dir, None))
+    except FileNotFoundError:
+        pass  # standalone vector index: nothing to stamp
+    return reclustered
+
+
 def _planes(dim: int, bits: int, seed: int = _SEED) -> np.ndarray:
     rs = np.random.RandomState(seed)
     return rs.standard_normal((bits, dim))

@@ -177,7 +177,20 @@ def write_index_meta(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> N
     Also bumps the monotone ``generation`` stamp — every index mutation
     (build, resume, purge, compacted rewrite, logical delete) rewrites the
     meta row, so long-lived servers detect staleness with one tiny read
-    (IndexServer.refresh) instead of re-scanning index tables."""
+    (IndexServer.refresh) instead of re-scanning index tables.
+
+    SINGLE-WRITER CONTRACT: the bump is a read-modify-write (read generation,
+    +1, overwrite in place) — two CONCURRENT writers can mint the same
+    generation, making a server miss one of the two mutations on refresh,
+    and a cold read racing the parquet overwrite can briefly see a
+    missing/partial meta table. Index mutations are already serialized in
+    this engine (one build/delete/purge job owns an index at a time — the
+    same discipline every LSM/segment store requires of its commit log); on
+    the Iceberg backend the overwrite is a snapshot commit and the torn-read
+    half of the caveat disappears. Readers mitigate the remaining race by
+    reading the generation BEFORE the tables (see IndexServer._read_state:
+    a mid-load commit makes the snapshot look older, forcing a re-refresh —
+    conservative, never stale-forever)."""
     gen = read_index_generation(index_dir) + 1
     S.for_index(spark, index_dir).overwrite(
         spark.createDataFrame(

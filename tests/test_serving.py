@@ -651,3 +651,55 @@ def test_doc_store_bumps_generation_and_refresh_picks_it_up(spark, tmp_path):
     assert srv.refresh() is True
     rows = srv.snippet_batch([(1, ["the", "fast"], "disjunctive", 5)])
     assert rows and all(isinstance(r[5], str) and r[5] for r in rows)
+
+
+def test_serving_ann_picks_up_ivf_appends_via_refresh(spark, tmp_path):
+    """append_ivf + refresh(): the serving ANN replica sees the appended
+    vectors, and full probe over the appended index is exact vs brute-force
+    cosine over ALL vectors (completeness is centroid-independent)."""
+    from pyspark.sql import functions as F
+
+    from bloqsenjin_spark.operators import similarity
+
+    d = str(tmp_path / "ann_append_idx")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    B.build_index_resumable(docs, d, CFG)
+    emb = corpus.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    cut = int(n * 0.8)
+    similarity.write_ivf(emb.where(F.col("vec_id") < cut), d, n_centroids=8)
+    srv = IndexServer(d, CFG)
+    qids = list(range(5))
+    partial = srv.ann_batch(qids, k=5, n_probe=8)
+    assert partial  # replica loaded (pre-append generation)
+    assert similarity.append_ivf(
+        emb.where(F.col("vec_id") >= cut), d, skew_threshold=None) is False
+    assert srv.refresh() is True  # append bumped the generation
+    got = sorted(srv.ann_batch(qids, k=5, n_probe=8))
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["score"])
+        for r in similarity.cosine_topk(emb, qids, k=5).collect()
+    )
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+
+
+def test_serving_ann_zero_norm_query_yields_no_nans(spark, tmp_path):
+    """An all-zero query vector must produce finite (zero) scores, never
+    NaN-ordered ranks (round-4 ADVICE)."""
+    import math
+
+    from bloqsenjin_spark.operators import similarity
+
+    d = str(tmp_path / "ann_zero_idx")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    B.build_index_resumable(docs, d, CFG)
+    rs = __import__("numpy").random.RandomState(3)
+    rows = [(i, [float(x) for x in rs.standard_normal(8)]) for i in range(32)]
+    rows.append((99, [0.0] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    similarity.write_ivf(emb, d, n_centroids=4)
+    out = IndexServer(d, CFG).ann_batch([99], k=5, n_probe=4)
+    assert out and all(math.isfinite(s) and s == 0.0 for _q, _r, _v, s in out)

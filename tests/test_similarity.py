@@ -112,3 +112,74 @@ def test_lsh_buckets_deterministic(spark, emb):
     assert a == b
     assert len(a) == 500 * 8
     assert all(0 <= k < 16 for k in a.values())
+
+
+# ---- incremental IVF (append + drift recluster) ------------------------------
+
+def test_ivf_append_assigns_to_existing_centroids(spark, emb, tmp_path):
+    """append_ivf adds ONLY the new batch, assigned to the frozen centroids
+    (nearest by cosine, NumPy-checked), leaving existing cells untouched."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "ivf_append")
+    n = emb.count()
+    cut = int(n * 0.8)
+    first = emb.where(F.col("vec_id") < cut)
+    rest = emb.where(F.col("vec_id") >= cut)
+    cents = similarity.write_ivf(first, d, n_centroids=8)
+    before = {
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(f"{d}/ann_vectors")
+        .select("vec_id", "cluster").collect()
+    }
+    assert similarity.append_ivf(rest, d, skew_threshold=None) is False
+    after = spark.read.parquet(f"{d}/ann_vectors").select("vec_id", "cluster")
+    rows = after.collect()
+    assert len(rows) == n
+    got = {(r["vec_id"], r["cluster"]) for r in rows}
+    assert got >= before  # existing cells untouched
+    # appended vectors sit in their nearest-centroid cell
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    new_vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                for r in rest.collect()}
+    for vid, cl in got - before:
+        v = new_vecs[vid]
+        sims = cn @ (v / (np.linalg.norm(v) + 1e-12))
+        assert cl == int(np.argmax(sims))
+
+
+def test_ivf_append_drift_triggers_recluster(spark, tmp_path):
+    """A clumped append blows the cell-size skew past the threshold →
+    append_ivf retrains: centroids are recomputed over ALL stored vectors,
+    cells rewritten and self-consistent (every vector in its nearest new
+    cell), nothing lost. (Balance itself is data-dependent — a genuinely
+    near-identical clump correctly stays one cell.)"""
+    rs = np.random.RandomState(7)
+    spread = [(i, [float(x) for x in rs.standard_normal(8)]) for i in range(64)]
+    clump_center = rs.standard_normal(8)
+    clump = [(1000 + i, [float(x) for x in clump_center + 0.01 * rs.standard_normal(8)])
+             for i in range(256)]
+    schema = "vec_id long, embedding array<double>"
+    d = str(tmp_path / "ivf_drift")
+    old_cents = similarity.write_ivf(
+        spark.createDataFrame(spread, schema), d, n_centroids=8)
+    assert similarity.append_ivf(
+        spark.createDataFrame(clump, schema), d, skew_threshold=3.0) is True
+    rows = spark.read.parquet(f"{d}/ann_vectors").collect()
+    assert len(rows) == 64 + 256  # nothing lost, nothing duplicated
+    new_cents = np.stack([
+        np.asarray(r["v"], dtype=np.float64)
+        for r in sorted(spark.read.parquet(f"{d}/ann_centroids").collect(),
+                        key=lambda r: r["cluster"])
+    ])
+    assert not np.allclose(new_cents, old_cents)  # really retrained
+    # rewritten cells are self-consistent with the NEW centroids
+    cn = new_cents / np.linalg.norm(new_cents, axis=1, keepdims=True)
+    for r in rows:
+        v = np.asarray(r["v"], dtype=np.float64)
+        sims = cn @ (v / (np.linalg.norm(v) + 1e-12))
+        assert r["cluster"] == int(np.argmax(sims))
+    # below-threshold appends never retrain
+    extra = [(5000, [float(x) for x in rs.standard_normal(8)])]
+    assert similarity.append_ivf(
+        spark.createDataFrame(extra, schema), d, skew_threshold=1e9) is False
