@@ -807,3 +807,212 @@ class IndexServer:
                 for qid, n in per.items():
                     totals[qid] += n
         return sorted(totals.items())
+
+
+class FieldedIndexServer:
+    """Serving tier for MULTI-FIELD ranking: per-field index replicas (one
+    IndexServer each — same doc-range sharding, the build contract of
+    operators/fielded.build_fielded_index persisted per field) combined at
+    query time with the SAME two models as the Spark path:
+
+    * ``query_batch``  — per-field-sum (Σ_f w_f · BM25_field), rank-identical
+      to operators/fielded.bm25f_topk (pytest-pinned): composite
+      ``field⟂term`` keys through the shared block-max kernel
+      (functions.scoring.score_shard_blocks keyed-dls mode).
+    * ``merged_batch`` — TRUE BM25F (merged tf before saturation,
+      document-level idf), rank-identical to fielded.bm25f_merged_topk:
+      the ``doc_stats_dir`` index supplies the document-level idf (its
+      term_stats over whole documents — any index built on the unsplit text).
+
+    No Spark job: each field's posting rows come from that server's pyarrow
+    pushdown reads (term-LRU shared with its single-field traffic).
+    Tombstones are the OR of the fields' masks (one corpus, one delete set —
+    they should agree; OR is the safe union). refresh() delegates per field.
+    """
+
+    def __init__(self, field_dirs: dict[str, str],
+                 cfg: IndexConfig | None = None,
+                 doc_stats_dir: str | None = None, **kw):
+        if not field_dirs:
+            raise ValueError("field_dirs must name at least one field index")
+        self.servers = {f: IndexServer(d, cfg, **kw)
+                        for f, d in sorted(field_dirs.items())}
+        self.fields = sorted(self.servers)
+        cfgs = {f: s.cfg for f, s in self.servers.items()}
+        first = cfgs[self.fields[0]]
+        for f, c in cfgs.items():
+            if (c.docs_per_shard, c.block_docs) != (
+                    first.docs_per_shard, first.block_docs):
+                raise ValueError(
+                    "field indexes must share doc-range sharding "
+                    f"(got {f}: {c.docs_per_shard}/{c.block_docs} vs "
+                    f"{first.docs_per_shard}/{first.block_docs})"
+                )
+        self.cfg = first
+        self._doc_stats = (
+            IndexServer(doc_stats_dir, cfg, **kw) if doc_stats_dir else None
+        )
+
+    _SEP = "\x00"  # same composite-key separator as operators/fielded.py
+
+    def refresh(self, force: bool = False) -> bool:
+        out = any([s.refresh(force) for s in self.servers.values()])
+        if self._doc_stats is not None:
+            out = self._doc_stats.refresh(force) or out
+        return out
+
+    def _validate(self, queries, field_weights):
+        if len({int(q[0]) for q in queries}) != len(queries):
+            raise ValueError("duplicate query_ids in a fielded batch")
+        for q in queries:
+            if q[2] != "disjunctive":
+                raise ValueError("fielded serving is disjunctive-only")
+        unknown = set(field_weights) - set(self.fields)
+        if unknown:
+            raise ValueError(
+                f"field_weights name unknown fields {sorted(unknown)}; "
+                f"indexes have {self.fields}"
+            )
+        weights = {f: float(field_weights.get(f, 1.0)) for f in self.fields}
+        if any(w < 0 for w in weights.values()):
+            raise ValueError(f"negative field weights are not rankable: {weights}")
+        return weights
+
+    def _field_rows(self, snaps, all_terms):
+        """Union of the fields' term-filtered block rows with composite keys
+        → (comp_terms, shards, bids, bmax, deltas, tfs) NumPy columns."""
+        comp, shards, bids, bmax, deltas, tfs = [], [], [], [], [], []
+        for f in self.fields:
+            tbl = snaps[f]._load_terms(all_terms)
+            n = len(tbl["term"])
+            comp.extend(f"{f}{self._SEP}{t}" for t in tbl["term"])
+            shards.extend(tbl["shard"])
+            bids.extend(tbl["block_id"])
+            bmax.extend(tbl["block_max_score"])
+            deltas.extend(tbl["doc_deltas"])
+            tfs.extend(tbl["tfs"])
+            assert len(comp) == len(shards), n  # columns stay aligned
+        return (
+            np.asarray(comp, dtype=object),
+            np.asarray(shards, dtype=np.int64),
+            np.asarray(bids, dtype=np.int64),
+            np.asarray(bmax, dtype=np.float64),
+            np.asarray(deltas, dtype=object),
+            np.asarray(tfs, dtype=object),
+        )
+
+    def _shard_ctx(self, snaps, shard: int):
+        """Per-shard keyed dls + merged tombstone mask for one shard."""
+        dls_by_field = {
+            f: snaps[f].dls.get(shard) for f in self.fields
+        }
+        tomb = None
+        for f in self.fields:
+            tm = snaps[f].tomb_masks.get(shard)
+            if tm is not None:
+                tomb = tm.copy() if tomb is None else (tomb | tm)
+        return dls_by_field, tomb
+
+    def query_batch(
+        self, queries: list, field_weights: dict[str, float],
+    ) -> list[tuple[int, int, int, float]]:
+        """Per-field-sum fielded top-k ≡ operators/fielded.bm25f_topk."""
+        weights = self._validate(queries, field_weights)
+        snaps = {f: s._snap() for f, s in self.servers.items()}
+        all_terms = sorted({t for q in queries for t in q[1]})
+        comp, shards, bids, bmax, deltas, tfs = self._field_rows(snaps, all_terms)
+        if comp.size == 0:
+            return []
+        idf_map = {
+            f"{f}{self._SEP}{t}": snaps[f].idf[t]
+            for f in self.fields for t in all_terms if t in snaps[f].idf
+        }
+        avgdls = {f: snaps[f].avgdl for f in self.fields}
+        comp_queries = [
+            (
+                int(q[0]),
+                [f"{f}{self._SEP}{t}" for f in self.fields
+                 for t in sorted(set(q[1]))],
+                "disjunctive",
+                int(q[3]),
+                (),
+                {f"{f}{self._SEP}{t}": weights[f]
+                 for f in self.fields for t in sorted(set(q[1]))},
+            )
+            for q in queries
+        ]
+        q_parts, d_parts, s_parts = [], [], []
+        for shard in np.unique(shards):
+            m = shards == int(shard)
+            dls_by_field, tomb = self._shard_ctx(snaps, int(shard))
+            keys = set(comp[m])
+            dls_map = {k: dls_by_field[k.split(self._SEP, 1)[0]] for k in keys}
+            avgdl_map = {k: avgdls[k.split(self._SEP, 1)[0]] for k in keys}
+            oq, od, os_ = score_shard_blocks(
+                int(shard), comp[m], bids[m], bmax[m], deltas[m], tfs[m],
+                dls_map, comp_queries, idf_map, avgdl_map, self.cfg,
+                tomb_mask=tomb,
+            )
+            q_parts.extend(oq)
+            d_parts.extend(od)
+            s_parts.extend(os_)
+        if not q_parts:
+            return []
+        return global_topk(
+            np.concatenate(q_parts), np.concatenate(d_parts),
+            np.concatenate(s_parts), queries,
+        )
+
+    def merged_batch(
+        self, queries: list, field_weights: dict[str, float],
+    ) -> list[tuple[int, int, int, float]]:
+        """TRUE merged-tf BM25F ≡ operators/fielded.bm25f_merged_topk
+        (requires ``doc_stats_dir`` for the document-level idf)."""
+        from bloqsenjin_spark.functions.scoring import score_shard_blocks_bm25f
+
+        if self._doc_stats is None:
+            raise ValueError(
+                "merged_batch needs doc_stats_dir (an index over the unsplit "
+                "documents) for the document-level idf"
+            )
+        weights = self._validate(queries, field_weights)
+        snaps = {f: s._snap() for f, s in self.servers.items()}
+        all_terms = sorted({t for q in queries for t in q[1]})
+        comp, shards, bids, bmax, deltas, tfs = self._field_rows(snaps, all_terms)
+        if comp.size == 0:
+            return []
+        doc_idf = {
+            t: self._doc_stats._snap().idf[t]
+            for t in all_terms if t in self._doc_stats.idf
+        }
+        field_idf = {
+            f"{f}{self._SEP}{t}": snaps[f].idf[t]
+            for f in self.fields for t in all_terms if t in snaps[f].idf
+        }
+        avgdls = {f: snaps[f].avgdl for f in self.fields}
+        plain_queries = [
+            (int(q[0]), sorted(set(q[1])), "disjunctive", int(q[3]))
+            for q in queries
+        ]
+        q_parts, d_parts, s_parts = [], [], []
+        for shard in np.unique(shards):
+            m = shards == int(shard)
+            dls_by_field, tomb = self._shard_ctx(snaps, int(shard))
+            keys = set(comp[m])
+            dls_map = {k: dls_by_field[k.split(self._SEP, 1)[0]] for k in keys}
+            avgdl_map = {k: avgdls[k.split(self._SEP, 1)[0]] for k in keys}
+            oq, od, os_ = score_shard_blocks_bm25f(
+                int(shard), comp[m], bids[m], bmax[m], deltas[m], tfs[m],
+                dls_map, plain_queries, doc_idf, field_idf, avgdl_map,
+                weights, self.fields, self._SEP, self.cfg,
+                tomb_mask=tomb,
+            )
+            q_parts.extend(oq)
+            d_parts.extend(od)
+            s_parts.extend(os_)
+        if not q_parts:
+            return []
+        return global_topk(
+            np.concatenate(q_parts), np.concatenate(d_parts),
+            np.concatenate(s_parts), plain_queries,
+        )

@@ -311,3 +311,99 @@ def test_bm25f_merged_guards_and_tombstones(spark):
         idxs, queries, weights, dts, CFG, tomb_map=tomb).collect()
     got = [r["doc_id"] for r in after]
     assert not set(got) & set(victims) and len(after) == 8
+
+
+# ---- serving-tier fielded search ---------------------------------------------
+
+def test_fielded_serving_matches_both_spark_models(spark, tmp_path):
+    """FieldedIndexServer over persisted per-field replicas is rank-identical
+    to BOTH Spark fielded models on the same indexes: query_batch ≡
+    bm25f_topk (per-field-sum) and merged_batch ≡ bm25f_merged_topk (true
+    BM25F, doc-level idf from a whole-document index)."""
+    from pyspark.sql import functions as SF
+
+    from bloqsenjin_spark.operators.serving import FieldedIndexServer
+    from bloqsenjin_spark.plans import build as B
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    t = tokens(SF.col("text"))
+    field_cols = {
+        "title": SF.concat_ws(" ", SF.slice(t, 1, 5)),
+        "body": SF.concat_ws(
+            " ",
+            SF.when(SF.size(t) > 5, SF.slice(t, 6, SF.size(t) - 5))
+            .otherwise(SF.array().cast("array<string>")),
+        ),
+    }
+    dirs = {}
+    for f, expr in field_cols.items():
+        d = str(tmp_path / f"fld_{f}")
+        B.build_index_resumable(
+            docs.select("doc_id", expr.alias("text")), d, CFG)
+        dirs[f] = d
+    doc_dir = str(tmp_path / "fld_doc")
+    B.build_index_resumable(docs, doc_dir, CFG)
+
+    queries = [(1, ["the", "fast"], "disjunctive", 8),
+               (2, ["customer", "order", "spark"], "disjunctive", 6),
+               (3, ["zebra"], "disjunctive", 5)]
+    weights = {"title": 2.0, "body": 1.0}
+    idxs = fielded.build_fielded_index(docs, field_cols, CFG)
+    srv = FieldedIndexServer(dirs, CFG, doc_stats_dir=doc_dir)
+
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in fielded.bm25f_topk(idxs, queries, weights, CFG).collect()
+    )
+    got = sorted(srv.query_batch(queries, weights))
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-12)
+
+    from bloqsenjin_spark.operators import topk as T
+
+    tok = T.tokenized(docs)
+    dts = T.term_stats_df(T.term_freqs(tok), tok.count())
+    want_m = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in fielded.bm25f_merged_topk(
+            idxs, queries, weights, dts, CFG).collect()
+    )
+    got_m = sorted(srv.merged_batch(queries, weights))
+    assert len(got_m) == len(want_m) > 0
+    for g, w in zip(got_m, want_m):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-12)
+    # the two serving models really differ on this corpus
+    assert got != got_m
+
+
+def test_fielded_serving_guards(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    from bloqsenjin_spark.operators.serving import FieldedIndexServer
+    from bloqsenjin_spark.plans import build as B
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    d = str(tmp_path / "one_field")
+    B.build_index_resumable(docs.select("doc_id", SF.col("text")), d, CFG)
+    srv = FieldedIndexServer({"all": d}, CFG)
+    with pytest.raises(ValueError, match="disjunctive"):
+        srv.query_batch([(1, ["the"], "conjunctive", 5)], {})
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        srv.query_batch([(1, ["the"], "disjunctive", 5),
+                         (1, ["fast"], "disjunctive", 5)], {})
+    with pytest.raises(ValueError, match="unknown fields"):
+        srv.query_batch([(1, ["the"], "disjunctive", 5)], {"titel": 1.0})
+    with pytest.raises(ValueError, match="doc_stats_dir"):
+        srv.merged_batch([(1, ["the"], "disjunctive", 5)], {})
+    with pytest.raises(ValueError, match="at least one field"):
+        FieldedIndexServer({}, CFG)
+    # mismatched sharding between field replicas is rejected loudly
+    d2 = str(tmp_path / "other_cfg")
+    B.build_index_resumable(
+        docs.select("doc_id", SF.col("text")), d2,
+        IndexConfig(docs_per_shard=64, block_docs=16))
+    with pytest.raises(ValueError, match="doc-range sharding"):
+        FieldedIndexServer({"a": d, "b": d2})
