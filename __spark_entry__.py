@@ -148,6 +148,23 @@ NEAR_QUERIES = [
 NEAR_TOPK = [(1, "the fast", 10, 2), (2, "customer order", 10, 1),
              (3, "spark query", 5, 3), (4, "zebra stripes", 10, 2)]
 
+# ranked UNORDERED proximity — reversed-order phrases, so the ordered
+# operator would miss matches the symmetric window finds
+NEAR_UNORDERED_TOPK = [(1, "fast the", 10, 1), (2, "order customer", 10, 1),
+                       (3, "query spark", 5, 3), (4, "zebra stripes", 10, 2)]
+
+
+def _q_near_unordered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked symmetric proximity: unordered window matches (all distinct
+    terms within (n_tokens−1)·(slop+1) positions, any order) scored by BM25
+    in the same single cogrouped pass as phrase/near top-k."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG_POS)
+    res = wand.near_bm25_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        NEAR_UNORDERED_TOPK, _SF_CFG_POS, ordered=False,
+    )
+    return res.withColumn("score", F.round("score", _R))
+
 
 def _q_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity-filtered BM25 ranking: ordered windowed matches scored in
@@ -565,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_near": _q_phrase_near,
         "phrase_near_unordered": _q_phrase_near_unordered,
         "phrase_near_topk": _q_near_topk,
+        "phrase_near_unordered_topk": _q_near_unordered_topk,
         "phrase_topk": _q_phrase_topk,
         "postings_roundtrip": _q_postings_roundtrip,
         "term_stats": _q_term_stats,
@@ -653,6 +671,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_near": oracle.near_match_sql(NEAR_QUERIES),
         "phrase_near_unordered": oracle.near_unordered_match_sql(NEAR_UNORDERED),
         "phrase_near_topk": oracle.near_topk_sql(NEAR_TOPK),
+        "phrase_near_unordered_topk": oracle.near_unordered_topk_sql(
+            NEAR_UNORDERED_TOPK
+        ),
         "phrase_topk": oracle.phrase_topk_sql(PHRASE_TOPK),
         "postings_roundtrip": (
             "WITH tok AS (SELECT doc_id, unnest(" + toks + ") AS term FROM documents) "

@@ -431,7 +431,7 @@ class IndexServer:
         return sorted(out)
 
     def phrase_topk_batch(
-        self, phrases: list[tuple[int, str, int]]
+        self, phrases: list[tuple[int, str, int]], ordered: bool = True
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — phrase-filtered BM25 top-k,
         rank-identical to operators/wand.phrase_bm25_topk on the same index
@@ -444,7 +444,7 @@ class IndexServer:
         from bloqsenjin_spark.operators.wand import _parse_phrases
 
         if not self._is_snap:
-            return self._snap().phrase_topk_batch(phrases)
+            return self._snap().phrase_topk_batch(phrases, ordered=ordered)
         # items are (qid, phrase, k) or (qid, phrase, k, slop) — slop turns
         # exact-phrase filtering into ordered proximity (near_topk_batch)
         slop_map = {int(q[0]): int(q[3]) if len(q) > 3 else 0 for q in phrases}
@@ -459,7 +459,8 @@ class IndexServer:
         q_parts: list[np.ndarray] = []
         d_parts: list[np.ndarray] = []
         s_parts: list[np.ndarray] = []
-        for qid, uniq, shard, hits, per_term in self._phrase_hit_blocks(parsed):
+        for qid, uniq, shard, hits, per_term in self._phrase_hit_blocks(
+                parsed, ordered=ordered):
             score = np.zeros(hits.size, dtype=np.float64)
             dl_h = self.dls[shard][hits - shard * dps]
             for t in sorted(uniq):  # lexicographic = oracle's sum order
@@ -480,12 +481,14 @@ class IndexServer:
         )
 
     def near_topk_batch(
-        self, near_queries: list[tuple[int, str, int, int]]
+        self, near_queries: list[tuple[int, str, int, int]],
+        ordered: bool = True,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — proximity-filtered BM25
         top-k ((query_id, phrase, k, slop)), rank-identical to
-        operators/wand.near_bm25_topk; phrase_topk_batch ≡ slop 0."""
-        return self.phrase_topk_batch(near_queries)
+        operators/wand.near_bm25_topk at the same ``ordered`` setting;
+        phrase_topk_batch ≡ (ordered, slop 0)."""
+        return self.phrase_topk_batch(near_queries, ordered=ordered)
 
     def highlight_batch(
         self, queries: list, allowed_doc_ids=None

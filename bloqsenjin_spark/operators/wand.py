@@ -324,6 +324,7 @@ def phrase_score_partials(
     cfg: IndexConfig = DEFAULT_CONFIG,
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Per-shard (query_id, doc_id, score) partials for phrase-filtered BM25
     top-k, in ONE pass over the phrase terms' postings.
@@ -351,6 +352,7 @@ def phrase_score_partials(
         raise ValueError("duplicate query_ids in a phrase/proximity batch")
     parsed = [(qid, toks, slop_map[qid]) for qid, toks in parsed3]
     kmap_py = {int(q[0]): int(q[2]) for q in phrases}
+    _ordered = ordered
     all_terms = sorted({t for _, ts, _ in parsed for t in ts})
     idf_map = {
         r["term"]: float(r["idf"])
@@ -370,8 +372,12 @@ def phrase_score_partials(
         )
         if pl.empty or dl_pdf.empty:
             return empty
-        from bloqsenjin_spark.functions.scoring import phrase_verify_block
+        from bloqsenjin_spark.functions.scoring import (
+            near_verify_block_unordered,
+            phrase_verify_block,
+        )
 
+        verify_fn = phrase_verify_block if _ordered else near_verify_block_unordered
         shard = int(pl["shard"].iloc[0])
         shard_base = shard * dps
         dls = varint_decode(bytes(dl_pdf["dls"].iloc[0])).astype(np.float64)
@@ -396,7 +402,7 @@ def phrase_score_partials(
             for bid in sorted(blocks):
                 per_term = {t: decode(m[bid], bid) for t, m in zip(uniq, maps)}
                 base = shard_base + bid * bdocs
-                hits = phrase_verify_block(per_term, toks, base, slop)
+                hits = verify_fn(per_term, toks, base, slop)
                 if tomb_mask is not None and hits.size:
                     hits = hits[~tomb_mask[hits - shard_base]]
                 if hits.size == 0:
@@ -447,6 +453,7 @@ def phrase_bm25_topk(
     cfg: IndexConfig = DEFAULT_CONFIG,
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Phrase-filtered BM25 top-k → (query_id, rank, doc_id, score).
     ``allow_map``/``tomb_map``: the same per-shard bitmap side-inputs as
@@ -459,7 +466,7 @@ def phrase_bm25_topk(
     rows, never conjunctive- or corpus-scale."""
     partial = phrase_score_partials(
         postings, doc_lens, term_stats, avgdl, phrases, cfg,
-        tomb_map=tomb_map, allow_map=allow_map,
+        tomb_map=tomb_map, allow_map=allow_map, ordered=ordered,
     )
     kmap = F.create_map(
         *[x for q in phrases for x in (F.lit(int(q[0])), F.lit(int(q[2])))]
@@ -481,15 +488,19 @@ def near_bm25_topk(
     cfg: IndexConfig = DEFAULT_CONFIG,
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Proximity-filtered BM25 top-k: ``(query_id, phrase, k, slop)`` —
-    ordered matches within slop ranked by BM25 over the query's deduped
-    terms. Identical single-pass plan to phrase_bm25_topk (which IS this
-    operator at slop 0, property-tested): verify + score in one cogrouped
-    pass, per-shard k-truncation, match-bounded rank window."""
+    matches within slop ranked by BM25 over the query's deduped terms.
+    ``ordered=True``: tokens in query order (phrase_bm25_topk IS this
+    operator at slop 0, property-tested); ``ordered=False``: the symmetric
+    window semantics of near_match_positional(ordered=False) — all distinct
+    terms within (n_tokens−1)·(slop+1) positions, any order. Identical
+    single-pass plan either way: verify + score in one cogrouped pass,
+    per-shard k-truncation, match-bounded rank window."""
     return phrase_bm25_topk(
         postings, doc_lens, term_stats, avgdl, near_queries, cfg,
-        tomb_map=tomb_map, allow_map=allow_map,
+        tomb_map=tomb_map, allow_map=allow_map, ordered=ordered,
     )
 
 

@@ -1022,6 +1022,42 @@ WHERE r.rank <= ks.k
 """.strip()
 
 
+def near_unordered_topk_sql(near_queries: list[tuple[int, str, int, int]],
+                            round_to: int = SCORE_ROUND_DECIMALS) -> str:
+    """Oracle for near_bm25_topk(ordered=False): the symmetric anchor-window
+    match set (near_unordered_match_sql) ranked by BM25 over the query's
+    deduped terms — same composition as near_topk_sql with the unordered
+    matcher."""
+    import re
+
+    conj = []
+    for qid, phrase, _k, _s in near_queries:
+        toks = [t for t in re.split(TOKEN_SPLIT_REGEX, phrase.lower()) if t]
+        conj.append((qid, sorted(set(toks)), "conjunctive", 1 << 30))
+    base = bm25_topk_sql(conj, round_score=False)
+    pm = near_unordered_match_sql([(qid, p, s) for qid, p, _k, s in near_queries])
+    kvals = ", ".join(f"({qid}, {int(k)})" for qid, _p, k, _s in near_queries)
+    return f"""
+WITH scored AS ({base}),
+pm AS ({pm}),
+ks(query_id, k) AS (VALUES {kvals}),
+j AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scored s JOIN pm ON s.query_id = pm.query_id AND s.doc_id = pm.doc_id
+),
+r AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM j
+)
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id,
+       round(r.score, {round_to}) AS score
+FROM r JOIN ks ON r.query_id = ks.query_id
+WHERE r.rank <= ks.k
+""".strip()
+
+
 def prefix_scan_sql(prefix: str = "s", limit: int = 10) -> str:
     toks = DUCKDB_TOKENS_SQL.format(col="text")
     return f"""

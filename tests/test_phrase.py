@@ -634,3 +634,39 @@ def test_near_unordered_serving_twin(spark, tmp_path):
     )
     got = IndexServer(d, CFG_POS).near_batch(qs, ordered=False)
     assert got == want and len(got) > 0
+
+
+def test_near_unordered_topk_and_serving_twin(spark, tmp_path):
+    """Ranked unordered proximity: BM25 over the symmetric window match set,
+    serving twin rank-identical, and the match-set relationship holds (the
+    ranked unordered doc set ⊇ ranked ordered doc set at equal slop & k=∞)."""
+    from bloqsenjin_spark.operators.serving import IndexServer
+    from bloqsenjin_spark.plans import build as B
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    d = str(tmp_path / "pidx_unord_topk")
+    B.build_index_resumable(docs, d, CFG_POS)
+    idx = B.read_index(spark, d, CFG_POS)
+    qs = [(1, "fast the", 1 << 20, 1), (2, "order customer", 1 << 20, 1),
+          (3, "query spark", 1 << 20, 3)]
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand.near_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            qs, CFG_POS, ordered=False).collect()
+    )
+    got = [
+        (q, r, dd, round(s, 9))
+        for q, r, dd, s in IndexServer(d, CFG_POS).near_topk_batch(
+            qs, ordered=False)
+    ]
+    assert sorted(got) == want and len(want) > 0
+    # ranked-set ⊇: ordered matches at the same slop are a subset
+    ordered_docs = {
+        (r["query_id"], r["doc_id"])
+        for r in wand.near_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            qs, CFG_POS, ordered=True).collect()
+    }
+    unordered_docs = {(q, dd) for q, _r, dd, _s in want}
+    assert ordered_docs <= unordered_docs
