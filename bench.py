@@ -333,6 +333,68 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
             pidx.doc_lens.unpersist()
         finally:
             shutil.rmtree(pidx_dir, ignore_errors=True)
+
+        # ---- fielded ranking: per-field builds, both models, serving ---------
+        # Reported as a separate sub-dict (like `phrase`) so the headline
+        # total stays comparable across rounds. The whole-doc index already
+        # built above doubles as the document-level idf source for merged
+        # BM25F and as the FieldedIndexServer's doc_stats_dir.
+        from bloqsenjin_spark.functions.text import tokens as _tokens
+        from bloqsenjin_spark.operators import fielded as FLD
+        from bloqsenjin_spark.operators.serving import FieldedIndexServer
+
+        fdirs = {f: tempfile.mkdtemp(prefix=f"bench_fld_{f}_")
+                 for f in ("title", "body")}
+        try:
+            tcol = _tokens(F.col("text"))
+            field_cols = {
+                "title": F.concat_ws(" ", F.slice(tcol, 1, 5)),
+                "body": F.concat_ws(
+                    " ",
+                    F.when(F.size(tcol) > 5,
+                           F.slice(tcol, 6, F.size(tcol) - 5))
+                    .otherwise(F.array().cast("array<string>")),
+                ),
+            }
+            t0 = time.perf_counter()
+            for f, expr in field_cols.items():
+                B.build_index_resumable(
+                    docs.select("doc_id", expr.alias("text")), fdirs[f], cfg)
+            fielded_build = time.perf_counter() - t0
+            fidxs = {f: B.read_index(spark, fdirs[f], cfg) for f in fdirs}
+            fq = [q for q in corpus.REFERENCE_QUERIES if q[2] == "disjunctive"]
+            fw = {"title": 2.0, "body": 1.0}
+            fld_ts: dict[str, list[float]] = {"per_field_sum": [], "merged": []}
+            for _ in range(3):
+                t0 = time.perf_counter()
+                FLD.bm25f_topk(fidxs, fq, fw, cfg).count()
+                fld_ts["per_field_sum"].append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                FLD.bm25f_merged_topk(
+                    fidxs, fq, fw, idx.term_stats, cfg).count()
+                fld_ts["merged"].append(time.perf_counter() - t0)
+            fsrv = FieldedIndexServer(fdirs, cfg, doc_stats_dir=idx_dir)
+            fsrv.query_batch(fq, fw)  # warm per-field term caches
+            fsrv.merged_batch(fq, fw)
+            fs_ts: dict[str, list[float]] = {"per_field_sum": [], "merged": []}
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fsrv.query_batch(fq, fw)
+                fs_ts["per_field_sum"].append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                fsrv.merged_batch(fq, fw)
+                fs_ts["merged"].append(time.perf_counter() - t0)
+            fielded_metrics = {
+                "build_sec_2fields": round(fielded_build, 3),
+                "n_queries": len(fq),
+                "per_field_sum_sec": round(min(fld_ts["per_field_sum"]), 4),
+                "merged_sec": round(min(fld_ts["merged"]), 4),
+                "serving_per_field_sum_sec": round(min(fs_ts["per_field_sum"]), 5),
+                "serving_merged_sec": round(min(fs_ts["merged"]), 5),
+            }
+        finally:
+            for d in fdirs.values():
+                shutil.rmtree(d, ignore_errors=True)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -351,6 +413,7 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
         "p95_serving_sec": round(p95_serving, 5),
         "serving_forms": serving_forms,
         "fuzzy_expansion": fe,
+        "fielded": fielded_metrics,
         "phrase": phrase,
         "variants": variants,
         "wand_rows": n_wand,
@@ -508,6 +571,15 @@ def run_scaling(sf_dir: str, replication: int) -> None:
     par_4 = sum(b4["stages"][s] for s in _PARALLEL_STAGES)
     fix_n, fix_4 = tn - par_n, t4 - par_4
     hw = _hw_probes()
+    # preserve round-currency notes appended below the scaling report (they
+    # start at the first "## Round-" heading) across rewrites
+    bench_md = os.path.join(os.path.dirname(__file__), "BENCH.md")
+    keep = ""
+    if os.path.exists(bench_md):
+        old = open(bench_md).read()
+        i = old.find("\n## Round-")
+        if i >= 0:
+            keep = old[i:]
     summary = {
         "metric": f"scaling_efficiency_build_{N_CORES}_to_{N4_CORES}",
         "value": round(eff, 3),
@@ -557,6 +629,7 @@ def run_scaling(sf_dir: str, replication: int) -> None:
             "engine's only cross-node costs are the (term,shard) index shuffle "
             "and tiny stats broadcasts.\n\n"
             f"Full JSON:\n\n```json\n{json.dumps(summary, indent=2)}\n```\n"
+            + keep
         )
 
 

@@ -186,3 +186,90 @@ def test_weighted_boolean_paged_equal_numpy_on_random_corpus(spark, seed):
             ).collect()
         ]
     assert sorted(pages) == full
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_bm25f_merged_equals_python_reference_on_random_corpus(spark, seed):
+    """Merged-tf BM25F on seeded random corpora: the distributed operator
+    (inverse-saturation block pruning, composite-key cogroup) must equal a
+    direct per-doc Python computation of
+        Σ_t idf_doc(t)·(k1+1)·tf̃/(tf̃+k1),  tf̃ = Σ_f w_f·tf/(1−b+b·dl_f/avgdl_f)
+    across random field splits, weights and block configs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bloqsenjin_spark.config import BM25_B, BM25_K1
+    from bloqsenjin_spark.functions.text import tokens
+    from bloqsenjin_spark.operators import fielded
+
+    rng = random.Random(seed * 13 + 1)
+    docs_rows = _random_corpus(seed, 300)
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    head = rng.choice([3, 5, 8])
+    t = tokens(F.col("text"))
+    field_cols = {
+        "title": F.concat_ws(" ", F.slice(t, 1, head)),
+        "body": F.concat_ws(
+            " ",
+            F.when(F.size(t) > head, F.slice(t, head + 1, F.size(t) - head))
+            .otherwise(F.array().cast("array<string>")),
+        ),
+    }
+    weights = {"title": rng.choice([0.5, 2.0, 3.0]), "body": 1.0}
+    cfg = IndexConfig(docs_per_shard=64 if seed % 2 else 128,
+                      block_docs=8 if seed % 2 else 32)
+    queries = [
+        (q, sorted(set(rng.choices([f"w{i}" for i in range(55)],
+                                   k=rng.randint(1, 4)))),
+         "disjunctive", rng.choice([3, 10, 50]))
+        for q in range(1, 7)
+    ]
+
+    idxs = fielded.build_fielded_index(docs, field_cols, cfg)
+    tok = topk.tokenized(docs)
+    dts = topk.term_stats_df(topk.term_freqs(tok), tok.count())
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in fielded.bm25f_merged_topk(
+            idxs, queries, weights, dts, cfg).collect()
+    )
+
+    # direct python reference
+    k1, b = BM25_K1, BM25_B
+    split = {}
+    for d, text in docs_rows:
+        toks_ = text.split()
+        split[d] = {"title": toks_[:head], "body": toks_[head:]}
+    n = len(docs_rows)
+    avgdl = {f: (sum(len(split[d][f]) for d in split) / n) or 1.0
+             for f in ("title", "body")}
+    ddf = {}
+    for d, text in docs_rows:
+        for t_ in set(text.split()):
+            ddf[t_] = ddf.get(t_, 0) + 1
+    want = []
+    for qid, terms, _m, k in queries:
+        scored = {}
+        for d in split:
+            s, hit = 0.0, False
+            for t_ in terms:
+                tfm = 0.0
+                for f in ("body", "title"):
+                    tf = split[d][f].count(t_)
+                    if tf:
+                        dl = len(split[d][f])
+                        tfm += weights[f] * tf / (1 - b + b * dl / avgdl[f])
+                if tfm > 0:
+                    hit = True
+                    idf = math.log((n - ddf[t_] + 0.5) / (ddf[t_] + 0.5) + 1.0)
+                    s += idf * (k1 + 1.0) * tfm / (tfm + k1)
+            if hit:
+                scored[d] = s
+        ranked = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
+        want += [(qid, r, d, s) for r, (d, s) in enumerate(ranked, 1)]
+    want = sorted(want)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (seed, g, w)
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
