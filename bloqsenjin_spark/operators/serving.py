@@ -38,10 +38,19 @@ class IndexServer:
 
     def __init__(self, index_dir: str, cfg: IndexConfig | None = None,
                  cache_terms: bool = True, max_cached_terms: int = 65536,
-                 max_cached_blocks: int = 8192, auto_refresh: bool = False):
+                 max_cached_blocks: int = 8192, auto_refresh: bool = False,
+                 shards=None):
         self.index_dir = index_dir
         self._cfg_arg = cfg
         self._cache_terms = cache_terms
+        # shards: this server's doc-range SLICE (None = all). A slice owner
+        # holds only its shards' doc_lens/tombstone arrays and its posting
+        # reads carry a shard predicate — the multi-server deployment shape
+        # from the module docstring, made executable: a frontend fans a query
+        # to the slice owners and merges partials with merge_topk (exact:
+        # every global winner wins its own slice).
+        self._owned = (frozenset(int(x) for x in shards)
+                       if shards is not None else None)
         self.max_cached_terms = max_cached_terms
         self.max_cached_blocks = max_cached_blocks
         # auto_refresh: poll the generation stamp at the start of every batch
@@ -86,9 +95,11 @@ class IndexServer:
         st["df"] = dict(zip(ts["term"], (int(x) for x in ts["df"])))
         dl = ds.dataset(f"{index_dir}/doc_lens", format="parquet",
                         partitioning="hive").to_table().to_pydict()
+        owned = self._owned
         st["dls"] = {
             int(s): varint_decode(bytes(b)).astype(np.float64)
             for s, b in zip(dl["shard"], dl["dls"])
+            if owned is None or int(s) in owned
         }
         # logical deletes (LSM tombstones) — per-SHARD boolean masks, the
         # serving-side form of plans.deletes.tombstone_bitmap_df: a server
@@ -101,6 +112,8 @@ class IndexServer:
             ids = np.unique(
                 np.asarray(tt.column("doc_id").to_pylist(), dtype=np.int64))
             for s in np.unique(ids // dps):
+                if owned is not None and int(s) not in owned:
+                    continue
                 m = np.zeros(dps, dtype=bool)
                 m[ids[ids // dps == s] - s * dps] = True
                 tomb_masks[int(s)] = m
@@ -201,8 +214,11 @@ class IndexServer:
             return {k: [] for k in cols}
         need = [t for t in terms if cache is None or t not in cache]
         if need:
+            flt = self._ds.field("term").isin(need)
+            if self._owned is not None:
+                flt = flt & self._ds.field("shard").isin(sorted(self._owned))
             tbl = self._postings.to_table(
-                filter=self._ds.field("term").isin(need), columns=list(cols)
+                filter=flt, columns=list(cols)
             ).to_pydict()
             if cache is None:
                 return tbl
@@ -1019,3 +1035,32 @@ class FieldedIndexServer:
             np.concatenate(q_parts), np.concatenate(d_parts),
             np.concatenate(s_parts), plain_queries,
         )
+
+
+def merge_topk(partials, queries) -> list[tuple[int, int, int, float]]:
+    """Merge slice owners' partial top-k result lists into the global
+    ranking — the frontend half of the multi-server deployment (each
+    ``IndexServer(shards=...)`` returns its slice's exact top-k; every
+    global winner wins its own slice, so re-ranking the union and
+    truncating to k is exact). Same tie-break as the kernel:
+    score DESC, doc_id ASC."""
+    kmap = {int(q[0]): int(q[3]) for q in queries}
+    by_q: dict[int, list[tuple[int, float]]] = {}
+    for rows in partials:
+        for qid, _rank, doc, score in rows:
+            by_q.setdefault(int(qid), []).append((int(doc), float(score)))
+    out: list[tuple[int, int, int, float]] = []
+    for qid in sorted(by_q):
+        ranked = sorted(by_q[qid], key=lambda x: (-x[1], x[0]))[: kmap[qid]]
+        out.extend((qid, r, d, s) for r, (d, s) in enumerate(ranked, 1))
+    return out
+
+
+def merge_counts(partials) -> list[tuple[int, int]]:
+    """Sum slice owners' partial (query_id, n_hits) counts — doc-range
+    slices partition the corpus, so counts add exactly."""
+    acc: dict[int, int] = {}
+    for rows in partials:
+        for qid, n in rows:
+            acc[int(qid)] = acc.get(int(qid), 0) + int(n)
+    return sorted(acc.items())

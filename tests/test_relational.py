@@ -126,3 +126,26 @@ def test_composite_branch_counts(spark, duck):
                        ("cooc", "rel_cooccurrence_pairs")]:
         n = duck.sql(f"SELECT count(*) FROM ({oracle.RELATIONAL_SQL[orig]})").fetchone()[0]
         assert by_part.get(part, 0) == n
+
+
+def test_composite_suites_preserve_pushdown(spark):
+    """The UNION-tagged consolidation must not break what the individual
+    operators had: each branch's filters/projection still reach its parquet
+    scan (PushedFilters / pruned ReadSchema in the executed plan), and the
+    union adds no extra shuffle on top of the branches' own."""
+    li = corpus.load_table(spark, SF_DIR, "lineitem")
+    orders = corpus.load_table(spark, SF_DIR, "orders")
+    out = relational.scan_set_suite(li, orders)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # scan branch: the l_quantity/l_returnflag/l_discount predicates push to
+    # the lineitem parquet scan
+    li_scans = [l for l in plan.splitlines()
+                if "FileScan" in l and "lineitem" in l]
+    assert li_scans and any(
+        "PushedFilters: [" in l and "l_quantity" in l for l in li_scans
+    ), li_scans
+    # projection pruning: no lineitem scan reads more than the 6 needed cols
+    for l in li_scans:
+        assert "l_shipdate" not in l.split("ReadSchema")[-1]
+    # union of scans/filters only — no exchange needed for this suite
+    assert "Exchange" not in plan

@@ -703,3 +703,53 @@ def test_serving_ann_zero_norm_query_yields_no_nans(spark, tmp_path):
     similarity.write_ivf(emb, d, n_centroids=4)
     out = IndexServer(d, CFG).ann_batch([99], k=5, n_probe=4)
     assert out and all(math.isfinite(s) and s == 0.0 for _q, _r, _v, s in out)
+
+
+# ---- doc-range slice ownership (multi-server deployment shape) ---------------
+
+def test_slice_servers_merge_to_full_results(spark, index_dir):
+    """Two IndexServers each owning HALF the doc-range shards, merged by the
+    frontend helpers, must reproduce the single full server exactly — top-k
+    (ranks, scores), and exact counts — across plain/boolean/filtered
+    forms. This is the fan-out-and-merge deployment from the module
+    docstring, executed."""
+    from bloqsenjin_spark.operators.serving import merge_counts, merge_topk
+
+    full = IndexServer(index_dir, CFG)
+    n_shards = len(full.dls)
+    assert n_shards >= 2  # fixture must exercise a real split
+    half = n_shards // 2
+    a = IndexServer(index_dir, CFG, shards=range(half))
+    b = IndexServer(index_dir, CFG, shards=range(half, n_shards))
+    # slice owners hold ONLY their shards' arrays
+    assert set(a.dls) == set(range(half))
+    assert set(b.dls) == set(range(half, n_shards))
+
+    batches = [
+        corpus.REFERENCE_QUERIES,
+        [(1, ["join", "hash"], "conjunctive", 10, ["merge"]),
+         (2, ["customer", "order"], "disjunctive", 10, ["slow"])],
+    ]
+    for queries in batches:
+        want = sorted(full.query_batch(queries))
+        got = sorted(merge_topk(
+            [a.query_batch(queries), b.query_batch(queries)], queries))
+        assert got == want and len(want) > 0
+
+    qs = corpus.REFERENCE_QUERIES
+    want_counts = sorted(full.count_batch(qs))
+    got_counts = merge_counts([a.count_batch(qs), b.count_batch(qs)])
+    assert got_counts == want_counts and len(want_counts) > 0
+
+
+def test_slice_server_posting_reads_are_shard_filtered(index_dir):
+    """A slice owner's posting reads carry the shard predicate — rows from
+    un-owned shards never reach its kernel (checked via the raw load)."""
+    full = IndexServer(index_dir, CFG)
+    n_shards = len(full.dls)
+    a = IndexServer(index_dir, CFG, shards=range(1))
+    tbl = a._load_terms(["the", "customer"])
+    assert set(int(s) for s in tbl["shard"]) <= {0}
+    assert len(tbl["term"]) > 0
+    fulltbl = full._load_terms(["the", "customer"])
+    assert len(set(int(s) for s in fulltbl["shard"])) == n_shards
