@@ -365,10 +365,12 @@ class IndexServer:
             return []
         return self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
 
-    def _phrase_hit_blocks(self, parsed, ordered: bool = True):
+    def _phrase_hit_blocks(self, parsed, ordered: bool = True,
+                           allow_masks=None):
         """Shared phrase/proximity machinery over (qid, toks, slop) triples:
         yields (qid, uniq_terms, shard, hits, per_term) for every block with
-        ≥1 verified, tombstone-masked match."""
+        ≥1 verified, tombstone- and allow-masked match (``allow_masks``:
+        per-shard allow bitmaps from _allow_masks — the ACL form)."""
         from bloqsenjin_spark.functions.scoring import (
             near_verify_block_unordered,
             phrase_verify_block,
@@ -410,18 +412,26 @@ class IndexServer:
                 tm = self.tomb_masks.get(shard)
                 if tm is not None and hits.size:
                     hits = hits[~tm[hits - shard * dps]]
+                if allow_masks is not None and hits.size:
+                    am = allow_masks.get(shard)
+                    hits = (hits[am[hits - shard * dps]]
+                            if am is not None
+                            else hits[:0])
                 if hits.size:
                     yield qid, uniq, shard, hits, per_term
 
-    def phrase_batch(self, phrases: list[tuple[int, str]]) -> list[tuple[int, int]]:
+    def phrase_batch(self, phrases: list[tuple[int, str]],
+                     allowed_doc_ids=None) -> list[tuple[int, int]]:
         """→ [(query_id, doc_id)] — exact phrase matches, identical results to
         operators/wand.phrase_match_positional on the same index. Requires a
         positions=True index; the positional payload is read ONLY here (the
         BM25 path never touches it)."""
-        return self.near_batch([(qid, p, 0) for qid, p in phrases])
+        return self.near_batch([(qid, p, 0) for qid, p in phrases],
+                               allowed_doc_ids=allowed_doc_ids)
 
     def near_batch(
-        self, near_queries: list[tuple[int, str, int]], ordered: bool = True
+        self, near_queries: list[tuple[int, str, int]], ordered: bool = True,
+        allowed_doc_ids=None,
     ) -> list[tuple[int, int]]:
         """→ [(query_id, doc_id)] — proximity matches ((query_id, phrase,
         slop)), identical results to operators/wand.near_match_positional on
@@ -432,7 +442,8 @@ class IndexServer:
         from bloqsenjin_spark.operators.wand import _parse_phrases
 
         if not self._is_snap:
-            return self._snap().near_batch(near_queries, ordered=ordered)
+            return self._snap().near_batch(near_queries, ordered=ordered,
+                                           allowed_doc_ids=allowed_doc_ids)
         slops = {int(qid): int(s) for qid, _p, s in near_queries}
         if len(slops) != len(near_queries):
             raise ValueError("duplicate query_ids in a phrase/proximity batch")
@@ -442,12 +453,14 @@ class IndexServer:
         ]
         out: list[tuple[int, int]] = []
         for qid, _uniq, _shard, hits, _pt in self._phrase_hit_blocks(
-                parsed, ordered=ordered):
+                parsed, ordered=ordered,
+                allow_masks=self._allow_masks(allowed_doc_ids)):
             out.extend((qid, int(d)) for d in hits)
         return sorted(out)
 
     def phrase_topk_batch(
-        self, phrases: list[tuple[int, str, int]], ordered: bool = True
+        self, phrases: list[tuple[int, str, int]], ordered: bool = True,
+        allowed_doc_ids=None,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — phrase-filtered BM25 top-k,
         rank-identical to operators/wand.phrase_bm25_topk on the same index
@@ -460,7 +473,8 @@ class IndexServer:
         from bloqsenjin_spark.operators.wand import _parse_phrases
 
         if not self._is_snap:
-            return self._snap().phrase_topk_batch(phrases, ordered=ordered)
+            return self._snap().phrase_topk_batch(
+                phrases, ordered=ordered, allowed_doc_ids=allowed_doc_ids)
         # items are (qid, phrase, k) or (qid, phrase, k, slop) — slop turns
         # exact-phrase filtering into ordered proximity (near_topk_batch)
         slop_map = {int(q[0]): int(q[3]) if len(q) > 3 else 0 for q in phrases}
@@ -476,7 +490,8 @@ class IndexServer:
         d_parts: list[np.ndarray] = []
         s_parts: list[np.ndarray] = []
         for qid, uniq, shard, hits, per_term in self._phrase_hit_blocks(
-                parsed, ordered=ordered):
+                parsed, ordered=ordered,
+                allow_masks=self._allow_masks(allowed_doc_ids)):
             score = np.zeros(hits.size, dtype=np.float64)
             dl_h = self.dls[shard][hits - shard * dps]
             for t in sorted(uniq):  # lexicographic = oracle's sum order
@@ -498,13 +513,14 @@ class IndexServer:
 
     def near_topk_batch(
         self, near_queries: list[tuple[int, str, int, int]],
-        ordered: bool = True,
+        ordered: bool = True, allowed_doc_ids=None,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — proximity-filtered BM25
         top-k ((query_id, phrase, k, slop)), rank-identical to
         operators/wand.near_bm25_topk at the same ``ordered`` setting;
         phrase_topk_batch ≡ (ordered, slop 0)."""
-        return self.phrase_topk_batch(near_queries, ordered=ordered)
+        return self.phrase_topk_batch(near_queries, ordered=ordered,
+                                      allowed_doc_ids=allowed_doc_ids)
 
     def highlight_batch(
         self, queries: list, allowed_doc_ids=None

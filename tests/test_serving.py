@@ -753,3 +753,45 @@ def test_slice_server_posting_reads_are_shard_filtered(index_dir):
     assert len(tbl["term"]) > 0
     fulltbl = full._load_terms(["the", "customer"])
     assert len(set(int(s) for s in fulltbl["shard"])) == n_shards
+
+
+def test_phrase_family_allow_sets(spark, tmp_path):
+    """ACL parity for the phrase family: allowed_doc_ids restricts phrase /
+    near matches and phrase top-k, consistent with (a) set intersection on
+    the match forms and (b) the Spark allow_map path on the ranked form."""
+    from bloqsenjin_spark.operators.bitmaps import shard_bitmap_df
+
+    cfg = IndexConfig(docs_per_shard=128, block_docs=16, positions=True)
+    d = str(tmp_path / "pidx_allow")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    B.build_index_resumable(docs, d, cfg)
+    srv = IndexServer(d, cfg)
+    phrases = [(1, "the fast"), (2, "customer order")]
+    base = srv.phrase_batch(phrases)
+    assert base
+    allowed = sorted({doc for _q, doc in base})[::2]  # every other match
+    got = srv.phrase_batch(phrases, allowed_doc_ids=allowed)
+    assert got == [(q, doc) for q, doc in base if doc in set(allowed)]
+    # near twin honors the same set
+    got_n = srv.near_batch([(q, p, 1) for q, p in phrases],
+                           allowed_doc_ids=allowed)
+    assert all(doc in set(allowed) for _q, doc in got_n)
+    # ranked form == Spark phrase_bm25_topk with the allow bitmap
+    idx = B.read_index(spark, d, cfg)
+    allow = shard_bitmap_df(
+        spark.createDataFrame([(int(x),) for x in allowed], "doc_id long"),
+        cfg, bitmap_col="allow",
+    )
+    tq = [(1, "the fast", 5), (2, "customer order", 5)]
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand.phrase_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            tq, cfg, allow_map=allow).collect()
+    )
+    got_t = [(q, r, doc, round(s, 9))
+             for q, r, doc, s in srv.phrase_topk_batch(
+                 tq, allowed_doc_ids=allowed)]
+    assert sorted(got_t) == want and len(want) > 0
+    # empty allow-set ⇒ no matches anywhere
+    assert srv.phrase_batch(phrases, allowed_doc_ids=[]) == []
