@@ -288,7 +288,49 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> None:
     ).parquet(f"{index_dir}/doc_lens_new")
     new_ts.coalesce(8).write.mode("overwrite").parquet(f"{index_dir}/term_stats_new")
 
+    import os
     import shutil
+
+    # doc-store replica (serving snippets, plans.build.write_doc_store): drop
+    # the purged docs' token rows from the AFFECTED shards — same broadcast
+    # bitmaps, dynamic per-shard overwrite (purged docs can never rank, so
+    # stale rows were correctness-harmless, but purge's contract is physical
+    # removal and byte reclamation across every index table)
+    if os.path.exists(f"{index_dir}/doc_store"):
+        dstore = spark.read.parquet(f"{index_dir}/doc_store")
+
+        def drop_dead(it):
+            for pdf in it:
+                ids = pdf["doc_id"].to_numpy()
+                shs = pdf["shard"].to_numpy()
+                keep = np.ones(len(pdf), dtype=bool)
+                for s in np.unique(shs):
+                    sel = shs == s
+                    keep[sel] = ~bmasks.value[int(s)][ids[sel] - int(s) * dps]
+                yield pdf[keep]
+
+        # localCheckpoint cuts lineage: the dynamic overwrite below writes
+        # the path this plan reads from
+        survivors = (
+            dstore.where(F.col("shard").isin(affected))
+            .mapInPandas(drop_dead, schema=dstore.schema)
+            .localCheckpoint(eager=True)
+        )
+        (
+            survivors.repartition(F.col("shard"))
+            .sortWithinPartitions("doc_id")
+            .write.partitionBy("shard")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{index_dir}/doc_store")
+        )
+        # a fully-purged shard writes no partition, so dynamic overwrite
+        # leaves its old directory — remove it explicitly
+        alive = {int(r["shard"]) for r in survivors.select("shard").distinct().collect()}
+        for s in affected:
+            if s not in alive:
+                shutil.rmtree(f"{index_dir}/doc_store/shard={s}",
+                              ignore_errors=True)
 
     for t in ("postings", "doc_lens", "term_stats"):
         shutil.rmtree(f"{index_dir}/{t}")

@@ -229,3 +229,41 @@ def test_filtered_topk_allow_bitmaps(spark, built):
         ).collect()
     )
     assert got2 == rerank(full, allow_ids - set(dead))
+
+
+def test_purge_cleans_doc_store_and_snippets_survive(spark, tmp_path):
+    """Physical purge removes the purged docs' rows from the doc-store
+    replica too (byte reclamation across every index table), and serving
+    snippets after the purge remain byte-identical to the Spark snippet
+    path over the purged corpus."""
+    cfg = IndexConfig(docs_per_shard=64, block_docs=16, positions=True)
+    d = str(tmp_path / "purge_store_idx")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    B.build_index_resumable(docs, d, cfg)
+    B.write_doc_store(docs, d, cfg)
+    victims = [int(r["doc_id"]) for r in docs.limit(40).collect()][::3]
+    D.delete_docs(spark, d, victims)
+    D.purge_deletes(spark, d)
+    remaining = {
+        int(r["doc_id"])
+        for r in spark.read.parquet(f"{d}/doc_store").select("doc_id").collect()
+    }
+    assert not (remaining & set(victims))
+    live = {int(r["doc_id"]) for r in docs.collect()} - set(victims)
+    assert remaining == live  # only purged rows were dropped
+    # serving snippets on the purged index == Spark path over purged corpus
+    srv = IndexServer(d, cfg)
+    queries = [(1, ["the", "fast"], "disjunctive", 8)]
+    got = [(q, r, doc, round(s, 9), p, sn)
+           for q, r, doc, s, p, sn in srv.snippet_batch(queries)]
+    idx = B.read_index(spark, d, cfg)
+    kept_docs = docs.where(~F.col("doc_id").isin(victims))
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9),
+         r["snip_pos"], r["snippet"])
+        for r in wand.topk_snippets(
+            kept_docs, idx.postings, idx.doc_lens, idx.term_stats,
+            idx.avgdl, queries, cfg).collect()
+    )
+    assert got == want and len(want) > 0
+    assert not any(doc in set(victims) for _q, _r, doc, _s, _p, _sn in got)
