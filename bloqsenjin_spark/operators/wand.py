@@ -812,6 +812,33 @@ def prefix_bm25_topk(
     )
 
 
+def _del1_arr(t):
+    """All single-character deletions of string Column ``t`` as an array
+    Column — pure Catalyst (Column.substr takes Column offsets)."""
+    n = F.length(t)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(t.substr(F.lit(1), i - 1), t.substr(i + 1, n)),
+    )
+
+
+def _deletes_py(word: str, max_dist: int) -> set[str]:
+    """All strings reachable from ``word`` by ≤ max_dist deletions (incl.
+    word) — the driver-side (tiny query set) twin of _del1_arr; same
+    algorithm as the serving tier's SymSpell index."""
+    out = {word}
+    frontier = {word}
+    for _ in range(max_dist):
+        nxt = {w[:i] + w[i + 1:] for w in frontier for i in range(len(w))}
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+_SYMSPELL_MAX_DIST = 2  # variant fan-out ~|term|^d per term; Lucene's cap
+
+
 def expand_fuzzy_terms(
     term_stats: DataFrame,
     fuzzy_queries: list[tuple[int, str, int, int]],
@@ -822,12 +849,70 @@ def expand_fuzzy_terms(
     capped at ``max_expansions`` by (distance ASC, df DESC, term ASC) —
     closest first, then the head-biased rule shared with prefix expansion.
 
-    Same plan as expand_prefix_terms: broadcast the tiny (query_id, word,
-    max_dist) relation against the dictionary (one distributed vocab scan per
-    BATCH, not per word), rank-window cap, bounded collect. At a 100M-term
-    vocabulary a production system would pre-bucket the dictionary by
-    deletion neighborhoods / FST — this is the scan-based baseline, and the
-    serving tier answers from its in-memory dictionary replica instead."""
+    Plan (dist ≤ 2): the SymSpell deletion-neighborhood join, distributed —
+    the dictionary explodes into its ≤d-deletion variants (pure Catalyst:
+    nested transform + substr, no UDF), the query words' variants (a tiny
+    driver-computed relation) broadcast-join on the variant string, and ONLY
+    the joined candidates pay a Levenshtein verify. Lossless (lev(w,t) ≤ d ⟹
+    a shared deletion variant), and it replaces the round-4 V × Q crossJoin
+    scan with an equi-join whose left side is ~|term|^d variant rows — the
+    same structure the serving tier holds in memory
+    (IndexServer._fuzzy_candidates), here as a shuffle-shaped plan that
+    survives a 100M-term vocabulary. dist > 2 falls back to the scan."""
+    max_d = max((int(q[2]) for q in fuzzy_queries), default=0)
+    if max_d > _SYMSPELL_MAX_DIST:
+        return _expand_fuzzy_scan(term_stats, fuzzy_queries, max_expansions)
+    spark = term_stats.sparkSession
+    qv = spark.createDataFrame(
+        [
+            (int(qid), str(w), int(d), v)
+            for qid, w, d, _k in fuzzy_queries
+            for v in sorted(_deletes_py(str(w), int(d)))
+        ],
+        "query_id long, word string, max_dist int, variant string",
+    )
+    base = term_stats.select("term", "df")
+    d1 = _del1_arr(F.col("term"))
+    if max_d == 0:
+        variants = F.array(F.col("term"))
+    elif max_d == 1:
+        variants = F.array_distinct(
+            F.concat(F.array(F.col("term")), d1)
+        )
+    else:
+        d2 = F.flatten(F.transform(d1, _del1_arr))
+        variants = F.array_distinct(
+            F.concat(F.array(F.col("term")), d1, d2)
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    rows = (
+        base.select("term", "df", F.explode(variants).alias("variant"))
+        .join(F.broadcast(qv), "variant")
+        .select("query_id", "word", "max_dist", "term", "df")
+        .distinct()  # a (word, term) pair can share many variants
+        .withColumn("dist", F.levenshtein(F.col("term"), F.col("word")))
+        .where(F.col("dist") <= F.col("max_dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_expansions)
+        .select("query_id", "term", "rn")
+        .collect()
+    )
+    exp: dict[int, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rn"])):
+        exp.setdefault(int(r["query_id"]), []).append(r["term"])
+    return exp
+
+
+def _expand_fuzzy_scan(
+    term_stats: DataFrame,
+    fuzzy_queries: list[tuple[int, str, int, int]],
+    max_expansions: int = 50,
+) -> dict[int, list[str]]:
+    """The round-4 scan-based expansion (V × Q Levenshtein over a broadcast
+    crossJoin) — kept as the dist > 2 fallback and the property-test twin of
+    the SymSpell join."""
     spark = term_stats.sparkSession
     q = spark.createDataFrame(
         [(int(qid), str(w), int(d)) for qid, w, d, _k in fuzzy_queries],

@@ -795,3 +795,25 @@ def test_phrase_family_allow_sets(spark, tmp_path):
     assert sorted(got_t) == want and len(want) > 0
     # empty allow-set ⇒ no matches anywhere
     assert srv.phrase_batch(phrases, allowed_doc_ids=[]) == []
+
+
+def test_fuzzy_symspell_join_equals_scan_expansion(spark, index_dir):
+    """The distributed SymSpell deletion-variant join must produce EXACTLY
+    the scan-based expansion (same candidates, same ranking) across dists
+    0/1/2, multi-word batches and zero-hit words — the lossless-replacement
+    property, Spark-side twin of the serving-tier candidate test."""
+    idx = B.read_index(spark, index_dir, CFG)
+    batches = [
+        [(1, "spork", 0, 5), (2, "spork", 1, 5), (3, "spork", 2, 5)],
+        [(1, "quary", 2, 4), (2, "ow", 1, 5), (3, "xyzzy", 1, 5),
+         (4, "custmer", 2, 8)],
+    ]
+    for fq in batches:
+        for cap in (3, 50):
+            a = wand.expand_fuzzy_terms(idx.term_stats, fq, max_expansions=cap)
+            b = wand._expand_fuzzy_scan(idx.term_stats, fq, max_expansions=cap)
+            assert a == b, (fq, cap)
+    # dist > 2 routes to the scan (identical by construction)
+    fq3 = [(1, "spork", 3, 5)]
+    assert wand.expand_fuzzy_terms(idx.term_stats, fq3) == \
+        wand._expand_fuzzy_scan(idx.term_stats, fq3)
