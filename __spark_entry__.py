@@ -267,6 +267,18 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup.resolve_clusters(pairs, docs)
 
 
+def _q_prepare_corpus(spark, sf_dir):
+    """One-call training-corpus curation: predicted-language gate → quality
+    gate → near-dup gate among survivors; status = first failing rule.
+    max_shingle_df=None = exact-everywhere for oracle parity (the production
+    default caps hot-shingle fan-out, same as dedup_ngram_jaccard)."""
+    r = dedup.prepare_training_corpus(
+        _docs(spark, sf_dir), langs=("en",), min_quality=0.5,
+        threshold=0.8, max_shingle_df=None,
+    )
+    return r.withColumn("quality", F.round("quality", _R))
+
+
 def _q_simhash(spark, sf_dir):
     # rows-only oracle: signature values are xxhash64-dependent
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
@@ -595,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "dedup_clusters": _q_dedup_clusters,
+        "pipeline_prepare_corpus": _q_prepare_corpus,
         # text analysis
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
@@ -688,6 +701,9 @@ def oracle_sql() -> dict[str, str]:
         # dedup_simhash: rows-only (xxhash64-seeded signatures)
         "dedup_embedding_cosine": oracle.embedding_near_dup_sql(0.45),
         "dedup_clusters": oracle.dedup_clusters_sql(0.8),
+        "pipeline_prepare_corpus": oracle.prepare_corpus_sql(
+            ("en",), 0.5, 0.8, LANG_MARKERS, STOPWORDS
+        ),
         "text_token_count": oracle.token_count_sql(),
         "text_quality": oracle.quality_score_sql(STOPWORDS),
         "text_lang_id": oracle.lang_id_sql(LANG_MARKERS),

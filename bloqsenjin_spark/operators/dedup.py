@@ -569,3 +569,58 @@ def dedup_corpus(
     return docs.join(
         keep.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
     )
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_shingle_df: int | None = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, lang_pred, quality, status): the one-call corpus CURATION
+    decision a training-data pipeline runs end to end — language gate
+    (predicted language ∈ ``langs``) → quality gate (closed-form web-text
+    quality ≥ ``min_quality``) → near-dup gate (exact n-gram-Jaccard pairs +
+    transitive clusters among the docs that passed both gates, min-docID
+    canonical). ``status`` records the FIRST failing rule per doc:
+    'lang' | 'quality' | 'duplicate' | 'kept' — the audit-friendly form
+    (filter status='kept' for the corpus, group by status for the report).
+
+    Scale shape: the gates are pure Catalyst projections; dedup runs ONLY on
+    the gate survivors (the usual big win — boilerplate/junk never reaches
+    pair generation), with the same capped-candidate machinery as
+    ngram_jaccard_pairs and O(log n) pair-sized cluster rounds."""
+    from bloqsenjin_spark.operators.textstats import lang_id, quality_score
+
+    li = lang_id(docs, text_col, id_col).select("doc_id", "lang_pred")
+    qs = quality_score(docs, text_col, id_col).select("doc_id", "quality")
+    flags = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(li, "doc_id")
+        .join(qs, "doc_id")
+        .withColumn("lang_ok", F.col("lang_pred").isin(*langs))
+        .withColumn("quality_ok", F.col("quality") >= F.lit(float(min_quality)))
+    )
+    fdocs = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(text_col).alias("text"))
+        .join(flags.where(F.col("lang_ok") & F.col("quality_ok"))
+              .select("doc_id"), "doc_id", "left_semi")
+    )
+    pairs = ngram_jaccard_pairs(fdocs, threshold=threshold, n=n,
+                                max_shingle_df=max_shingle_df)
+    clusters = resolve_clusters(pairs, fdocs)
+    status = (
+        F.when(~F.col("lang_ok"), "lang")
+        .when(~F.col("quality_ok"), "quality")
+        .when(~F.coalesce(F.col("keep"), F.lit(True)), "duplicate")
+        .otherwise("kept")
+    )
+    return (
+        flags.join(clusters.select("doc_id", "keep"), "doc_id", "left")
+        .select("doc_id", "lang_pred", "quality", status.alias("status"))
+    )

