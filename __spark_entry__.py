@@ -284,6 +284,21 @@ def _q_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+_SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling: keep(doc) ⇔ md5-prefix <
+    per-stratum hex threshold — reproducible across runs, engines and
+    resume/retry (no RNG state); the standard training-mix rebalancer."""
+    from bloqsenjin_spark.operators import sampling
+
+    r = sampling.stratified_sample(
+        _docs(spark, sf_dir), _SAMPLE_RATES, default_rate=0.75,
+    )
+    return r.select("doc_id", F.col("lang").alias("stratum"))
+
+
 def _q_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
 
@@ -608,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "dedup_clusters": _q_dedup_clusters,
         "pipeline_prepare_corpus": _q_prepare_corpus,
+        "pipeline_stratified_sample": _q_stratified_sample,
         # text analysis
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
@@ -703,6 +719,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oracle.dedup_clusters_sql(0.8),
         "pipeline_prepare_corpus": oracle.prepare_corpus_sql(
             ("en",), 0.5, 0.8, LANG_MARKERS, STOPWORDS
+        ),
+        "pipeline_stratified_sample": oracle.stratified_sample_sql(
+            _SAMPLE_RATES, default_rate=0.75
         ),
         "text_token_count": oracle.token_count_sql(),
         "text_quality": oracle.quality_score_sql(STOPWORDS),

@@ -671,6 +671,30 @@ FROM reach GROUP BY doc_id
 """.strip()
 
 
+def stratified_sample_sql(
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    strata_col: str = "lang",
+    salt: str = "s0",
+) -> str:
+    """Oracle for sampling.stratified_sample: the SAME md5-prefix-vs-hex-
+    threshold rule (thresholds computed by the shared rate_to_hex_threshold,
+    so both engines compare identical strings)."""
+    from bloqsenjin_spark.operators.sampling import rate_to_hex_threshold
+
+    cases = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN '{rate_to_hex_threshold(r)}'"
+        for s, r in sorted(rates.items())
+    )
+    default_thr = rate_to_hex_threshold(default_rate)
+    return f"""
+SELECT doc_id, {strata_col} AS stratum
+FROM documents
+WHERE substring(md5('{salt}' || doc_id::VARCHAR), 1, 8)
+      < (CASE {cases} ELSE '{default_thr}' END)
+""".strip()
+
+
 def prepare_corpus_sql(
     langs: tuple[str, ...],
     min_quality: float,
