@@ -256,9 +256,15 @@ def score_shard_blocks_bm25f(
     for qid, terms, mode, k in (q[:4] for q in queries):
         if mode != "disjunctive":
             raise ValueError("bm25f merged scoring is disjunctive-only")
+        # a term can exist in a field's postings but be absent from the
+        # document-level stats when the fields don't partition the document
+        # text (the public API accepts arbitrary field exprs): treat missing
+        # doc-level idf as 0 — the term contributes nothing — instead of a
+        # KeyError inside the executor
         present = sorted(
             t for t in set(terms)
-            if any(f"{f}{sep}{t}" in key_blocks for f in fields)
+            if t in doc_idf
+            and any(f"{f}{sep}{t}" in key_blocks for f in fields)
         )
         if not present:
             continue

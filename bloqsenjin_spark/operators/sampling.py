@@ -25,8 +25,17 @@ from pyspark.sql import functions as F
 def rate_to_hex_threshold(rate: float) -> str:
     """rate ∈ [0,1] → 8-char lowercase hex threshold in the 2^32 space.
     Shared with the oracle builder so both engines compare against the
-    IDENTICAL string."""
+    IDENTICAL string.
+
+    rate ≥ 1.0 returns the sentinel ``'g'``: every 8-hex-char coordinate
+    compares < 'g' ('f' < 'g' lexicographically), so full-rate strata keep
+    ALL rows — with a strict '<' against 'ffffffff' a doc whose md5 prefix
+    is exactly ffffffff would be dropped even at rate 1.0 (~1 per 2^32 keys
+    — material at 10^12-doc scale). One helper, so the engine and the
+    DuckDB oracle share the sentinel too."""
     r = min(max(float(rate), 0.0), 1.0)
+    if r >= 1.0:
+        return "g"
     return format(min(int(r * (1 << 32)), (1 << 32) - 1), "08x")
 
 

@@ -1016,10 +1016,11 @@ class FieldedIndexServer:
         comp, shards, bids, bmax, deltas, tfs = self._field_rows(snaps, all_terms)
         if comp.size == 0:
             return []
-        doc_idf = {
-            t: self._doc_stats._snap().idf[t]
-            for t in all_terms if t in self._doc_stats.idf
-        }
+        # snapshot ONCE: a per-term _snap() inside the comprehension could
+        # mix idf values from two index generations (or KeyError) if a
+        # concurrent refresh() lands mid-loop
+        ds_snap = self._doc_stats._snap()
+        doc_idf = {t: ds_snap.idf[t] for t in all_terms if t in ds_snap.idf}
         field_idf = {
             f"{f}{self._SEP}{t}": snaps[f].idf[t]
             for f in self.fields for t in all_terms if t in snaps[f].idf

@@ -1362,7 +1362,9 @@ COMPOSITE_RELATIONAL_SQL: dict[str, str] = {
         ("json", "rel_json_extract", "event_id::BIGINT", _NULL_S1,
          "k::DOUBLE", _NULL_D),
         ("scalar", "rel_scalar_funcs", "o_orderkey::BIGINT",
-         "order_url || '|' || prio_b64 || '|' || strftime(order_month, '%Y-%m-%d')",
+         # concat_ws (null-SKIPPING) mirrors the engine's F.concat_ws — '||'
+         # would null-propagate and break value parity on any NULL piece
+         "concat_ws('|', order_url, prio_b64, strftime(order_month, '%Y-%m-%d'))",
          "days_since_epoch_start::DOUBLE", _NULL_D),
         ("validate", "rel_validate_rows", "p_partkey::BIGINT",
          "name_ok::VARCHAR || '|' || price_ok::VARCHAR || '|' || "
