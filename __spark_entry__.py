@@ -542,6 +542,33 @@ FUZZY_QUERIES = [
 ]
 
 
+# multi-word fuzzy: (qid, [words], max_dist, k) — the real-user typo form
+# ("helo wrold"); q3 mixes an exact word (dist-0 self-expansion) with a typo,
+# q4 is an all-words-zero-expansion guard. decay 0.5 (dyadic ⇒ exact float
+# parity) down-weights farther expansions via the kernel's boost path.
+FUZZY_MULTI_QUERIES = [
+    (1, ["spork", "quary"], 1, 10),
+    (2, ["dta", "ow"], 1, 5),
+    (3, ["customer", "orde"], 1, 10),
+    (4, ["xyzzy", "qqqzz"], 1, 10),
+]
+_FUZZY_DECAY = 0.5
+
+
+def _q_fuzzy_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-word fuzzy search: per-word expansion under the single-word
+    rule, ONE disjunctive ranking over the union with per-term
+    decay**min-distance boosts — all (query, word) pairs expand in the same
+    one SymSpell batch job."""
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG)
+    res = wand.fuzzy_multi_bm25_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        FUZZY_MULTI_QUERIES, _SF_CFG, max_expansions=_MAX_EXPANSIONS,
+        distance_decay=_FUZZY_DECAY,
+    )
+    return res.withColumn("score", F.round("score", _R))
+
+
 def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery analog: dictionary expansion by Levenshtein ≤ max_dist
     (distance ASC, df DESC, term ASC, capped) → one disjunctive BM25
@@ -597,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": _q_bm25_filtered,
         "bm25_topk_prefix": _q_prefix_topk,
         "bm25_topk_fuzzy": _q_fuzzy_topk,
+        "bm25_topk_fuzzy_multi": _q_fuzzy_multi_topk,
         "bm25_topk_boolean": _q_bm25_boolean,
         "bm25_topk_weighted": _q_bm25_weighted,
         "bm25_topk_paged": _q_bm25_paged,
@@ -670,6 +698,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_fuzzy": oracle.fuzzy_topk_sql(
             FUZZY_QUERIES, max_expansions=_MAX_EXPANSIONS
+        ),
+        "bm25_topk_fuzzy_multi": oracle.fuzzy_multi_topk_sql(
+            FUZZY_MULTI_QUERIES, max_expansions=_MAX_EXPANSIONS,
+            distance_decay=_FUZZY_DECAY,
         ),
         "bm25_topk_boolean": oracle.bm25_topk_sql(
             [q[:4] for q in BOOLEAN_QUERIES],

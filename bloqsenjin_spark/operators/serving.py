@@ -717,15 +717,65 @@ class IndexServer:
                 allowed_doc_ids=allowed_doc_ids)
         queries = []
         for qid, word, max_dist, k in fuzzy_queries:
-            cands = []
-            for t in self._fuzzy_candidates(word, int(max_dist)):
-                d = self._levenshtein(t, word, int(max_dist))
-                if d <= max_dist:
-                    cands.append((d, -self.df[t], t))
-            cands.sort()
-            terms = [t for _d, _ndf, t in cands[:max_expansions]]
+            terms = [
+                t for t, _d in self._fuzzy_expansion(
+                    str(word), int(max_dist), max_expansions)
+            ]
             if terms:
                 queries.append((int(qid), terms, "disjunctive", int(k)))
+        if not queries:
+            return []
+        return self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
+
+    def _fuzzy_expansion(self, word: str, max_dist: int,
+                         max_expansions: int) -> list[tuple[str, int]]:
+        """One word's (term, distance) expansion list under THE rule
+        (Levenshtein ≤ max_dist, distance ASC / df DESC / term ASC, capped)
+        — SymSpell candidates + exact verify, shared by the single- and
+        multi-word fuzzy entry points."""
+        cands = []
+        for t in self._fuzzy_candidates(word, int(max_dist)):
+            d = self._levenshtein(t, word, int(max_dist))
+            if d <= max_dist:
+                cands.append((d, -self.df[t], t))
+        cands.sort()
+        return [(t, d) for d, _ndf, t in cands[:max_expansions]]
+
+    def fuzzy_multi_topk_batch(
+        self, multi_queries: list[tuple[int, list[str], int, int]],
+        max_expansions: int = 50, distance_decay: "float | None" = None,
+        allowed_doc_ids=None,
+    ) -> list[tuple[int, int, int, float]]:
+        """→ [(query_id, rank, doc_id, score)] — MULTI-word typo-tolerant
+        top-k ((query_id, [words], max_dist, k)), rank-identical to
+        operators/wand.fuzzy_multi_bm25_topk on the same index
+        (pytest-pinned): per-word expansion under the single-word rule, one
+        disjunctive ranking over the union with per-term min-distance, and
+        the optional decay ** min_dist boost — the composition rule is the
+        SHARED _compose_fuzzy_multi helper, so the tiers can't drift."""
+        from bloqsenjin_spark.operators.wand import _compose_fuzzy_multi
+
+        if len({q[0] for q in multi_queries}) != len(multi_queries):
+            raise ValueError("duplicate query_ids in fuzzy_queries")
+        if distance_decay is not None and float(distance_decay) < 0:
+            raise ValueError(
+                "distance_decay must be >= 0 (negative boosts break exact "
+                "block-max pruning)"
+            )
+        if not self._is_snap:
+            return self._snap().fuzzy_multi_topk_batch(
+                multi_queries, max_expansions=max_expansions,
+                distance_decay=distance_decay,
+                allowed_doc_ids=allowed_doc_ids)
+        queries = []
+        for qid, words, max_dist, k in multi_queries:
+            exps = [
+                self._fuzzy_expansion(str(w), int(max_dist), max_expansions)
+                for w in words
+            ]
+            q = _compose_fuzzy_multi(exps, int(qid), int(k), distance_decay)
+            if q is not None:
+                queries.append(q)
         if not queries:
             return []
         return self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)

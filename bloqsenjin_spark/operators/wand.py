@@ -859,6 +859,22 @@ def expand_fuzzy_terms(
     same structure the serving tier holds in memory
     (IndexServer._fuzzy_candidates), here as a shuffle-shaped plan that
     survives a 100M-term vocabulary. dist > 2 falls back to the scan."""
+    return {
+        qid: [t for t, _d in pairs]
+        for qid, pairs in expand_fuzzy_terms_with_dist(
+            term_stats, fuzzy_queries, max_expansions
+        ).items()
+    }
+
+
+def expand_fuzzy_terms_with_dist(
+    term_stats: DataFrame,
+    fuzzy_queries: list[tuple[int, str, int, int]],
+    max_expansions: int = 50,
+) -> dict[int, list[tuple[str, int]]]:
+    """expand_fuzzy_terms, returning (term, distance) pairs in expansion
+    order — the distance feeds multi-word fuzzy's optional per-term decay
+    boost (fuzzy_multi_bm25_topk). Same one-job SymSpell plan."""
     max_d = max((int(q[2]) for q in fuzzy_queries), default=0)
     if max_d > _SYMSPELL_MAX_DIST:
         return _expand_fuzzy_scan(term_stats, fuzzy_queries, max_expansions)
@@ -896,12 +912,14 @@ def expand_fuzzy_terms(
         .where(F.col("dist") <= F.col("max_dist"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= max_expansions)
-        .select("query_id", "term", "rn")
+        .select("query_id", "term", "rn", "dist")
         .collect()
     )
-    exp: dict[int, list[str]] = {}
+    exp: dict[int, list[tuple[str, int]]] = {}
     for r in sorted(rows, key=lambda r: (r["query_id"], r["rn"])):
-        exp.setdefault(int(r["query_id"]), []).append(r["term"])
+        exp.setdefault(int(r["query_id"]), []).append(
+            (r["term"], int(r["dist"]))
+        )
     return exp
 
 
@@ -909,7 +927,7 @@ def _expand_fuzzy_scan(
     term_stats: DataFrame,
     fuzzy_queries: list[tuple[int, str, int, int]],
     max_expansions: int = 50,
-) -> dict[int, list[str]]:
+) -> dict[int, list[tuple[str, int]]]:
     """The round-4 scan-based expansion (V × Q Levenshtein over a broadcast
     crossJoin) — kept as the dist > 2 fallback and the property-test twin of
     the SymSpell join."""
@@ -932,12 +950,14 @@ def _expand_fuzzy_scan(
         .where(F.col("dist") <= F.col("max_dist"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= max_expansions)
-        .select("query_id", "term", "rn")
+        .select("query_id", "term", "rn", "dist")
         .collect()
     )
-    exp: dict[int, list[str]] = {}
+    exp: dict[int, list[tuple[str, int]]] = {}
     for r in sorted(rows, key=lambda r: (r["query_id"], r["rn"])):
-        exp.setdefault(int(r["query_id"]), []).append(r["term"])
+        exp.setdefault(int(r["query_id"]), []).append(
+            (r["term"], int(r["dist"]))
+        )
     return exp
 
 
@@ -965,6 +985,98 @@ def fuzzy_bm25_topk(
         for qid, _w, _d, k in fuzzy_queries
         if exp.get(int(qid))
     ]
+    if not queries:
+        spark = postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return bm25_wand_topk(
+        postings, doc_lens, term_stats, avgdl, queries, cfg,
+        tomb_map=tomb_map, allow_map=allow_map,
+    )
+
+
+def _compose_fuzzy_multi(expansions_per_word, qid: int, k: int,
+                         distance_decay: "float | None"):
+    """Compose per-word (term, dist) expansion lists into ONE disjunctive
+    kernel query tuple: union of the words' expansion sets, per-term MIN
+    distance across words, optional per-term boost = decay ** min_dist
+    (riding the kernel's exact-pruning boost path). Shared by the Spark and
+    serving fuzzy-multi paths so the composition rule can't drift. Returns
+    None when every word expanded to nothing."""
+    best: dict[str, int] = {}
+    for pairs in expansions_per_word:
+        for t, d in pairs:
+            d = int(d)
+            if t not in best or d < best[t]:
+                best[t] = d
+    if not best:
+        return None
+    terms = sorted(best)
+    if distance_decay is None:
+        return (int(qid), terms, "disjunctive", int(k))
+    return (
+        int(qid), terms, "disjunctive", int(k), (),
+        {t: float(distance_decay) ** best[t] for t in terms},
+    )
+
+
+def fuzzy_multi_bm25_topk(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    multi_queries: list[tuple[int, list[str], int, int]],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    max_expansions: int = 50,
+    distance_decay: "float | None" = None,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+) -> DataFrame:
+    """MULTI-word typo-tolerant top-k — ``(query_id, [words], max_dist, k)``,
+    the real-user form of fuzzy search ("helo wrold"): each word expands
+    independently under the single-word rule (SymSpell deletion-neighborhood
+    candidates, Levenshtein ≤ max_dist, ranked distance ASC / df DESC / term
+    ASC, capped PER WORD at ``max_expansions``), then the query ranks as ONE
+    disjunctive BM25 query over the union of the expansion sets.
+
+    ``distance_decay``: optional down-weighting of farther matches — each
+    term's contribution scales by decay ** min-distance(term, query words)
+    via the kernel's per-term boost path, so block-max pruning stays exact
+    (boosts ≥ 0). Dyadic decays (0.5, 0.25) reproduce bit-identically across
+    engines. A 1-word query with no decay ≡ fuzzy_bm25_topk
+    (property-tested).
+
+    Plan: ALL (query, word) pairs expand in the SAME one Spark job
+    (expand_fuzzy_terms_with_dist — the batch SymSpell equi-join), then the
+    ordinary bm25_wand_topk pass over the union terms' postings."""
+    if len({q[0] for q in multi_queries}) != len(multi_queries):
+        raise ValueError("duplicate query_ids in fuzzy_queries")
+    if distance_decay is not None and float(distance_decay) < 0:
+        raise ValueError(
+            "distance_decay must be >= 0 (negative boosts break exact "
+            "block-max pruning)"
+        )
+    flat: list[tuple[int, str, int, int]] = []
+    owner: list[int] = []
+    for qi, (_qid, words, d, k) in enumerate(multi_queries):
+        for w_ in words:
+            owner.append(qi)
+            flat.append((len(flat), str(w_), int(d), int(k)))
+    exp = (
+        expand_fuzzy_terms_with_dist(term_stats, flat, max_expansions)
+        if flat else {}
+    )
+    per_query: dict[int, list[list[tuple[str, int]]]] = {}
+    for sid, qi in enumerate(owner):
+        per_query.setdefault(qi, []).append(exp.get(sid, []))
+    queries = []
+    for qi, (qid, _words, _d, k) in enumerate(multi_queries):
+        q = _compose_fuzzy_multi(
+            per_query.get(qi, []), int(qid), int(k), distance_decay
+        )
+        if q is not None:
+            queries.append(q)
     if not queries:
         spark = postings.sparkSession
         return spark.createDataFrame(

@@ -570,6 +570,79 @@ FROM ranked WHERE rank <= k
 """.strip()
 
 
+def fuzzy_multi_topk_sql(
+    multi_queries: list[tuple[int, list[str], int, int]],
+    max_expansions: int = 50,
+    distance_decay: "float | None" = None,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for fuzzy_multi_bm25_topk: per-WORD expansion under the
+    single-word rule (levenshtein ≤ max_dist, (distance ASC, df DESC, term
+    ASC), capped per word), union per query with MIN distance across words,
+    optional per-term weight = decay ** min_dist, then one disjunctive BM25
+    ranking — the same (idf · w) · tfc multiplication order as the kernel's
+    boost path, so rounded scores agree exactly (dyadic decays exact)."""
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
+    idf = idf_sql("ts.df", "cs.n")
+    rows = ", ".join(
+        "({}, '{}', {}, {})".format(qid, str(w).replace("'", "''"), d, k)
+        for qid, words, d, k in multi_queries
+        for w in words
+    )
+    wexpr = (
+        f"power({float(distance_decay)!r}, qt.dist)"
+        if distance_decay is not None else "1.0"
+    )
+    return f"""
+WITH q(query_id, word, max_dist, k) AS (VALUES {rows}),
+dtok AS (
+    SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM dtok),
+dl AS (SELECT doc_id, len(toks) AS dl FROM dtok),
+cs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+exp AS (
+    SELECT q.query_id, q.k, ts.term,
+           levenshtein(ts.term, q.word) AS dist,
+           row_number() OVER (PARTITION BY q.query_id, q.word
+                              ORDER BY levenshtein(ts.term, q.word) ASC,
+                                       ts.df DESC, ts.term ASC) AS rn
+    FROM q JOIN ts ON levenshtein(ts.term, q.word) <= q.max_dist
+),
+qt AS (
+    SELECT query_id, k, term, min(dist) AS dist
+    FROM exp WHERE rn <= {max_expansions}
+    GROUP BY query_id, k, term
+),
+contrib AS (
+    SELECT qt.query_id, tf.doc_id, qt.k, ({idf} * {wexpr}) * {tfc} AS contrib
+    FROM qt
+    JOIN tf USING (term)
+    JOIN ts USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN cs
+),
+scored AS (
+    SELECT query_id, doc_id, k, sum(contrib) AS score
+    FROM contrib GROUP BY query_id, doc_id, k
+),
+ranked AS (
+    SELECT query_id, doc_id, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= k
+""".strip()
+
+
 def bm25_topk_decorated_sql(queries: list[tuple[int, list[str], str, int]]) -> str:
     base = bm25_topk_sql(queries)
     return f"""

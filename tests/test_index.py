@@ -348,6 +348,61 @@ def test_fuzzy_topk_expansion_semantics(spark):
         assert not any(q == 2 for q, _, _, _ in got)  # no expansion ⇒ no rows
 
 
+def test_fuzzy_multi_composition(spark):
+    """fuzzy_multi_bm25_topk: a 1-word multi query with no decay ≡ today's
+    fuzzy_bm25_topk (the property the operator is defined by); a 2-word
+    query with decay ≡ a manual boosted disjunctive query over the union of
+    per-word expansions with boost = decay ** min-distance."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, SMALL)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    # (a) 1-word equivalence, incl. the zero-expansion guard word
+    single = [(1, "sow", 1, 5), (2, "xyzzy", 1, 5)]
+    multi = [(qid, [w], d, k) for qid, w, d, k in single]
+    assert rows(
+        wand.fuzzy_multi_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            multi, SMALL, max_expansions=2,
+        )
+    ) == rows(
+        wand.fuzzy_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            single, SMALL, max_expansions=2,
+        )
+    )
+
+    # (b) 2-word decay ≡ manual union + min-dist boosts ("sow" and "row"
+    # expand to overlapping sets, so the per-term MIN-distance rule binds:
+    # 'row' is dist 1 from "sow" but dist 0 from "row")
+    exp = wand.expand_fuzzy_terms_with_dist(
+        idx.term_stats, [(0, "sow", 1, 5), (1, "row", 1, 5)], 50
+    )
+    best: dict[str, int] = {}
+    for pairs in exp.values():
+        for t, d in pairs:
+            best[t] = min(best.get(t, 99), d)
+    assert best["row"] == 0 and best["slow"] == 1  # min-dist rule exercised
+    boosted = [(7, sorted(best), "disjunctive", 6, (),
+                {t: 0.5 ** d for t, d in best.items()})]
+    assert rows(
+        wand.fuzzy_multi_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            [(7, ["sow", "row"], 1, 6)], SMALL, distance_decay=0.5,
+        )
+    ) == rows(
+        wand.bm25_wand_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            boosted, SMALL,
+        )
+    ) != []
+
+
 def test_weighted_queries_match_numpy_oracle(spark):
     """6-tuple per-term boosts: kernel == independent NumPy oracle; a boost
     dict of all-1.0 (or None) is bit-identical to the plain 4-tuple query."""

@@ -428,6 +428,31 @@ def test_serving_fuzzy_topk_matches_spark_path(spark, index_dir):
     assert not any(q == 4 for q, _, _, _ in got)
 
 
+def test_serving_fuzzy_multi_matches_spark_path(spark, index_dir):
+    """Multi-word fuzzy serving (per-word SymSpell expansion composed into
+    one boosted disjunctive query) is rank-identical to
+    wand.fuzzy_multi_bm25_topk — with and without the distance decay."""
+    multi = [(1, ["spork", "quary"], 1, 5), (2, ["ow", "dta"], 1, 4),
+             (3, ["sow", "row"], 1, 6), (4, ["xyzzy", "qqqzz"], 1, 5)]
+    idx = B.read_index(spark, index_dir, CFG)
+    srv = IndexServer(index_dir, CFG)
+    for decay in (None, 0.5):
+        want = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in wand.fuzzy_multi_bm25_topk(
+                idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+                multi, CFG, max_expansions=3, distance_decay=decay,
+            ).collect()
+        )
+        got = sorted(srv.fuzzy_multi_topk_batch(
+            multi, max_expansions=3, distance_decay=decay))
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            assert g[:3] == w[:3]
+            assert g[3] == pytest.approx(w[3], abs=1e-12)
+    assert not any(q == 4 for q, _, _, _ in got)  # zero-expansion guard
+
+
 def test_serving_weighted_and_paged_match_spark_path(spark, index_dir):
     """6-tuple boosts flow through the shared kernel unchanged, and
     paged_batch slices the same global ranking as bm25_topk_paged."""
