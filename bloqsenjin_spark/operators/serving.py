@@ -39,10 +39,20 @@ class IndexServer:
     def __init__(self, index_dir: str, cfg: IndexConfig | None = None,
                  cache_terms: bool = True, max_cached_terms: int = 65536,
                  max_cached_blocks: int = 8192, auto_refresh: bool = False,
-                 shards=None):
+                 shards=None, stats_mode: str = "eager"):
+        if stats_mode not in ("eager", "lazy"):
+            raise ValueError(f"stats_mode must be 'eager' or 'lazy', got {stats_mode!r}")
         self.index_dir = index_dir
         self._cfg_arg = cfg
         self._cache_terms = cache_terms
+        # stats_mode='lazy': do NOT load the term→idf/df dictionaries — per
+        # batch, the needed terms are read from the term-sorted term_stats
+        # parquet (row-group-pruned) through a bounded LRU, and fuzzy
+        # candidates come from the opt-in on-disk deletion-bucket table
+        # (plans.build.write_fuzzy_index). Resident memory is O(LRU), not
+        # O(vocabulary) — the web-vocab deployment shape; 'eager' (default)
+        # keeps the round-5 whole-dict replica for small-vocab latency.
+        self._stats_mode = stats_mode
         # shards: this server's doc-range SLICE (None = all). A slice owner
         # holds only its shards' doc_lens/tombstone arrays and its posting
         # reads carry a shard predicate — the multi-server deployment shape
@@ -86,13 +96,23 @@ class IndexServer:
         cs = ds.dataset(f"{index_dir}/corpus_stats", format="parquet").to_table().to_pydict()
         st["n_docs"] = int(cs["n_docs"][0])
         st["avgdl"] = float(cs["avgdl"][0])
-        ts = ds.dataset(f"{index_dir}/term_stats", format="parquet").to_table(
-            columns=["term", "df", "idf"]
-        ).to_pydict()
-        st["idf"] = dict(zip(ts["term"], (float(x) for x in ts["idf"])))
-        # df drives prefix expansion ranking (df DESC, term ASC) — kept as a
-        # separate dict so the idf hot path stays a plain str→float lookup
-        st["df"] = dict(zip(ts["term"], (int(x) for x in ts["df"])))
+        st["_ts_ds"] = ds.dataset(f"{index_dir}/term_stats", format="parquet")
+        if self._stats_mode == "eager":
+            ts = st["_ts_ds"].to_table(columns=["term", "df", "idf"]).to_pydict()
+            st["idf"] = dict(zip(ts["term"], (float(x) for x in ts["idf"])))
+            # df drives prefix expansion ranking (df DESC, term ASC) — kept as
+            # a separate dict so the idf hot path stays a str→float lookup
+            st["df"] = dict(zip(ts["term"], (int(x) for x in ts["df"])))
+            st["_stats_lru"] = None
+        else:
+            # lazy: no dictionary residency; per-term (df, idf) flows through
+            # a bounded LRU backed by row-group-pruned term_stats reads
+            st["idf"] = None
+            st["df"] = None
+            from collections import OrderedDict as _OD
+
+            st["_stats_lru"] = _OD()
+        st["_fuzzy_ds"] = None  # on-disk SymSpell replica handle, lazy-loaded
         dl = ds.dataset(f"{index_dir}/doc_lens", format="parquet",
                         partitioning="hive").to_table().to_pydict()
         owned = self._owned
@@ -239,6 +259,67 @@ class IndexServer:
             cache.popitem(last=False)
         return merged
 
+    def _stats_for(self, terms) -> dict:
+        """→ {term: (df, idf)} for the requested terms (absent vocabulary
+        terms omitted). Eager mode: dict lookups. Lazy mode: bounded LRU +
+        ONE row-group-pruned pyarrow read for the misses (term_stats is
+        term-sorted parquet) — resident stats stay O(max_cached_terms)
+        regardless of vocabulary size. Known-absent terms are cached as None
+        so repeated misses don't re-read."""
+        if self.df is not None:
+            return {
+                t: (self.df[t], self.idf[t]) for t in terms if t in self.df
+            }
+        lru = self._stats_lru
+        out: dict = {}
+        need: list[str] = []
+        for t in dict.fromkeys(terms):
+            if t in lru:
+                lru.move_to_end(t)
+                if lru[t] is not None:
+                    out[t] = lru[t]
+            else:
+                need.append(t)
+        if need:
+            tbl = self._ts_ds.to_table(
+                filter=self._ds.field("term").isin(need),
+                columns=["term", "df", "idf"],
+            ).to_pydict()
+            for t, dfv, idfv in zip(tbl["term"], tbl["df"], tbl["idf"]):
+                out[t] = lru[t] = (int(dfv), float(idfv))
+            for t in need:
+                if t not in lru:
+                    lru[t] = None  # negative-cache absent terms
+            while len(lru) > self.max_cached_terms:
+                lru.popitem(last=False)
+        return out
+
+    def _idf_for(self, terms) -> dict:
+        """→ {term: idf} subset for a batch's terms (both stats modes)."""
+        return {t: v[1] for t, v in self._stats_for(terms).items()}
+
+    def _prefix_candidates(self, prefix: str) -> list:
+        """→ [(term, df)] of vocabulary terms with ``prefix``. Eager: scan
+        the loaded df dict. Lazy: ONE ranged pyarrow read — term_stats is
+        term-sorted, so row-group min/max stats prune the scan to the
+        prefix's range (the read is a superset bounded by the next-character
+        bump; an exact startswith post-filter trims edge rows)."""
+        if self.df is not None:
+            return [(t, self.df[t]) for t in self.df if t.startswith(prefix)]
+        fld = self._ds.field("term")
+        if prefix:
+            flt = fld >= prefix
+            if ord(prefix[-1]) < 0x10FFFF:  # bump for an upper range bound
+                flt = flt & (fld < prefix[:-1] + chr(ord(prefix[-1]) + 1))
+            tbl = self._ts_ds.to_table(
+                filter=flt, columns=["term", "df"]).to_pydict()
+        else:
+            tbl = self._ts_ds.to_table(columns=["term", "df"]).to_pydict()
+        return [
+            (t, int(d)) for t, d in zip(tbl["term"], tbl["df"])
+            if t.startswith(prefix)
+        ]
+
     def _allow_masks(self, allowed_doc_ids) -> "dict[int, np.ndarray] | None":
         """Per-shard allow bitmaps from any docID iterable (serving-side form
         of bm25_topk_filtered's allow bitmaps, e.g. an ACL set)."""
@@ -285,6 +366,9 @@ class IndexServer:
             | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
         )
         allow_masks = self._allow_masks(allowed_doc_ids)
+        # eager: the whole-dict replica IS the idf map; lazy: one pruned
+        # stats read for this batch's terms
+        idf_map = self.idf if self.idf is not None else self._idf_for(all_terms)
         tbl = self._load_terms(all_terms)
         if not tbl["term"]:
             return []
@@ -305,7 +389,7 @@ class IndexServer:
                 continue  # no eligible docs in this shard
             oq, od, os_ = score_shard_blocks(
                 int(shard), terms[m], bids[m], bmax[m], deltas[m], tfs[m],
-                self.dls[int(shard)], queries, self.idf, self.avgdl, self.cfg,
+                self.dls[int(shard)], queries, idf_map, self.avgdl, self.cfg,
                 tomb_mask=tm,
             )
             q_parts.extend(oq)
@@ -356,9 +440,9 @@ class IndexServer:
                 allowed_doc_ids=allowed_doc_ids)
         queries = []
         for qid, prefix, k in prefix_queries:
-            cands = [t for t in self.df if t.startswith(prefix)]
-            cands.sort(key=lambda t: (-self.df[t], t))
-            terms = cands[:max_expansions]
+            cands = self._prefix_candidates(str(prefix))
+            cands.sort(key=lambda td: (-td[1], td[0]))
+            terms = [t for t, _d in cands[:max_expansions]]
             if terms:
                 queries.append((int(qid), terms, "disjunctive", int(k)))
         if not queries:
@@ -486,6 +570,11 @@ class IndexServer:
         ]
         dps = self.cfg.docs_per_shard
         k1, b = self.cfg.k1, self.cfg.b
+        idf_map = (
+            self.idf if self.idf is not None
+            else self._idf_for(sorted({t for _q, toks, _s in parsed
+                                       for t in toks}))
+        )
         q_parts: list[np.ndarray] = []
         d_parts: list[np.ndarray] = []
         s_parts: list[np.ndarray] = []
@@ -497,7 +586,7 @@ class IndexServer:
             for t in sorted(uniq):  # lexicographic = oracle's sum order
                 ids_t, _flat, offs_t = per_term[t]
                 tf_t = np.diff(offs_t).astype(np.float64)
-                score += self.idf[t] * bm25.tf_component_np(
+                score += idf_map[t] * bm25.tf_component_np(
                     tf_t[np.searchsorted(ids_t, hits)], dl_h, self.avgdl, k1, b
                 )
             q_parts.append(np.full(hits.size, qid, dtype=np.int64))
@@ -671,6 +760,42 @@ class IndexServer:
             frontier = nxt
         return out
 
+    def _fuzzy_handle(self):
+        """→ (dataset, built_max_dist) for the on-disk SymSpell replica
+        (plans.build.write_fuzzy_index) — the lazy-stats fuzzy source."""
+        if self._fuzzy_ds is None:
+            try:
+                fds = self._ds.dataset(
+                    f"{self.index_dir}/fuzzy_index", format="parquet")
+                meta = self._ds.dataset(
+                    f"{self.index_dir}/fuzzy_meta", format="parquet"
+                ).to_table().to_pydict()
+            except FileNotFoundError:
+                raise ValueError(
+                    "stats_mode='lazy' fuzzy search needs the on-disk "
+                    "SymSpell replica — build it with "
+                    "plans.build.write_fuzzy_index(spark, index_dir)"
+                ) from None
+            self._fuzzy_ds = (fds, int(meta["max_dist"][0]))
+        return self._fuzzy_ds
+
+    def _fuzzy_candidates_lazy(self, word: str, max_dist: int) -> "list[str]":
+        """Lazy-stats candidate lookup: ONE pruned pyarrow read of the query
+        word's ≤max_dist-deletion variant buckets from the variant-sorted
+        on-disk table — resident memory O(1) in vocabulary. Buckets built at
+        a LARGER distance than queried are still correct (the table is a
+        superset of the ≤max_dist buckets; Levenshtein verify trims)."""
+        fds, built_d = self._fuzzy_handle()
+        if max_dist > built_d:
+            # documented fallback (mirrors the eager full-scan): one
+            # full-column read of the vocabulary, verify trims
+            return self._ts_ds.to_table(columns=["term"])["term"].to_pylist()
+        variants = sorted(self._deletes(word, max_dist))
+        tbl = fds.to_table(
+            filter=self._ds.field("variant").isin(variants), columns=["term"]
+        )
+        return sorted(set(tbl["term"].to_pylist()))
+
     def _fuzzy_candidates(self, word: str, max_dist: int) -> "list[str]":
         """Candidate dictionary terms possibly within ``max_dist`` edits of
         ``word``, via a precomputed SymSpell deletion-neighborhood index:
@@ -679,7 +804,10 @@ class IndexServer:
         expansion O(|w|^d) bucket lookups instead of a full dictionary scan
         (the round-4 verdict's serving-tier scale fix). Candidates still go
         through exact Levenshtein verification — the bucket join is a
-        superset, never a filter."""
+        superset, never a filter. Lazy stats mode reads the same buckets
+        from the on-disk replica instead of holding them in process."""
+        if self.df is None:
+            return self._fuzzy_candidates_lazy(word, max_dist)
         if max_dist > self._SYMSPELL_MAX_DIST:
             return list(self.df)  # documented fallback: exact full scan
         idx = self._fuzzy_idx.get(max_dist)
@@ -733,11 +861,16 @@ class IndexServer:
         (Levenshtein ≤ max_dist, distance ASC / df DESC / term ASC, capped)
         — SymSpell candidates + exact verify, shared by the single- and
         multi-word fuzzy entry points."""
+        terms = self._fuzzy_candidates(word, int(max_dist))
+        dfs = (
+            self.df if self.df is not None
+            else {t: v[0] for t, v in self._stats_for(terms).items()}
+        )
         cands = []
-        for t in self._fuzzy_candidates(word, int(max_dist)):
+        for t in terms:  # t not in dfs: replica row for a since-purged term
             d = self._levenshtein(t, word, int(max_dist))
-            if d <= max_dist:
-                cands.append((d, -self.df[t], t))
+            if d <= max_dist and t in dfs:
+                cands.append((d, -dfs[t], t))
         cands.sort()
         return [(t, d) for d, _ndf, t in cands[:max_expansions]]
 
@@ -1009,8 +1142,9 @@ class FieldedIndexServer:
         if comp.size == 0:
             return []
         idf_map = {
-            f"{f}{self._SEP}{t}": snaps[f].idf[t]
-            for f in self.fields for t in all_terms if t in snaps[f].idf
+            f"{f}{self._SEP}{t}": v
+            for f in self.fields
+            for t, v in snaps[f]._idf_for(all_terms).items()
         }
         avgdls = {f: snaps[f].avgdl for f in self.fields}
         comp_queries = [
@@ -1069,11 +1203,11 @@ class FieldedIndexServer:
         # snapshot ONCE: a per-term _snap() inside the comprehension could
         # mix idf values from two index generations (or KeyError) if a
         # concurrent refresh() lands mid-loop
-        ds_snap = self._doc_stats._snap()
-        doc_idf = {t: ds_snap.idf[t] for t in all_terms if t in ds_snap.idf}
+        doc_idf = self._doc_stats._snap()._idf_for(all_terms)
         field_idf = {
-            f"{f}{self._SEP}{t}": snaps[f].idf[t]
-            for f in self.fields for t in all_terms if t in snaps[f].idf
+            f"{f}{self._SEP}{t}": v
+            for f in self.fields
+            for t, v in snaps[f]._idf_for(all_terms).items()
         }
         avgdls = {f: snaps[f].avgdl for f in self.fields}
         plain_queries = [

@@ -822,6 +822,26 @@ def _del1_arr(t):
     )
 
 
+def deletion_variants_col(t, max_d: int):
+    """All ≤``max_d``-deletion variants of string Column ``t`` (including t)
+    as a distinct array Column — the Catalyst twin of
+    IndexServer._deletes, shared by the batch SymSpell expansion join and
+    plans.build.write_fuzzy_index so the two variant generators can't
+    drift."""
+    if max_d == 0:
+        return F.array(t)
+    d1 = _del1_arr(t)
+    if max_d == 1:
+        return F.array_distinct(F.concat(F.array(t), d1))
+    if max_d == 2:
+        d2 = F.flatten(F.transform(d1, _del1_arr))
+        return F.array_distinct(F.concat(F.array(t), d1, d2))
+    raise ValueError(
+        f"deletion variants capped at distance {_SYMSPELL_MAX_DIST} "
+        f"(got {max_d}) — variant fan-out is ~|term|^d"
+    )
+
+
 def _deletes_py(word: str, max_dist: int) -> set[str]:
     """All strings reachable from ``word`` by ≤ max_dist deletions (incl.
     word) — the driver-side (tiny query set) twin of _del1_arr; same
@@ -888,18 +908,7 @@ def expand_fuzzy_terms_with_dist(
         "query_id long, word string, max_dist int, variant string",
     )
     base = term_stats.select("term", "df")
-    d1 = _del1_arr(F.col("term"))
-    if max_d == 0:
-        variants = F.array(F.col("term"))
-    elif max_d == 1:
-        variants = F.array_distinct(
-            F.concat(F.array(F.col("term")), d1)
-        )
-    else:
-        d2 = F.flatten(F.transform(d1, _del1_arr))
-        variants = F.array_distinct(
-            F.concat(F.array(F.col("term")), d1, d2)
-        )
+    variants = deletion_variants_col(F.col("term"), max_d)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("dist"), F.desc("df"), F.asc("term")
     )

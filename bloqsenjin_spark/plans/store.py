@@ -71,6 +71,16 @@ class ParquetStore:
             df = df.coalesce(coalesce)
         df.write.mode("overwrite").parquet(self._p(table))
 
+    def overwrite_sorted(self, df: DataFrame, table: str, sort_col: str,
+                         n_files: int = 8) -> None:
+        """Globally ``sort_col``-sorted write (range-partitioned files, rows
+        sorted within each): parquet row-group min/max stats then prune
+        point/range reads on that column — what the serving tier's lazy
+        term-stats and fuzzy-bucket reads rely on."""
+        df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        ).write.mode("overwrite").parquet(self._p(table))
+
     def overwrite_shards(self, df: DataFrame, table: str,
                          sort_within: str | None = None) -> None:
         """Replace exactly the shard partitions present in df (idempotent
@@ -121,6 +131,14 @@ class IcebergStore:
         if coalesce:
             df = df.coalesce(coalesce)
         df.writeTo(self._t(table)).using("iceberg").createOrReplace()
+
+    def overwrite_sorted(self, df: DataFrame, table: str, sort_col: str,
+                         n_files: int = 8) -> None:
+        """Sorted replace as one snapshot commit (file-level column stats
+        give Iceberg the same point/range-read pruning)."""
+        df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        ).writeTo(self._t(table)).using("iceberg").createOrReplace()
 
     def overwrite_shards(self, df: DataFrame, table: str,
                          sort_within: str | None = None) -> None:

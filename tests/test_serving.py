@@ -428,6 +428,54 @@ def test_serving_fuzzy_topk_matches_spark_path(spark, index_dir):
     assert not any(q == 4 for q, _, _, _ in got)
 
 
+def test_lazy_stats_mode_identical(spark, index_dir, pos_index_dir):
+    """stats_mode='lazy' — NO vocabulary residency: per-batch row-group-
+    pruned term_stats reads through a bounded LRU, prefix via a ranged read
+    of the term-sorted files, fuzzy via the on-disk SymSpell bucket replica
+    (write_fuzzy_index) — returns results identical to the eager whole-dict
+    server on every dictionary-dependent form."""
+    B.write_fuzzy_index(spark, index_dir, max_dist=2)
+    eager = IndexServer(index_dir, CFG)
+    lazy = IndexServer(index_dir, CFG, stats_mode="lazy")
+    assert lazy.df is None and lazy.idf is None  # nothing resident
+    assert (lazy.query_batch(corpus.REFERENCE_QUERIES)
+            == eager.query_batch(corpus.REFERENCE_QUERIES))
+    pq = [(1, "s", 10), (2, "c", 10), (3, "zz", 5)]
+    assert (lazy.prefix_topk_batch(pq, max_expansions=4)
+            == eager.prefix_topk_batch(pq, max_expansions=4))
+    fq = [(1, "spork", 1, 5), (2, "quary", 2, 4), (3, "xyzzy", 1, 5)]
+    assert (lazy.fuzzy_topk_batch(fq, max_expansions=3)
+            == eager.fuzzy_topk_batch(fq, max_expansions=3))
+    mq = [(1, ["spork", "quary"], 1, 5), (2, ["sow", "row"], 1, 6)]
+    assert (lazy.fuzzy_multi_topk_batch(mq, distance_decay=0.5)
+            == eager.fuzzy_multi_topk_batch(mq, distance_decay=0.5))
+    assert (lazy.count_batch(corpus.REFERENCE_QUERIES)
+            == eager.count_batch(corpus.REFERENCE_QUERIES))
+    # phrase-family scoring reads idf lazily too (positional index)
+    phrases = [(1, "the fast", 5), (2, "customer order", 5)]
+    lp = IndexServer(pos_index_dir, stats_mode="lazy")
+    assert (lp.phrase_topk_batch(phrases)
+            == IndexServer(pos_index_dir).phrase_topk_batch(phrases))
+    # residency is bounded by the LRU cap, not the vocabulary
+    small = IndexServer(index_dir, CFG, stats_mode="lazy", max_cached_terms=4)
+    small.query_batch(corpus.REFERENCE_QUERIES)
+    small.prefix_topk_batch(pq, max_expansions=4)
+    assert len(small._stats_lru) <= 4
+    # lazy fuzzy without the replica fails with the remedy, not a scan
+    import shutil as _sh
+    import tempfile as _tf
+
+    bare = _tf.mkdtemp(prefix="lazy_bare_")
+    try:
+        docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+        B.build_index_resumable(docs.limit(50), bare, CFG)
+        with pytest.raises(ValueError, match="write_fuzzy_index"):
+            IndexServer(bare, CFG, stats_mode="lazy").fuzzy_topk_batch(
+                [(1, "spork", 1, 5)])
+    finally:
+        _sh.rmtree(bare, ignore_errors=True)
+
+
 def test_serving_fuzzy_multi_matches_spark_path(spark, index_dir):
     """Multi-word fuzzy serving (per-word SymSpell expansion composed into
     one boosted disjunctive query) is rank-identical to
@@ -835,10 +883,14 @@ def test_fuzzy_symspell_join_equals_scan_expansion(spark, index_dir):
     ]
     for fq in batches:
         for cap in (3, 50):
-            a = wand.expand_fuzzy_terms(idx.term_stats, fq, max_expansions=cap)
+            a = wand.expand_fuzzy_terms_with_dist(
+                idx.term_stats, fq, max_expansions=cap)
             b = wand._expand_fuzzy_scan(idx.term_stats, fq, max_expansions=cap)
             assert a == b, (fq, cap)
+            assert wand.expand_fuzzy_terms(
+                idx.term_stats, fq, max_expansions=cap
+            ) == {q: [t for t, _d in pairs] for q, pairs in b.items()}
     # dist > 2 routes to the scan (identical by construction)
     fq3 = [(1, "spork", 3, 5)]
-    assert wand.expand_fuzzy_terms(idx.term_stats, fq3) == \
+    assert wand.expand_fuzzy_terms_with_dist(idx.term_stats, fq3) == \
         wand._expand_fuzzy_scan(idx.term_stats, fq3)
