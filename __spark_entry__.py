@@ -121,13 +121,44 @@ PHRASES = [
 ]
 
 
+def _field_cols() -> dict:
+    """The derived title/body fields shared by every fielded entry (title =
+    first 5 tokens, body = the rest — pinned identically in the SQL oracles
+    via list_slice)."""
+    from bloqsenjin_spark.functions.text import tokens
+
+    t = tokens(F.col("text"))
+    return {
+        "title": F.concat_ws(" ", F.slice(t, 1, 5)),
+        "body": F.concat_ws(
+            " ",
+            F.when(F.size(t) > 5, F.slice(t, 6, F.size(t) - 5))
+            .otherwise(F.array().cast("array<string>")),
+        ),
+    }
+
+
 def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index-native phrase search: positional index (positions=True), phrase
-    verified by position intersection INSIDE the shard scorer — the plan
-    never touches the documents table after the build."""
+    """Index-native phrase search, whole-document AND per-field: positional
+    indexes (positions=True), phrase verified by position intersection
+    INSIDE the shard scorer — the plan never touches the documents table
+    after the build. The title/body branches run the SAME operator over the
+    field indexes (phrase-in-field); fields partition the text, so each
+    field branch is a subset of the doc branch (property-tested)."""
+    from bloqsenjin_spark.operators import fielded
+
     docs = _docs(spark, sf_dir)
     idx = build_index(docs, _SF_CFG_POS)
-    return wand.phrase_match_positional(idx.postings, PHRASES, _SF_CFG_POS)
+    out = wand.phrase_match_positional(
+        idx.postings, PHRASES, _SF_CFG_POS
+    ).withColumn("variant", F.lit("doc"))
+    fidxs = fielded.build_fielded_index(docs, _field_cols(), _SF_CFG_POS)
+    for fname in ("title", "body"):
+        out = out.unionByName(
+            fielded.phrase_match_fielded(fidxs, fname, PHRASES, _SF_CFG_POS)
+            .withColumn("variant", F.lit(fname))
+        )
+    return out.select("variant", "query_id", "doc_id")
 
 
 PHRASE_TOPK = [(1, "the fast", 10), (2, "customer order", 10),
@@ -471,19 +502,10 @@ def _q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-field stats, combined per shard with the shared kernel (the fields'
     indexes share the doc-range sharding, so a doc's complete fielded score
     lives in one shard group)."""
-    from bloqsenjin_spark.functions.text import tokens
     from bloqsenjin_spark.operators import fielded
 
     docs = _docs(spark, sf_dir)
-    t = tokens(F.col("text"))
-    fields = {
-        "title": F.concat_ws(" ", F.slice(t, 1, 5)),
-        "body": F.concat_ws(
-            " ",
-            F.when(F.size(t) > 5, F.slice(t, 6, F.size(t) - 5))
-            .otherwise(F.array().cast("array<string>")),
-        ),
-    }
+    fields = _field_cols()
     idxs = fielded.build_fielded_index(docs, fields, _SF_CFG)
     res = fielded.bm25f_topk(idxs, BM25F_QUERIES, BM25F_WEIGHTS, _SF_CFG)
     return res.withColumn("score", F.round("score", _R))
@@ -494,19 +516,10 @@ def _q_bm25f_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     concave saturation, document-level idf — the probabilistically grounded
     fielded model (vs _q_bm25f's per-field-sum). Same derived fields, same
     weights; the two models' scores provably differ (pytest-pinned)."""
-    from bloqsenjin_spark.functions.text import tokens
     from bloqsenjin_spark.operators import fielded
 
     docs = _docs(spark, sf_dir)
-    t = tokens(F.col("text"))
-    fields = {
-        "title": F.concat_ws(" ", F.slice(t, 1, 5)),
-        "body": F.concat_ws(
-            " ",
-            F.when(F.size(t) > 5, F.slice(t, 6, F.size(t) - 5))
-            .otherwise(F.array().cast("array<string>")),
-        ),
-    }
+    fields = _field_cols()
     idxs = fielded.build_fielded_index(docs, fields, _SF_CFG)
     tok = topk.tokenized(docs)
     doc_ts = topk.term_stats_df(topk.term_freqs(tok), tok.count())
@@ -728,7 +741,15 @@ def oracle_sql() -> dict[str, str]:
             BM25F_WEIGHTS,
         ),
         "bm25_match_counts": oracle.match_counts_sql(corpus.REFERENCE_QUERIES),
-        "phrase_match": oracle.phrase_match_sql(PHRASES),
+        "phrase_match": "\nUNION ALL\n".join(
+            f"SELECT '{tag}' AS variant, * FROM (\n"
+            + oracle.phrase_match_sql(PHRASES, field_toks=ft) + "\n)"
+            for tag, ft in (
+                ("doc", None),
+                ("title", "list_slice(toks, 1, 5)"),
+                ("body", "list_slice(toks, 6, len(toks))"),
+            )
+        ),
         "phrase_near": oracle.near_match_sql(NEAR_QUERIES),
         "phrase_near_unordered": oracle.near_unordered_match_sql(NEAR_UNORDERED),
         "phrase_near_topk": oracle.near_topk_sql(NEAR_TOPK),

@@ -58,6 +58,76 @@ def build_fielded_index(
     }
 
 
+def _field_index(indexes: dict[str, Index], field: str) -> Index:
+    if field not in indexes:
+        raise ValueError(
+            f"unknown field {field!r}; indexes have {sorted(indexes)}"
+        )
+    return indexes[field]
+
+
+def phrase_match_fielded(
+    indexes: dict[str, Index],
+    field: str,
+    phrases: list[tuple[int, str]],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+) -> DataFrame:
+    """Exact phrase search restricted to ONE field ("phrase in title") →
+    (query_id, doc_id). A field index IS a whole positional index over the
+    field's token stream (build_fielded_index with positions=True), so the
+    existing postings-only positional verify applies unchanged — positions
+    are field-local. When the fields partition the document text, every
+    field is a contiguous token sub-stream, so a phrase match in a field is
+    a phrase match in the whole document (field ⊆ doc, property-tested);
+    phrases spanning a field boundary match the document but no field."""
+    from bloqsenjin_spark.operators import wand
+
+    return wand.phrase_match_positional(
+        _field_index(indexes, field).postings, phrases, cfg, tomb_map
+    )
+
+
+def near_match_fielded(
+    indexes: dict[str, Index],
+    field: str,
+    near_queries: list[tuple[int, str, int]],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    ordered: bool = True,
+) -> DataFrame:
+    """Proximity search within one field (ordered or unordered window —
+    near_match_positional semantics over the field's positional index)."""
+    from bloqsenjin_spark.operators import wand
+
+    return wand.near_match_positional(
+        _field_index(indexes, field).postings, near_queries, cfg, tomb_map,
+        ordered=ordered,
+    )
+
+
+def phrase_bm25_topk_fielded(
+    indexes: dict[str, Index],
+    field: str,
+    phrases: list[tuple[int, str, int]],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+    ordered: bool = True,
+) -> DataFrame:
+    """Phrase/proximity-filtered BM25 top-k within one field: matches come
+    from the field's positional index and are ranked with the FIELD's own
+    statistics (df/avgdl/dl of the field's token stream) — the natural
+    scoring model for "rank docs whose title contains this phrase"."""
+    from bloqsenjin_spark.operators import wand
+
+    idx = _field_index(indexes, field)
+    return wand.phrase_bm25_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, phrases, cfg,
+        tomb_map=tomb_map, allow_map=allow_map, ordered=ordered,
+    )
+
+
 def bm25f_topk(
     indexes: dict[str, Index],
     queries: list[tuple[int, list[str], str, int]],

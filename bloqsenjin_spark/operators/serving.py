@@ -1238,6 +1238,36 @@ class FieldedIndexServer:
         )
 
 
+    def _field_server(self, field: str) -> IndexServer:
+        if field not in self.servers:
+            raise ValueError(
+                f"unknown field {field!r}; indexes have {self.fields}"
+            )
+        return self.servers[field]
+
+    def phrase_batch(self, field: str, phrases, allowed_doc_ids=None):
+        """Exact phrase matches WITHIN one field ("phrase in title") —
+        identical results to operators/fielded.phrase_match_fielded on the
+        same per-field indexes (requires positions=True field builds)."""
+        return self._field_server(field).phrase_batch(
+            phrases, allowed_doc_ids=allowed_doc_ids)
+
+    def near_batch(self, field: str, near_queries, ordered: bool = True,
+                   allowed_doc_ids=None):
+        """Proximity matches within one field (ordered/unordered window) ≡
+        operators/fielded.near_match_fielded."""
+        return self._field_server(field).near_batch(
+            near_queries, ordered=ordered, allowed_doc_ids=allowed_doc_ids)
+
+    def phrase_topk_batch(self, field: str, phrases, ordered: bool = True,
+                          allowed_doc_ids=None):
+        """Phrase/proximity-filtered BM25 top-k within one field, ranked
+        with the FIELD's own statistics ≡
+        operators/fielded.phrase_bm25_topk_fielded (pytest-pinned)."""
+        return self._field_server(field).phrase_topk_batch(
+            phrases, ordered=ordered, allowed_doc_ids=allowed_doc_ids)
+
+
 def merge_topk(partials, queries) -> list[tuple[int, int, int, float]]:
     """Merge slice owners' partial top-k result lists into the global
     ranking — the frontend half of the multi-server deployment (each

@@ -1041,7 +1041,12 @@ FROM documents
 
 # ---- relational parity (TPC-H-ish tables) ---------------------------------------
 
-def phrase_match_sql(phrases: list[tuple[int, str]]) -> str:
+def phrase_match_sql(phrases: list[tuple[int, str]],
+                     field_toks: str | None = None) -> str:
+    """Phrase containment oracle. ``field_toks``: optional DuckDB list
+    expression over ``toks`` (the whole-document token array) selecting a
+    FIELD's token sub-stream (e.g. ``list_slice(toks, 1, 5)``) — the oracle
+    for phrase_match_fielded; default matches against the whole document."""
     import re
 
     rows = []
@@ -1050,11 +1055,19 @@ def phrase_match_sql(phrases: list[tuple[int, str]]) -> str:
         p = " ".join(toks).replace("'", "''")
         rows.append(f"({qid}, ' {p} ')")
     vals = ",\n        ".join(rows)
-    norm = "' ' || " + _NORM + " || ' '"
+    if field_toks is None:
+        n_cte = f"n AS (SELECT doc_id, ' ' || {_NORM} || ' ' AS t FROM documents)"
+    else:
+        toks_sql = DUCKDB_TOKENS_SQL.format(col="coalesce(text, '')")
+        n_cte = (
+            f"dtok AS (SELECT doc_id, {toks_sql} AS toks FROM documents),\n"
+            f"n AS (SELECT doc_id, ' ' || array_to_string({field_toks}, ' ')"
+            " || ' ' AS t FROM dtok)"
+        )
     return f"""
 WITH q(query_id, p) AS (VALUES
         {vals}),
-n AS (SELECT doc_id, {norm} AS t FROM documents)
+{n_cte}
 SELECT q.query_id, n.doc_id
 FROM q JOIN n ON position(q.p IN n.t) > 0
 """.strip()

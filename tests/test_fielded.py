@@ -407,3 +407,80 @@ def test_fielded_serving_guards(spark, tmp_path):
         IndexConfig(docs_per_shard=64, block_docs=16))
     with pytest.raises(ValueError, match="doc-range sharding"):
         FieldedIndexServer({"a": d, "b": d2})
+
+
+CFG_POS = IndexConfig(docs_per_shard=128, block_docs=16, positions=True)
+
+
+def test_phrase_in_field_subset_and_serving(spark, tmp_path):
+    """Phrase-in-field: per-field positional indexes answer phrase/NEAR
+    queries restricted to a field. Properties pinned here:
+    (a) fields partition the text ⇒ every field match is a whole-doc match
+        (field ⊆ doc), for phrase and ordered NEAR alike;
+    (b) the field branches find real matches and genuinely differ from the
+        doc branch (a title-boundary-spanning phrase matches doc only);
+    (c) FieldedIndexServer.phrase_batch/near_batch/phrase_topk_batch over
+        the persisted field replicas are identical to the Spark operators."""
+    from bloqsenjin_spark.operators.serving import FieldedIndexServer
+    from bloqsenjin_spark.plans import build as B
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    whole = build_index(docs, CFG_POS)
+    fidxs = fielded.build_fielded_index(docs, _field_exprs(), CFG_POS)
+    phrases = [(1, "the fast"), (2, "customer order"), (3, "zebra stripes")]
+
+    doc_m = {
+        (r["query_id"], r["doc_id"])
+        for r in wand.phrase_match_positional(
+            whole.postings, phrases, CFG_POS).collect()
+    }
+    by_field = {}
+    for fname in ("title", "body"):
+        by_field[fname] = {
+            (r["query_id"], r["doc_id"])
+            for r in fielded.phrase_match_fielded(
+                fidxs, fname, phrases, CFG_POS).collect()
+        }
+        assert by_field[fname] <= doc_m  # (a) field ⊆ doc
+    assert by_field["title"] or by_field["body"]  # (b) real matches
+    assert by_field["title"] | by_field["body"] != doc_m  # boundary spans
+
+    near_qs = [(1, "the fast", 2), (2, "customer order", 1)]
+    near_doc = {
+        (r["query_id"], r["doc_id"])
+        for r in wand.near_match_positional(
+            whole.postings, near_qs, CFG_POS).collect()
+    }
+    near_body = {
+        (r["query_id"], r["doc_id"])
+        for r in fielded.near_match_fielded(
+            fidxs, "body", near_qs, CFG_POS).collect()
+    }
+    assert near_body and near_body <= near_doc
+
+    # (c) serving twins over persisted replicas
+    dirs = {}
+    for f, expr in _field_exprs().items():
+        d = str(tmp_path / f"pfld_{f}")
+        B.build_index_resumable(
+            docs.select("doc_id", expr.alias("text")), d, CFG_POS)
+        dirs[f] = d
+    fsrv = FieldedIndexServer(dirs, CFG_POS)
+    for fname in ("title", "body"):
+        assert set(fsrv.phrase_batch(fname, phrases)) == by_field[fname]
+    assert set(fsrv.near_batch("body", near_qs)) == near_body
+    ptk = [(1, "the fast", 5), (2, "customer order", 5)]
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in fielded.phrase_bm25_topk_fielded(
+            fidxs, "body", ptk, CFG_POS).collect()
+    )
+    got = sorted(fsrv.phrase_topk_batch("body", ptk))
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-12)
+    with pytest.raises(ValueError, match="unknown field"):
+        fsrv.phrase_batch("abstract", phrases)
+    with pytest.raises(ValueError, match="unknown field"):
+        fielded.phrase_match_fielded(fidxs, "abstract", phrases, CFG_POS)
