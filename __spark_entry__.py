@@ -495,6 +495,11 @@ def _q_topk_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in Spark and the SQL oracle), title boosted 2x
 BM25F_WEIGHTS = {"title": 2.0, "body": 1.0}
 BM25F_QUERIES = [q for q in corpus.REFERENCE_QUERIES if q[2] == "disjunctive"]
+# document-level conjunctive (every term in SOME field — Lucene's default
+# multi-field reading), exercised as a tagged branch of both fielded entries
+BM25F_CONJ_QUERIES = [
+    q for q in corpus.REFERENCE_QUERIES if q[2] == "conjunctive"
+]
 
 
 def _q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,8 +512,15 @@ def _q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     fields = _field_cols()
     idxs = fielded.build_fielded_index(docs, fields, _SF_CFG)
-    res = fielded.bm25f_topk(idxs, BM25F_QUERIES, BM25F_WEIGHTS, _SF_CFG)
-    return res.withColumn("score", F.round("score", _R))
+    out = fielded.bm25f_topk(
+        idxs, BM25F_QUERIES, BM25F_WEIGHTS, _SF_CFG
+    ).withColumn("variant", F.lit("disj"))
+    out = out.unionByName(
+        fielded.bm25f_topk(idxs, BM25F_CONJ_QUERIES, BM25F_WEIGHTS, _SF_CFG)
+        .withColumn("variant", F.lit("conj"))
+    )
+    return out.select("variant", "query_id", "rank", "doc_id",
+                      F.round("score", _R).alias("score"))
 
 
 def _q_bm25f_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,9 +535,16 @@ def _q_bm25f_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     idxs = fielded.build_fielded_index(docs, fields, _SF_CFG)
     tok = topk.tokenized(docs)
     doc_ts = topk.term_stats_df(topk.term_freqs(tok), tok.count())
-    res = fielded.bm25f_merged_topk(idxs, BM25F_QUERIES, BM25F_WEIGHTS,
-                                    doc_ts, _SF_CFG)
-    return res.withColumn("score", F.round("score", _R))
+    out = fielded.bm25f_merged_topk(
+        idxs, BM25F_QUERIES, BM25F_WEIGHTS, doc_ts, _SF_CFG
+    ).withColumn("variant", F.lit("disj"))
+    out = out.unionByName(
+        fielded.bm25f_merged_topk(idxs, BM25F_CONJ_QUERIES, BM25F_WEIGHTS,
+                                  doc_ts, _SF_CFG)
+        .withColumn("variant", F.lit("conj"))
+    )
+    return out.select("variant", "query_id", "rank", "doc_id",
+                      F.round("score", _R).alias("score"))
 
 
 def _q_topk_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,6 +713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_BM25F_FIELD_TOKS = {"title": "list_slice(toks, 1, 5)",
+                     "body": "list_slice(toks, 6, len(toks))"}
+
+
 def oracle_sql() -> dict[str, str]:
     from bloqsenjin_spark.operators.textstats import LANG_MARKERS, STOPWORDS
 
@@ -728,17 +751,18 @@ def oracle_sql() -> dict[str, str]:
             corpus.REFERENCE_QUERIES
         ),
         "bm25_topk_snippets": oracle.topk_snippets_sql(corpus.REFERENCE_QUERIES),
-        "bm25_topk_fielded": oracle.bm25f_topk_sql(
-            BM25F_QUERIES,
-            {"title": "list_slice(toks, 1, 5)",
-             "body": "list_slice(toks, 6, len(toks))"},
-            BM25F_WEIGHTS,
+        "bm25_topk_fielded": "\nUNION ALL\n".join(
+            f"SELECT '{tag}' AS variant, * FROM (\n" + oracle.bm25f_topk_sql(
+                qs, _BM25F_FIELD_TOKS, BM25F_WEIGHTS) + "\n)"
+            for tag, qs in (("disj", BM25F_QUERIES),
+                            ("conj", BM25F_CONJ_QUERIES))
         ),
-        "bm25f_merged": oracle.bm25f_merged_topk_sql(
-            BM25F_QUERIES,
-            {"title": "list_slice(toks, 1, 5)",
-             "body": "list_slice(toks, 6, len(toks))"},
-            BM25F_WEIGHTS,
+        "bm25f_merged": "\nUNION ALL\n".join(
+            f"SELECT '{tag}' AS variant, * FROM (\n"
+            + oracle.bm25f_merged_topk_sql(
+                qs, _BM25F_FIELD_TOKS, BM25F_WEIGHTS) + "\n)"
+            for tag, qs in (("disj", BM25F_QUERIES),
+                            ("conj", BM25F_CONJ_QUERIES))
         ),
         "bm25_match_counts": oracle.match_counts_sql(corpus.REFERENCE_QUERIES),
         "phrase_match": "\nUNION ALL\n".join(

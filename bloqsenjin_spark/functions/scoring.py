@@ -44,8 +44,17 @@ def score_shard_blocks(
     avgdl: float,
     cfg: IndexConfig,
     tomb_mask: np.ndarray | None = None,
+    conj_groups: "dict | None" = None,
 ) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
     """Score every query against one shard's (query-term-filtered) block rows.
+
+    ``conj_groups``: optional {term_key: group} map enabling DOCUMENT-level
+    conjunctive semantics over composite (field⟂term) keys — the Lucene
+    reading "every query term in SOME field": a conjunctive query matches a
+    doc iff the doc matched ≥1 key of EVERY group (groups = plain terms),
+    instead of every composite key. Tracked as a per-group bitmask (≤63
+    distinct groups per query). Ignored for disjunctive queries; None keeps
+    the standard all-keys conjunctive.
 
     Returns (query_id arrays, doc_id arrays, score arrays) — per-query partial
     top-k, exact under block-max pruning.
@@ -109,9 +118,31 @@ def score_shard_blocks(
         if not present:
             continue
         conj = mode == "conjunctive"
-        if conj and len(present) != len(need):
-            continue
-        if conj:
+        grouped = conj and conj_groups is not None
+        full_mask = 0
+        gidx: dict = {}
+        if grouped:
+            gids = sorted({conj_groups[t] for t in need})
+            if len(gids) > 63:
+                raise ValueError(
+                    "grouped conjunctive queries cap at 63 distinct terms"
+                )
+            gidx = {g: i for i, g in enumerate(gids)}
+            g_present: dict[int, list] = {}
+            for t in present:
+                g_present.setdefault(gidx[conj_groups[t]], []).append(t)
+            if len(g_present) != len(gids):
+                continue  # some term in NO field of this shard ⇒ no match
+            full_mask = (1 << len(gids)) - 1
+            cand = None
+            for keys in g_present.values():
+                u: set[int] = set()
+                for t in keys:
+                    u.update(term_blocks[t])
+                cand = u if cand is None else (cand & u)
+        elif conj:
+            if len(present) != len(need):
+                continue
             cand = set.intersection(*[set(term_blocks[t]) for t in present])
         else:
             cand = set()
@@ -138,6 +169,8 @@ def score_shard_blocks(
                 break
             block_base = shard_base + bi * bdocs
             acc = np.zeros(bdocs, dtype=np.float64)
+            if grouped:
+                bits = np.zeros(bdocs, dtype=np.int64)
             matched = np.zeros(bdocs, dtype=np.int32)
             for t in present:  # lexicographic order = deterministic sums
                 ri = term_blocks[t].get(bi)
@@ -149,13 +182,18 @@ def score_shard_blocks(
                     tfs, term_dls(t)[ids - shard_base], term_avgdl(t), k1, b
                 )
                 acc[off] += contrib
+                if grouped:
+                    bits[off] |= np.int64(1 << gidx[conj_groups[t]])
                 matched[off] += 1
             for nt in negs:  # MUST_NOT: clear candidates holding a neg term
                 ri = term_blocks.get(nt, {}).get(bi)
                 if ri is not None:
                     nids, _ = block_postings(ri, block_base)
                     matched[nids - block_base] = -(1 << 30)
-            sel = matched == len(need) if conj else matched > 0
+            if grouped:  # every group hit somewhere, no neg term anywhere
+                sel = (bits == full_mask) & (matched > 0)
+            else:
+                sel = matched == len(need) if conj else matched > 0
             offs = np.flatnonzero(sel)
             if offs.size and tomb_mask is not None:
                 offs = offs[~tomb_mask[offs + (block_base - shard_base)]]
@@ -217,8 +255,10 @@ def score_shard_blocks_bm25f(
     pruning keeps the same exactness guarantee as the single-field kernel.
 
     ``terms_col`` carries composite ``field⟂term`` keys (``sep`` separator);
-    queries carry PLAIN terms. Disjunctive 4-tuple queries only — MUST_NOT /
-    per-term boosts are the per-field-sum path's surface.
+    queries carry PLAIN terms. 4-tuple queries, disjunctive or conjunctive —
+    conjunctive is the DOCUMENT-level reading ("every term in SOME field",
+    Lucene's default); MUST_NOT / per-term boosts remain the per-field-sum
+    path's surface.
     """
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
     k1, b = cfg.k1, cfg.b
@@ -254,24 +294,38 @@ def score_shard_blocks_bm25f(
     out_d: list[np.ndarray] = []
     out_s: list[np.ndarray] = []
     for qid, terms, mode, k in (q[:4] for q in queries):
-        if mode != "disjunctive":
-            raise ValueError("bm25f merged scoring is disjunctive-only")
+        if mode not in ("disjunctive", "conjunctive"):
+            raise ValueError(f"unknown query mode {mode!r}")
+        conj = mode == "conjunctive"
+        # terms with ≥1 field posting row in this shard. Conjunctive is the
+        # DOCUMENT-level reading ("every term in SOME field" — Lucene's
+        # default): a shard missing any term in every field hosts no match
+        # (a doc's postings all live in its one shard).
+        avail = sorted(
+            t for t in set(terms)
+            if any(f"{f}{sep}{t}" in key_blocks for f in fields)
+        )
+        if not avail or (conj and len(avail) != len(set(terms))):
+            continue
         # a term can exist in a field's postings but be absent from the
         # document-level stats when the fields don't partition the document
         # text (the public API accepts arbitrary field exprs): treat missing
-        # doc-level idf as 0 — the term contributes nothing — instead of a
-        # KeyError inside the executor
-        present = sorted(
-            t for t in set(terms)
-            if t in doc_idf
-            and any(f"{f}{sep}{t}" in key_blocks for f in fields)
-        )
+        # doc-level idf as 0 — the term contributes no SCORE, though a
+        # conjunctive query still requires its presence
+        present = [t for t in avail if t in doc_idf]
         if not present:
             continue
-        cand: set[int] = set()
-        for t in present:
-            for f in fields:
-                cand.update(key_blocks.get(f"{f}{sep}{t}", ()))
+        per_term_blocks = {
+            t: {bi for f in fields
+                for bi in key_blocks.get(f"{f}{sep}{t}", ())}
+            for t in avail
+        }
+        if conj:
+            cand = set.intersection(*per_term_blocks.values())
+        else:
+            cand = set()
+            for t in present:
+                cand.update(per_term_blocks[t])
         if not cand:
             continue
         ubs = {
@@ -295,8 +349,10 @@ def score_shard_blocks_bm25f(
                 break
             block_base = shard_base + bi * bdocs
             acc = np.zeros(bdocs, dtype=np.float64)
-            matched = np.zeros(bdocs, dtype=bool)
-            for t in present:  # lexicographic = deterministic summation
+            matched = (np.ones if conj else np.zeros)(bdocs, dtype=bool)
+            # conjunctive walks ALL available terms (presence is required
+            # even for zero-doc-idf terms); disjunctive only scoring terms
+            for t in (avail if conj else present):  # sorted ⇒ deterministic
                 tfn = np.zeros(bdocs, dtype=np.float64)
                 for f in fields:  # sorted by caller = deterministic
                     key = f"{f}{sep}{t}"
@@ -308,8 +364,11 @@ def score_shard_blocks_bm25f(
                     norm = 1.0 - b + b * dl / avgdl_map[key]
                     tfn[ids - block_base] += weight_map[f] * tfs / norm
                 hit = tfn > 0.0
-                if hit.any():
+                if t in doc_idf and hit.any():
                     acc[hit] += doc_idf[t] * sat(tfn[hit])
+                if conj:
+                    matched &= hit
+                else:
                     matched |= hit
             offs = np.flatnonzero(matched)
             if offs.size and tomb_mask is not None:

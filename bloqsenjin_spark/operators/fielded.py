@@ -137,10 +137,11 @@ def bm25f_topk(
     allow_map: "DataFrame | None" = None,
 ) -> DataFrame:
     """→ (query_id, rank, doc_id, score): fielded top-k, score = Σ_field
-    w_field · BM25_field. Disjunctive queries only (cross-field conjunctive
-    semantics are ambiguous — all-terms-in-one-field vs anywhere — so the
-    operator refuses rather than guessing). Weights must be ≥ 0 (pruning/
-    rank-safety contract shared with per-term boosts).
+    w_field · BM25_field. Conjunctive queries use the DOCUMENT-level
+    semantics — every query term occurs in SOME field (Lucene's default
+    multi-field reading); the all-terms-in-ONE-field reading is expressible
+    as a per-field bm25_wand_topk conjunctive query. Weights must be ≥ 0
+    (pruning/rank-safety contract shared with per-term boosts).
 
     Implementation: ONE SHARED KERNEL with the single-field paths —
     (field, term) is encoded into a composite term key and
@@ -154,12 +155,8 @@ def bm25f_topk(
     if len(qids) != len(queries):
         raise ValueError("duplicate query_ids in a fielded batch")
     for q in queries:
-        if q[2] != "disjunctive":
-            raise ValueError(
-                "bm25f_topk supports disjunctive queries only; conjunctive "
-                "cross-field semantics must be decided by the caller "
-                "(all-in-one-field == per-field bm25_wand_topk conjunctive)"
-            )
+        if q[2] not in ("disjunctive", "conjunctive"):
+            raise ValueError(f"unknown query mode {q[2]!r}")
     unknown = set(field_weights) - set(fields)
     if unknown:
         raise ValueError(
@@ -185,13 +182,17 @@ def bm25f_topk(
     }
     avgdls = {f: float(indexes[f].avgdl) for f in fields}
 
-    # composite-key query tuples: disjunctive over every (field, term), with
-    # the field weight riding as the kernel's per-term boost
+    # composite-key query tuples over every (field, term), with the field
+    # weight riding as the kernel's per-term boost. Conjunctive queries are
+    # the DOCUMENT-level reading ("every term in SOME field" — Lucene's
+    # default), enabled by grouping composite keys by their plain term in
+    # the kernel (conj_groups); the all-in-ONE-field reading remains
+    # expressible as a per-field bm25_wand_topk conjunctive query.
     comp_queries = [
         (
             int(q[0]),
             [f"{f}{_SEP}{t}" for f in fields for t in sorted(set(q[1]))],
-            "disjunctive",
+            q[2],
             int(q[3]),
             (),
             {f"{f}{_SEP}{t}": weights[f]
@@ -199,6 +200,7 @@ def bm25f_topk(
         )
         for q in queries
     ]
+    conj_groups = {f"{f}{_SEP}{t}": t for f in fields for t in all_terms}
 
     pq = reduce(
         lambda a, b: a.unionByName(b),
@@ -256,7 +258,7 @@ def bm25f_topk(
             pl["doc_deltas"].to_numpy(),
             pl["tfs"].to_numpy(),
             dls_map, comp_queries, idf_map, avgdl_map, cfg,
-            tomb_mask=tomb_mask,
+            tomb_mask=tomb_mask, conj_groups=conj_groups,
         )
         if not out_q:
             return empty
@@ -316,8 +318,8 @@ def bm25f_merged_topk(
     if len({int(q[0]) for q in queries}) != len(queries):
         raise ValueError("duplicate query_ids in a fielded batch")
     for q in queries:
-        if q[2] != "disjunctive":
-            raise ValueError("bm25f_merged_topk supports disjunctive queries only")
+        if q[2] not in ("disjunctive", "conjunctive"):
+            raise ValueError(f"unknown query mode {q[2]!r}")
     unknown = set(field_weights) - set(fields)
     if unknown:
         raise ValueError(
@@ -351,7 +353,7 @@ def bm25f_merged_topk(
     avgdls = {f: float(indexes[f].avgdl) for f in fields}
 
     plain_queries = [
-        (int(q[0]), sorted(set(q[1])), "disjunctive", int(q[3])) for q in queries
+        (int(q[0]), sorted(set(q[1])), q[2], int(q[3])) for q in queries
     ]
 
     pq = reduce(

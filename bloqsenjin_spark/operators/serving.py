@@ -1083,8 +1083,8 @@ class FieldedIndexServer:
         if len({int(q[0]) for q in queries}) != len(queries):
             raise ValueError("duplicate query_ids in a fielded batch")
         for q in queries:
-            if q[2] != "disjunctive":
-                raise ValueError("fielded serving is disjunctive-only")
+            if q[2] not in ("disjunctive", "conjunctive"):
+                raise ValueError(f"unknown query mode {q[2]!r}")
         unknown = set(field_weights) - set(self.fields)
         if unknown:
             raise ValueError(
@@ -1152,7 +1152,7 @@ class FieldedIndexServer:
                 int(q[0]),
                 [f"{f}{self._SEP}{t}" for f in self.fields
                  for t in sorted(set(q[1]))],
-                "disjunctive",
+                q[2],
                 int(q[3]),
                 (),
                 {f"{f}{self._SEP}{t}": weights[f]
@@ -1160,6 +1160,11 @@ class FieldedIndexServer:
             )
             for q in queries
         ]
+        # document-level conjunctive ("every term in SOME field"): composite
+        # keys group by their plain term inside the shared kernel
+        conj_groups = {
+            f"{f}{self._SEP}{t}": t for f in self.fields for t in all_terms
+        }
         q_parts, d_parts, s_parts = [], [], []
         for shard in np.unique(shards):
             m = shards == int(shard)
@@ -1170,7 +1175,7 @@ class FieldedIndexServer:
             oq, od, os_ = score_shard_blocks(
                 int(shard), comp[m], bids[m], bmax[m], deltas[m], tfs[m],
                 dls_map, comp_queries, idf_map, avgdl_map, self.cfg,
-                tomb_mask=tomb,
+                tomb_mask=tomb, conj_groups=conj_groups,
             )
             q_parts.extend(oq)
             d_parts.extend(od)
@@ -1211,7 +1216,7 @@ class FieldedIndexServer:
         }
         avgdls = {f: snaps[f].avgdl for f in self.fields}
         plain_queries = [
-            (int(q[0]), sorted(set(q[1])), "disjunctive", int(q[3]))
+            (int(q[0]), sorted(set(q[1])), q[2], int(q[3]))
             for q in queries
         ]
         q_parts, d_parts, s_parts = [], [], []

@@ -275,16 +275,18 @@ def bm25f_topk_sql(
     score = Σ_field w_field · BM25_field with per-field df/avgdl/dl.
     ``field_toks`` maps field name → a SQL list expression over ``toks``
     (the full tokenized stream) defining that field's token list — the SAME
-    derivation the Spark side uses. Disjunctive only."""
+    derivation the Spark side uses. Conjunctive = the document-level
+    reading (every term in SOME field): HAVING count(DISTINCT term) =
+    n_terms over the field-union contributions."""
     toks = DUCKDB_TOKENS_SQL.format(col=text_col)
     tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
     idf = idf_sql("ts.df", "cs.n")
     qrows = []
     for qid, terms, mode, k in queries:
-        assert mode == "disjunctive", "fielded oracle is disjunctive-only"
+        assert mode in ("disjunctive", "conjunctive"), mode
         uniq = sorted(set(terms))
         lit = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in uniq) + "]"
-        qrows.append(f"({qid}, {lit}, {int(k)})")
+        qrows.append(f"({qid}, {lit}, {int(k)}, '{mode}', {len(uniq)})")
     ft_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, '{f}' AS field, {expr} AS ftoks FROM dtok"
         for f, expr in sorted(field_toks.items())
@@ -294,7 +296,7 @@ def bm25f_topk_sql(
         for f in sorted(field_toks)
     )
     return f"""
-WITH q(query_id, terms, k) AS (VALUES {', '.join(qrows)}),
+WITH q(query_id, terms, k, mode, n_terms) AS (VALUES {', '.join(qrows)}),
 dtok AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}),
 ft AS (
 {ft_selects}
@@ -305,9 +307,9 @@ cs AS (SELECT field, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY fi
 tf AS (SELECT field, term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
 ts AS (SELECT field, term, count(*) AS df FROM tf GROUP BY 1, 2),
 fw(field, w) AS (VALUES {wrows}),
-qt AS (SELECT query_id, k, unnest(terms) AS term FROM q),
+qt AS (SELECT query_id, k, mode, n_terms, unnest(terms) AS term FROM q),
 contrib AS (
-    SELECT qt.query_id, tf.doc_id, qt.k,
+    SELECT qt.query_id, tf.doc_id, qt.k, qt.mode, qt.n_terms, qt.term,
            ({idf} * fw.w) * {tfc} AS contrib
     FROM qt
     JOIN tf USING (term)
@@ -318,7 +320,8 @@ contrib AS (
 ),
 scored AS (
     SELECT query_id, doc_id, k, sum(contrib) AS score
-    FROM contrib GROUP BY query_id, doc_id, k
+    FROM contrib GROUP BY query_id, doc_id, k, mode, n_terms
+    HAVING (mode = 'disjunctive' OR count(DISTINCT term) = n_terms)
 ),
 ranked AS (
     SELECT query_id, doc_id, score, k,
@@ -347,7 +350,8 @@ def bm25f_merged_topk_sql(
 
     Independently re-derived: per-field tf/dl/avgdl CTEs as in the fielded
     oracle, but the weighted normalized tfs are SUMMED FIRST (tfm) and
-    saturated once, with idf from whole-document df. Disjunctive only."""
+    saturated once, with idf from whole-document df. Conjunctive = the
+    document-level reading: HAVING count(DISTINCT term) = n_terms."""
     from bloqsenjin_spark.config import BM25_B, BM25_K1
 
     toks = DUCKDB_TOKENS_SQL.format(col=text_col)
@@ -355,10 +359,10 @@ def bm25f_merged_topk_sql(
     idf = idf_sql("dts.df", "(SELECT count(*) FROM dtok)")
     qrows = []
     for qid, terms, mode, k in queries:
-        assert mode == "disjunctive", "merged-bm25f oracle is disjunctive-only"
+        assert mode in ("disjunctive", "conjunctive"), mode
         uniq = sorted(set(terms))
         lit = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in uniq) + "]"
-        qrows.append(f"({qid}, {lit}, {int(k)})")
+        qrows.append(f"({qid}, {lit}, {int(k)}, '{mode}', {len(uniq)})")
     ft_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, '{f}' AS field, {expr} AS ftoks FROM dtok"
         for f, expr in sorted(field_toks.items())
@@ -368,7 +372,7 @@ def bm25f_merged_topk_sql(
         for f in sorted(field_toks)
     )
     return f"""
-WITH q(query_id, terms, k) AS (VALUES {', '.join(qrows)}),
+WITH q(query_id, terms, k, mode, n_terms) AS (VALUES {', '.join(qrows)}),
 dtok AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}),
 ft AS (
 {ft_selects}
@@ -381,26 +385,27 @@ dtf AS (SELECT term, doc_id FROM (SELECT doc_id, unnest(toks) AS term FROM dtok)
         GROUP BY term, doc_id),
 dts AS (SELECT term, count(*) AS df FROM dtf GROUP BY term),
 fw(field, w) AS (VALUES {wrows}),
-qt AS (SELECT query_id, k, unnest(terms) AS term FROM q),
+qt AS (SELECT query_id, k, mode, n_terms, unnest(terms) AS term FROM q),
 tfm AS (
-    SELECT qt.query_id, tf.doc_id, qt.term, qt.k,
+    SELECT qt.query_id, tf.doc_id, qt.term, qt.k, qt.mode, qt.n_terms,
            sum(fw.w * tf.tf / ({1.0 - b} + {b} * dl.dl / cs.avgdl)) AS tfm
     FROM qt
     JOIN tf USING (term)
     JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
     JOIN cs ON cs.field = tf.field
     JOIN fw ON fw.field = tf.field
-    GROUP BY 1, 2, 3, 4
+    GROUP BY 1, 2, 3, 4, 5, 6
 ),
 contrib AS (
-    SELECT tfm.query_id, tfm.doc_id, tfm.k,
+    SELECT tfm.query_id, tfm.doc_id, tfm.k, tfm.mode, tfm.n_terms, tfm.term,
            {idf} * ({k1 + 1.0} * tfm.tfm / (tfm.tfm + {k1})) AS contrib
     FROM tfm JOIN dts ON dts.term = tfm.term
     WHERE tfm.tfm > 0
 ),
 scored AS (
     SELECT query_id, doc_id, k, sum(contrib) AS score
-    FROM contrib GROUP BY query_id, doc_id, k
+    FROM contrib GROUP BY query_id, doc_id, k, mode, n_terms
+    HAVING (mode = 'disjunctive' OR count(DISTINCT term) = n_terms)
 ),
 ranked AS (
     SELECT query_id, doc_id, score, k,

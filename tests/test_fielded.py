@@ -118,8 +118,8 @@ def test_bm25f_single_field_identity(spark):
 def test_bm25f_guards(spark):
     docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
     idxs = fielded.build_fielded_index(docs, {"all": F.col("text")}, CFG)
-    with pytest.raises(ValueError, match="disjunctive"):
-        fielded.bm25f_topk(idxs, [(1, ["the"], "conjunctive", 5)], {}, CFG)
+    with pytest.raises(ValueError, match="unknown query mode"):
+        fielded.bm25f_topk(idxs, [(1, ["the"], "dismax", 5)], {}, CFG)
     with pytest.raises(ValueError, match="negative field weights"):
         fielded.bm25f_topk(
             idxs, [(1, ["the"], "disjunctive", 5)], {"all": -1.0}, CFG)
@@ -289,9 +289,9 @@ def test_bm25f_merged_guards_and_tombstones(spark):
     idxs = fielded.build_fielded_index(docs, _field_exprs(), CFG)
     dts = _doc_ts(spark, docs)
     weights = {"title": 2.0, "body": 1.0}
-    with pytest.raises(ValueError, match="disjunctive"):
+    with pytest.raises(ValueError, match="unknown query mode"):
         fielded.bm25f_merged_topk(
-            idxs, [(1, ["the"], "conjunctive", 5)], weights, dts, CFG)
+            idxs, [(1, ["the"], "dismax", 5)], weights, dts, CFG)
     with pytest.raises(ValueError, match="negative field weights"):
         fielded.bm25f_merged_topk(
             idxs, [(1, ["the"], "disjunctive", 5)],
@@ -389,8 +389,8 @@ def test_fielded_serving_guards(spark, tmp_path):
     d = str(tmp_path / "one_field")
     B.build_index_resumable(docs.select("doc_id", SF.col("text")), d, CFG)
     srv = FieldedIndexServer({"all": d}, CFG)
-    with pytest.raises(ValueError, match="disjunctive"):
-        srv.query_batch([(1, ["the"], "conjunctive", 5)], {})
+    with pytest.raises(ValueError, match="unknown query mode"):
+        srv.query_batch([(1, ["the"], "dismax", 5)], {})
     with pytest.raises(ValueError, match="duplicate query_ids"):
         srv.query_batch([(1, ["the"], "disjunctive", 5),
                          (1, ["fast"], "disjunctive", 5)], {})
@@ -484,3 +484,83 @@ def test_phrase_in_field_subset_and_serving(spark, tmp_path):
         fsrv.phrase_batch("abstract", phrases)
     with pytest.raises(ValueError, match="unknown field"):
         fielded.phrase_match_fielded(fidxs, "abstract", phrases, CFG_POS)
+
+
+def test_fielded_conjunctive_document_level(spark, tmp_path):
+    """Document-level conjunctive fielded semantics ("every term in SOME
+    field" — Lucene's default): (a) for both models, the conjunctive match
+    set at exhaustive k equals the disjunctive set filtered to docs
+    containing ALL terms anywhere, with identical per-doc scores; (b) the
+    semantics is genuinely CROSS-field — some doc matches with its terms
+    split across title and body, which no single-field conjunctive query
+    finds; (c) serving twins are rank-identical to the Spark operators."""
+    import re as _re
+
+    from bloqsenjin_spark.operators import topk as T
+    from bloqsenjin_spark.operators.serving import FieldedIndexServer
+    from bloqsenjin_spark.plans import build as B
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idxs = fielded.build_fielded_index(docs, _field_exprs(), CFG)
+    tok = T.tokenized(docs)
+    doc_ts = T.term_stats_df(T.term_freqs(tok), tok.count())
+    weights = {"title": 2.0, "body": 1.0}
+    terms = ["customer", "order"]
+    BIG = 10_000
+    qc = [(1, terms, "conjunctive", BIG)]
+    qd = [(1, terms, "disjunctive", BIG)]
+
+    toks_by_doc = {
+        r["doc_id"]: set(_re.split("[^a-z0-9]+", (r["text"] or "").lower()))
+        for r in docs.collect()
+    }
+    want_docs = {d for d, ts in toks_by_doc.items()
+                 if all(t in ts for t in terms)}
+
+    for op, kw in ((fielded.bm25f_topk, {}),
+                   (fielded.bm25f_merged_topk, {"doc_term_stats": doc_ts})):
+        disj = {r["doc_id"]: r["score"]
+                for r in op(idxs, qd, weights, cfg=CFG, **kw).collect()}
+        conj = {r["doc_id"]: r["score"]
+                for r in op(idxs, qc, weights, cfg=CFG, **kw).collect()}
+        assert set(conj) == want_docs and len(want_docs) > 0
+        for d, s in conj.items():  # same scoring model, filtered eligibility
+            assert s == pytest.approx(disj[d], abs=1e-9)
+
+    # (b) cross-field: a doc whose terms split across fields matches the
+    # document-level reading but neither single-field conjunctive query
+    per_field_sets = {}
+    for fname in ("title", "body"):
+        fidx = idxs[fname]
+        rows = wand.bm25_wand_topk(
+            fidx.postings, fidx.doc_lens, fidx.term_stats, fidx.avgdl,
+            [(1, terms, "conjunctive", BIG)], CFG,
+        ).collect()
+        per_field_sets[fname] = {r["doc_id"] for r in rows}
+    assert want_docs - (per_field_sets["title"] | per_field_sets["body"]), \
+        "corpus has no field-splitting doc; property not exercised"
+
+    # (c) serving twins
+    dirs = {}
+    for f, expr in _field_exprs().items():
+        d = str(tmp_path / f"cfld_{f}")
+        B.build_index_resumable(
+            docs.select("doc_id", expr.alias("text")), d, CFG)
+        dirs[f] = d
+    doc_dir = str(tmp_path / "cfld_doc")
+    B.build_index_resumable(docs, doc_dir, CFG)
+    fsrv = FieldedIndexServer(dirs, CFG, doc_stats_dir=doc_dir)
+    qck = [(1, terms, "conjunctive", 10), (2, ["the", "zebra"], "conjunctive", 5)]
+    for op, srv_fn, kw in (
+            (fielded.bm25f_topk, fsrv.query_batch, {}),
+            (fielded.bm25f_merged_topk, fsrv.merged_batch,
+             {"doc_term_stats": doc_ts})):
+        want = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in op(idxs, qck, weights, cfg=CFG, **kw).collect()
+        )
+        got = sorted(srv_fn(qck, weights))
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            assert g[:3] == w[:3]
+            assert g[3] == pytest.approx(w[3], abs=1e-12)
