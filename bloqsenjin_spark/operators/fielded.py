@@ -114,6 +114,7 @@ def phrase_bm25_topk_fielded(
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
     ordered: bool = True,
+    offsets: "dict[int, int] | None" = None,
 ) -> DataFrame:
     """Phrase/proximity-filtered BM25 top-k within one field: matches come
     from the field's positional index and are ranked with the FIELD's own
@@ -125,6 +126,7 @@ def phrase_bm25_topk_fielded(
     return wand.phrase_bm25_topk(
         idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, phrases, cfg,
         tomb_map=tomb_map, allow_map=allow_map, ordered=ordered,
+        offsets=offsets,
     )
 
 
@@ -135,6 +137,7 @@ def bm25f_topk(
     cfg: IndexConfig = DEFAULT_CONFIG,
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
+    offsets: "dict[int, int] | None" = None,
 ) -> DataFrame:
     """→ (query_id, rank, doc_id, score): fielded top-k, score = Σ_field
     w_field · BM25_field. Conjunctive queries use the DOCUMENT-level
@@ -188,12 +191,15 @@ def bm25f_topk(
     # default), enabled by grouping composite keys by their plain term in
     # the kernel (conj_groups); the all-in-ONE-field reading remains
     # expressible as a per-field bm25_wand_topk conjunctive query.
+    _off = offsets or {}
     comp_queries = [
         (
             int(q[0]),
             [f"{f}{_SEP}{t}" for f in fields for t in sorted(set(q[1]))],
             q[2],
-            int(q[3]),
+            # deep paging: shard partials must keep offset+k rows for page
+            # exactness (bm25_topk_paged's argument)
+            int(q[3]) + int(_off.get(int(q[0]), 0)),
             (),
             {f"{f}{_SEP}{t}": weights[f]
              for f in fields for t in sorted(set(q[1]))},
@@ -276,10 +282,16 @@ def bm25f_topk(
     kmap = F.create_map(
         *[x for q in queries for x in (F.lit(int(q[0])), F.lit(int(q[3])))]
     )
+    omap = F.create_map(
+        *[x for q in queries
+          for x in (F.lit(int(q[0])), F.lit(int(_off.get(int(q[0]), 0))))]
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    off = omap[F.col("query_id")]
     return (
         partial.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= kmap[F.col("query_id")])
+        .where((F.col("rank") > off)
+               & (F.col("rank") <= off + kmap[F.col("query_id")]))
         .select("query_id", "rank", "doc_id", "score")
     )
 
@@ -292,6 +304,7 @@ def bm25f_merged_topk(
     cfg: IndexConfig = DEFAULT_CONFIG,
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
+    offsets: "dict[int, int] | None" = None,
 ) -> DataFrame:
     """TRUE BM25F (Zaragoza & Robertson): per-field length-normalized tfs are
     weighted and merged BEFORE saturation,
@@ -352,8 +365,11 @@ def bm25f_merged_topk(
     }
     avgdls = {f: float(indexes[f].avgdl) for f in fields}
 
+    _off = offsets or {}
     plain_queries = [
-        (int(q[0]), sorted(set(q[1])), q[2], int(q[3])) for q in queries
+        (int(q[0]), sorted(set(q[1])), q[2],
+         int(q[3]) + int(_off.get(int(q[0]), 0)))
+        for q in queries
     ]
 
     pq = reduce(
@@ -431,9 +447,15 @@ def bm25f_merged_topk(
     kmap = F.create_map(
         *[x for q in queries for x in (F.lit(int(q[0])), F.lit(int(q[3])))]
     )
+    omap = F.create_map(
+        *[x for q in queries
+          for x in (F.lit(int(q[0])), F.lit(int(_off.get(int(q[0]), 0))))]
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    off = omap[F.col("query_id")]
     return (
         partial.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= kmap[F.col("query_id")])
+        .where((F.col("rank") > off)
+               & (F.col("rank") <= off + kmap[F.col("query_id")]))
         .select("query_id", "rank", "doc_id", "score")
     )

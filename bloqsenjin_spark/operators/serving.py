@@ -425,7 +425,7 @@ class IndexServer:
 
     def prefix_topk_batch(
         self, prefix_queries: list[tuple[int, str, int]],
-        max_expansions: int = 100, allowed_doc_ids=None,
+        max_expansions: int = 100, allowed_doc_ids=None, offsets=None,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — prefix-expanded top-k,
         rank-identical to operators/wand.prefix_bm25_topk on the same index.
@@ -437,7 +437,7 @@ class IndexServer:
         if not self._is_snap:
             return self._snap().prefix_topk_batch(
                 prefix_queries, max_expansions=max_expansions,
-                allowed_doc_ids=allowed_doc_ids)
+                allowed_doc_ids=allowed_doc_ids, offsets=offsets)
         queries = []
         for qid, prefix, k in prefix_queries:
             cands = self._prefix_candidates(str(prefix))
@@ -447,6 +447,9 @@ class IndexServer:
                 queries.append((int(qid), terms, "disjunctive", int(k)))
         if not queries:
             return []
+        if offsets:  # deep paging over the expanded batch (paged_batch rule)
+            return self.paged_batch(queries, offsets,
+                                    allowed_doc_ids=allowed_doc_ids)
         return self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
 
     def _phrase_hit_blocks(self, parsed, ordered: bool = True,
@@ -544,7 +547,7 @@ class IndexServer:
 
     def phrase_topk_batch(
         self, phrases: list[tuple[int, str, int]], ordered: bool = True,
-        allowed_doc_ids=None,
+        allowed_doc_ids=None, offsets=None,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — phrase-filtered BM25 top-k,
         rank-identical to operators/wand.phrase_bm25_topk on the same index
@@ -556,6 +559,20 @@ class IndexServer:
         from bloqsenjin_spark.functions.scoring import global_topk
         from bloqsenjin_spark.operators.wand import _parse_phrases
 
+        if offsets:  # deep paging: rank at depth offset+k, slice the page
+            kmap = {int(q[0]): int(q[2]) for q in phrases}
+            deep = [
+                (q[0], q[1], int(q[2]) + int(offsets.get(int(q[0]), 0)))
+                + tuple(q[3:])
+                for q in phrases
+            ]
+            rows = self.phrase_topk_batch(deep, ordered=ordered,
+                                          allowed_doc_ids=allowed_doc_ids)
+            return [
+                r for r in rows
+                if offsets.get(r[0], 0) < r[1]
+                <= offsets.get(r[0], 0) + kmap[r[0]]
+            ]
         if not self._is_snap:
             return self._snap().phrase_topk_batch(
                 phrases, ordered=ordered, allowed_doc_ids=allowed_doc_ids)
@@ -602,14 +619,15 @@ class IndexServer:
 
     def near_topk_batch(
         self, near_queries: list[tuple[int, str, int, int]],
-        ordered: bool = True, allowed_doc_ids=None,
+        ordered: bool = True, allowed_doc_ids=None, offsets=None,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — proximity-filtered BM25
         top-k ((query_id, phrase, k, slop)), rank-identical to
         operators/wand.near_bm25_topk at the same ``ordered`` setting;
         phrase_topk_batch ≡ (ordered, slop 0)."""
         return self.phrase_topk_batch(near_queries, ordered=ordered,
-                                      allowed_doc_ids=allowed_doc_ids)
+                                      allowed_doc_ids=allowed_doc_ids,
+                                      offsets=offsets)
 
     def highlight_batch(
         self, queries: list, allowed_doc_ids=None
@@ -829,7 +847,7 @@ class IndexServer:
 
     def fuzzy_topk_batch(
         self, fuzzy_queries: list[tuple[int, str, int, int]],
-        max_expansions: int = 50, allowed_doc_ids=None,
+        max_expansions: int = 50, allowed_doc_ids=None, offsets=None,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — typo-tolerant top-k,
         rank-identical to operators/wand.fuzzy_bm25_topk on the same index.
@@ -842,7 +860,7 @@ class IndexServer:
         if not self._is_snap:
             return self._snap().fuzzy_topk_batch(
                 fuzzy_queries, max_expansions=max_expansions,
-                allowed_doc_ids=allowed_doc_ids)
+                allowed_doc_ids=allowed_doc_ids, offsets=offsets)
         queries = []
         for qid, word, max_dist, k in fuzzy_queries:
             terms = [
@@ -853,6 +871,9 @@ class IndexServer:
                 queries.append((int(qid), terms, "disjunctive", int(k)))
         if not queries:
             return []
+        if offsets:
+            return self.paged_batch(queries, offsets,
+                                    allowed_doc_ids=allowed_doc_ids)
         return self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
 
     def _fuzzy_expansion(self, word: str, max_dist: int,
@@ -877,7 +898,7 @@ class IndexServer:
     def fuzzy_multi_topk_batch(
         self, multi_queries: list[tuple[int, list[str], int, int]],
         max_expansions: int = 50, distance_decay: "float | None" = None,
-        allowed_doc_ids=None,
+        allowed_doc_ids=None, offsets=None,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — MULTI-word typo-tolerant
         top-k ((query_id, [words], max_dist, k)), rank-identical to
@@ -899,7 +920,7 @@ class IndexServer:
             return self._snap().fuzzy_multi_topk_batch(
                 multi_queries, max_expansions=max_expansions,
                 distance_decay=distance_decay,
-                allowed_doc_ids=allowed_doc_ids)
+                allowed_doc_ids=allowed_doc_ids, offsets=offsets)
         queries = []
         for qid, words, max_dist, k in multi_queries:
             exps = [
@@ -911,6 +932,9 @@ class IndexServer:
                 queries.append(q)
         if not queries:
             return []
+        if offsets:
+            return self.paged_batch(queries, offsets,
+                                    allowed_doc_ids=allowed_doc_ids)
         return self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
 
     def _ann_tables(self):
@@ -1119,8 +1143,11 @@ class FieldedIndexServer:
             np.asarray(tfs, dtype=object),
         )
 
-    def _shard_ctx(self, snaps, shard: int):
-        """Per-shard keyed dls + merged tombstone mask for one shard."""
+    def _shard_ctx(self, snaps, shard: int, allow_masks=None):
+        """Per-shard keyed dls + combined exclusion mask (field-tombstone OR,
+        then allow-set complement — the ACL form shared with the single-field
+        tier). → (dls_by_field, mask, skip): skip=True when an allow-set is
+        in force and the shard holds no allowed docs."""
         dls_by_field = {
             f: snaps[f].dls.get(shard) for f in self.fields
         }
@@ -1129,14 +1156,34 @@ class FieldedIndexServer:
             tm = snaps[f].tomb_masks.get(shard)
             if tm is not None:
                 tomb = tm.copy() if tomb is None else (tomb | tm)
-        return dls_by_field, tomb
+        if allow_masks is not None:
+            am = allow_masks.get(shard)
+            if am is None:
+                return dls_by_field, None, True
+            tomb = ~am if tomb is None else (~am | tomb)
+        return dls_by_field, tomb, False
 
     def query_batch(
         self, queries: list, field_weights: dict[str, float],
+        allowed_doc_ids=None, offsets=None,
     ) -> list[tuple[int, int, int, float]]:
-        """Per-field-sum fielded top-k ≡ operators/fielded.bm25f_topk."""
+        """Per-field-sum fielded top-k ≡ operators/fielded.bm25f_topk.
+        ``allowed_doc_ids``: ACL allow-set (per-shard bitmaps, masked before
+        top-k with full stats); ``offsets``: deep paging — rank at depth
+        offset+k, return the page with GLOBAL ranks."""
         weights = self._validate(queries, field_weights)
+        if offsets:
+            kmap = {int(q[0]): int(q[3]) for q in queries}
+            deep = [(q[0], q[1], q[2],
+                     int(q[3]) + int(offsets.get(int(q[0]), 0))) + tuple(q[4:])
+                    for q in queries]
+            rows = self.query_batch(deep, field_weights,
+                                    allowed_doc_ids=allowed_doc_ids)
+            return [r for r in rows
+                    if offsets.get(r[0], 0) < r[1]
+                    <= offsets.get(r[0], 0) + kmap[r[0]]]
         snaps = {f: s._snap() for f, s in self.servers.items()}
+        allow_masks = snaps[self.fields[0]]._allow_masks(allowed_doc_ids)
         all_terms = sorted({t for q in queries for t in q[1]})
         comp, shards, bids, bmax, deltas, tfs = self._field_rows(snaps, all_terms)
         if comp.size == 0:
@@ -1168,7 +1215,10 @@ class FieldedIndexServer:
         q_parts, d_parts, s_parts = [], [], []
         for shard in np.unique(shards):
             m = shards == int(shard)
-            dls_by_field, tomb = self._shard_ctx(snaps, int(shard))
+            dls_by_field, tomb, skip = self._shard_ctx(
+                snaps, int(shard), allow_masks)
+            if skip:
+                continue
             keys = set(comp[m])
             dls_map = {k: dls_by_field[k.split(self._SEP, 1)[0]] for k in keys}
             avgdl_map = {k: avgdls[k.split(self._SEP, 1)[0]] for k in keys}
@@ -1189,9 +1239,11 @@ class FieldedIndexServer:
 
     def merged_batch(
         self, queries: list, field_weights: dict[str, float],
+        allowed_doc_ids=None, offsets=None,
     ) -> list[tuple[int, int, int, float]]:
         """TRUE merged-tf BM25F ≡ operators/fielded.bm25f_merged_topk
-        (requires ``doc_stats_dir`` for the document-level idf)."""
+        (requires ``doc_stats_dir`` for the document-level idf). Same
+        allow-set / deep-paging contract as query_batch."""
         from bloqsenjin_spark.functions.scoring import score_shard_blocks_bm25f
 
         if self._doc_stats is None:
@@ -1200,7 +1252,18 @@ class FieldedIndexServer:
                 "documents) for the document-level idf"
             )
         weights = self._validate(queries, field_weights)
+        if offsets:
+            kmap = {int(q[0]): int(q[3]) for q in queries}
+            deep = [(q[0], q[1], q[2],
+                     int(q[3]) + int(offsets.get(int(q[0]), 0))) + tuple(q[4:])
+                    for q in queries]
+            rows = self.merged_batch(deep, field_weights,
+                                     allowed_doc_ids=allowed_doc_ids)
+            return [r for r in rows
+                    if offsets.get(r[0], 0) < r[1]
+                    <= offsets.get(r[0], 0) + kmap[r[0]]]
         snaps = {f: s._snap() for f, s in self.servers.items()}
+        allow_masks = snaps[self.fields[0]]._allow_masks(allowed_doc_ids)
         all_terms = sorted({t for q in queries for t in q[1]})
         comp, shards, bids, bmax, deltas, tfs = self._field_rows(snaps, all_terms)
         if comp.size == 0:
@@ -1222,7 +1285,10 @@ class FieldedIndexServer:
         q_parts, d_parts, s_parts = [], [], []
         for shard in np.unique(shards):
             m = shards == int(shard)
-            dls_by_field, tomb = self._shard_ctx(snaps, int(shard))
+            dls_by_field, tomb, skip = self._shard_ctx(
+                snaps, int(shard), allow_masks)
+            if skip:
+                continue
             keys = set(comp[m])
             dls_map = {k: dls_by_field[k.split(self._SEP, 1)[0]] for k in keys}
             avgdl_map = {k: avgdls[k.split(self._SEP, 1)[0]] for k in keys}
@@ -1265,12 +1331,13 @@ class FieldedIndexServer:
             near_queries, ordered=ordered, allowed_doc_ids=allowed_doc_ids)
 
     def phrase_topk_batch(self, field: str, phrases, ordered: bool = True,
-                          allowed_doc_ids=None):
+                          allowed_doc_ids=None, offsets=None):
         """Phrase/proximity-filtered BM25 top-k within one field, ranked
         with the FIELD's own statistics ≡
         operators/fielded.phrase_bm25_topk_fielded (pytest-pinned)."""
         return self._field_server(field).phrase_topk_batch(
-            phrases, ordered=ordered, allowed_doc_ids=allowed_doc_ids)
+            phrases, ordered=ordered, allowed_doc_ids=allowed_doc_ids,
+            offsets=offsets)
 
 
 def merge_topk(partials, queries) -> list[tuple[int, int, int, float]]:

@@ -325,6 +325,7 @@ def phrase_score_partials(
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
     ordered: bool = True,
+    offsets: "dict[int, int] | None" = None,
 ) -> DataFrame:
     """Per-shard (query_id, doc_id, score) partials for phrase-filtered BM25
     top-k, in ONE pass over the phrase terms' postings.
@@ -352,6 +353,11 @@ def phrase_score_partials(
         raise ValueError("duplicate query_ids in a phrase/proximity batch")
     parsed = [(qid, toks, slop_map[qid]) for qid, toks in parsed3]
     kmap_py = {int(q[0]): int(q[2]) for q in phrases}
+    if offsets:
+        # deep paging: per-shard partials must keep offset+k rows for page
+        # exactness (same argument as bm25_topk_paged)
+        kmap_py = {qid: k + int(offsets.get(qid, 0))
+                   for qid, k in kmap_py.items()}
     _ordered = ordered
     all_terms = sorted({t for _, ts, _ in parsed for t in ts})
     idf_map = {
@@ -454,11 +460,14 @@ def phrase_bm25_topk(
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
     ordered: bool = True,
+    offsets: "dict[int, int] | None" = None,
 ) -> DataFrame:
     """Phrase-filtered BM25 top-k → (query_id, rank, doc_id, score).
     ``allow_map``/``tomb_map``: the same per-shard bitmap side-inputs as
     bm25_wand_topk — matches outside the allow-set (or tombstoned) are
-    masked before the per-shard k-truncation.
+    masked before the per-shard k-truncation. ``offsets``: optional deep
+    paging (query_id → rows to skip), page (offset, offset+k] with GLOBAL
+    ranks — bm25_topk_paged's contract for the phrase family.
 
     Single-pass plan: verify + score inside one cogrouped pass over the
     phrase terms' postings (phrase_score_partials), then a global rank window
@@ -467,14 +476,22 @@ def phrase_bm25_topk(
     partial = phrase_score_partials(
         postings, doc_lens, term_stats, avgdl, phrases, cfg,
         tomb_map=tomb_map, allow_map=allow_map, ordered=ordered,
+        offsets=offsets,
     )
     kmap = F.create_map(
         *[x for q in phrases for x in (F.lit(int(q[0])), F.lit(int(q[2])))]
     )
+    offsets = offsets or {}
+    omap = F.create_map(
+        *[x for q in phrases
+          for x in (F.lit(int(q[0])), F.lit(int(offsets.get(int(q[0]), 0))))]
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    off = omap[F.col("query_id")]
     return (
         partial.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= kmap[F.col("query_id")])
+        .where((F.col("rank") > off)
+               & (F.col("rank") <= off + kmap[F.col("query_id")]))
         .select("query_id", "rank", "doc_id", "score")
     )
 
@@ -489,6 +506,7 @@ def near_bm25_topk(
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
     ordered: bool = True,
+    offsets: "dict[int, int] | None" = None,
 ) -> DataFrame:
     """Proximity-filtered BM25 top-k: ``(query_id, phrase, k, slop)`` —
     matches within slop ranked by BM25 over the query's deduped terms.
@@ -501,6 +519,7 @@ def near_bm25_topk(
     return phrase_bm25_topk(
         postings, doc_lens, term_stats, avgdl, near_queries, cfg,
         tomb_map=tomb_map, allow_map=allow_map, ordered=ordered,
+        offsets=offsets,
     )
 
 
@@ -781,6 +800,7 @@ def prefix_bm25_topk(
     max_expansions: int = 100,
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
+    offsets: "dict[int, int] | None" = None,
 ) -> DataFrame:
     """Prefix-expanded disjunctive top-k (the PrefixQuery/wildcard analog):
     each prefix expands to its matching vocabulary terms — capped at
@@ -805,6 +825,20 @@ def prefix_bm25_topk(
         spark = postings.sparkSession
         return spark.createDataFrame(
             [], "query_id long, rank int, doc_id long, score double"
+        )
+    return _topk_or_paged(postings, doc_lens, term_stats, avgdl, queries,
+                          cfg, offsets, tomb_map, allow_map)
+
+
+def _topk_or_paged(postings, doc_lens, term_stats, avgdl, queries, cfg,
+                   offsets, tomb_map, allow_map):
+    """Dispatch an expanded query batch to the plain or deep-paged ranking
+    pass — the composition point that gives prefix/fuzzy/fuzzy-multi search
+    the same paging contract as bm25_topk_paged."""
+    if offsets:
+        return bm25_topk_paged(
+            postings, doc_lens, term_stats, avgdl, queries, offsets, cfg,
+            tomb_map=tomb_map, allow_map=allow_map,
         )
     return bm25_wand_topk(
         postings, doc_lens, term_stats, avgdl, queries, cfg,
@@ -980,6 +1014,7 @@ def fuzzy_bm25_topk(
     max_expansions: int = 50,
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
+    offsets: "dict[int, int] | None" = None,
 ) -> DataFrame:
     """Typo-tolerant top-k (the FuzzyQuery analog): ``(query_id, word,
     max_dist, k)`` expands to vocabulary terms within ``max_dist`` edits —
@@ -999,10 +1034,8 @@ def fuzzy_bm25_topk(
         return spark.createDataFrame(
             [], "query_id long, rank int, doc_id long, score double"
         )
-    return bm25_wand_topk(
-        postings, doc_lens, term_stats, avgdl, queries, cfg,
-        tomb_map=tomb_map, allow_map=allow_map,
-    )
+    return _topk_or_paged(postings, doc_lens, term_stats, avgdl, queries,
+                          cfg, offsets, tomb_map, allow_map)
 
 
 def _compose_fuzzy_multi(expansions_per_word, qid: int, k: int,
@@ -1041,6 +1074,7 @@ def fuzzy_multi_bm25_topk(
     distance_decay: "float | None" = None,
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
+    offsets: "dict[int, int] | None" = None,
 ) -> DataFrame:
     """MULTI-word typo-tolerant top-k — ``(query_id, [words], max_dist, k)``,
     the real-user form of fuzzy search ("helo wrold"): each word expands
@@ -1091,10 +1125,8 @@ def fuzzy_multi_bm25_topk(
         return spark.createDataFrame(
             [], "query_id long, rank int, doc_id long, score double"
         )
-    return bm25_wand_topk(
-        postings, doc_lens, term_stats, avgdl, queries, cfg,
-        tomb_map=tomb_map, allow_map=allow_map,
-    )
+    return _topk_or_paged(postings, doc_lens, term_stats, avgdl, queries,
+                          cfg, offsets, tomb_map, allow_map)
 
 
 def topk_highlights(

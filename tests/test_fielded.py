@@ -564,3 +564,79 @@ def test_fielded_conjunctive_document_level(spark, tmp_path):
         for g, w in zip(got, want):
             assert g[:3] == w[:3]
             assert g[3] == pytest.approx(w[3], abs=1e-12)
+
+
+def test_fielded_allow_sets_and_paging(spark, tmp_path):
+    """ACL allow-sets and deep paging on the fielded family, both tiers:
+    (a) Spark bm25f_topk offsets = page slice of the deepened ranking with
+    GLOBAL ranks; (b) FieldedIndexServer.query_batch/merged_batch with
+    allowed_doc_ids ≡ Spark operators with the equivalent allow bitmaps;
+    (c) serving offsets ≡ Spark offsets."""
+    from bloqsenjin_spark.operators.bitmaps import shard_bitmap_df
+    from bloqsenjin_spark.operators.serving import FieldedIndexServer
+    from bloqsenjin_spark.plans import build as B
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idxs = fielded.build_fielded_index(docs, _field_exprs(), CFG)
+    weights = {"title": 2.0, "body": 1.0}
+    queries = [(1, ["the", "fast"], "disjunctive", 4),
+               (2, ["customer", "order"], "conjunctive", 3)]
+    offsets = {1: 3, 2: 2}
+
+    # (a) offsets = slice of the deepened ranking
+    deep = [(q[0], q[1], q[2], q[3] + offsets.get(q[0], 0)) for q in queries]
+    full = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in fielded.bm25f_topk(idxs, deep, weights, CFG).collect()
+    )
+    paged = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in fielded.bm25f_topk(idxs, queries, weights, CFG,
+                                    offsets=offsets).collect()
+    )
+    kmap = {q[0]: q[3] for q in queries}
+    assert paged == [r for r in full
+                     if offsets[r[0]] < r[1] <= offsets[r[0]] + kmap[r[0]]]
+    assert len(paged) > 0
+
+    # serving twins
+    dirs = {}
+    for f, expr in _field_exprs().items():
+        d = str(tmp_path / f"afld_{f}")
+        B.build_index_resumable(
+            docs.select("doc_id", expr.alias("text")), d, CFG)
+        dirs[f] = d
+    doc_dir = str(tmp_path / "afld_doc")
+    B.build_index_resumable(docs, doc_dir, CFG)
+    fsrv = FieldedIndexServer(dirs, CFG, doc_stats_dir=doc_dir)
+    dts = _doc_ts(spark, docs)
+    en_docs = docs.where(F.col("lang") == "en").select("doc_id")
+    allowed = [r["doc_id"] for r in en_docs.collect()]
+    allow_map = shard_bitmap_df(en_docs, CFG, bitmap_col="allow")
+
+    for op, srv_fn, kw in (
+            (fielded.bm25f_topk, fsrv.query_batch, {}),
+            (fielded.bm25f_merged_topk, fsrv.merged_batch,
+             {"doc_term_stats": dts})):
+        # (b) allow-set equality across tiers
+        want = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in op(idxs, queries, weights, cfg=CFG,
+                        allow_map=allow_map, **kw).collect()
+        )
+        got = sorted(srv_fn(queries, weights, allowed_doc_ids=allowed))
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            assert g[:3] == w[:3]
+            assert g[3] == pytest.approx(w[3], abs=1e-12)
+        # (c) paging equality across tiers
+        want_p = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in op(idxs, queries, weights, cfg=CFG,
+                        offsets=offsets, **kw).collect()
+        )
+        got_p = sorted(srv_fn(queries, weights, offsets=offsets))
+        assert len(got_p) == len(want_p) > 0
+        for g, w in zip(got_p, want_p):
+            assert g[:3] == w[:3]
+            assert g[3] == pytest.approx(w[3], abs=1e-12)

@@ -894,3 +894,80 @@ def test_fuzzy_symspell_join_equals_scan_expansion(spark, index_dir):
     fq3 = [(1, "spork", 3, 5)]
     assert wand.expand_fuzzy_terms_with_dist(idx.term_stats, fq3) == \
         wand._expand_fuzzy_scan(idx.term_stats, fq3)
+
+
+def test_paged_composition_forms(spark, index_dir, pos_index_dir):
+    """Deep paging composes with the expansion and phrase families on BOTH
+    tiers: page (offset, offset+k] of each form's ranking with GLOBAL ranks
+    — pinned against the deepened unpaged ranking's slice, and Spark ≡
+    serving."""
+    idx = B.read_index(spark, index_dir, CFG)
+    srv = IndexServer(index_dir, CFG)
+    offsets = {1: 3, 2: 2}
+
+    def page_of(rows, offsets, kmap):
+        return [r for r in rows
+                if offsets.get(r[0], 0) < r[1]
+                <= offsets.get(r[0], 0) + kmap[r[0]]]
+
+    # fuzzy (single + multi) and prefix, serving tier
+    cases = [
+        (lambda off=None: srv.fuzzy_topk_batch(
+            [(1, "spork", 1, 4), (2, "ow", 1, 3)], max_expansions=3,
+            offsets=off),
+         lambda: srv.fuzzy_topk_batch(
+            [(1, "spork", 1, 4 + 3), (2, "ow", 1, 3 + 2)], max_expansions=3),
+         {1: 4, 2: 3}),
+        (lambda off=None: srv.fuzzy_multi_topk_batch(
+            [(1, ["spork", "quary"], 1, 4), (2, ["ow"], 1, 3)],
+            distance_decay=0.5, offsets=off),
+         lambda: srv.fuzzy_multi_topk_batch(
+            [(1, ["spork", "quary"], 1, 7), (2, ["ow"], 1, 5)],
+            distance_decay=0.5),
+         {1: 4, 2: 3}),
+        (lambda off=None: srv.prefix_topk_batch(
+            [(1, "s", 4), (2, "c", 3)], max_expansions=4, offsets=off),
+         lambda: srv.prefix_topk_batch(
+            [(1, "s", 7), (2, "c", 5)], max_expansions=4),
+         {1: 4, 2: 3}),
+    ]
+    for paged_fn, deep_fn, kmap in cases:
+        paged = sorted(paged_fn(offsets))
+        want = sorted(page_of(deep_fn(), offsets, kmap))
+        assert paged == want and len(paged) > 0
+        assert all(r[1] > offsets.get(r[0], 0) for r in paged)  # global ranks
+
+    # fuzzy paged: Spark ≡ serving
+    fq = [(1, "spork", 1, 4), (2, "ow", 1, 3)]
+    spark_rows = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.fuzzy_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, fq, CFG,
+            max_expansions=3, offsets=offsets,
+        ).collect()
+    )
+    got = sorted(srv.fuzzy_topk_batch(fq, max_expansions=3, offsets=offsets))
+    assert len(got) == len(spark_rows) > 0
+    for g, w in zip(got, spark_rows):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-12)
+
+    # phrase paged: Spark ≡ serving ≡ slice of deep
+    pidx = B.read_index(spark, pos_index_dir)
+    psrv = IndexServer(pos_index_dir)
+    phrases = [(1, "the fast", 4), (2, "customer order", 3)]
+    pw = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in wand.phrase_bm25_topk(
+            pidx.postings, pidx.doc_lens, pidx.term_stats, pidx.avgdl,
+            phrases, pidx.cfg, offsets=offsets,
+        ).collect()
+    )
+    pg = sorted(psrv.phrase_topk_batch(phrases, offsets=offsets))
+    deep = psrv.phrase_topk_batch(
+        [(1, "the fast", 7), (2, "customer order", 5)])
+    assert pg == sorted(page_of(deep, offsets, {1: 4, 2: 3}))
+    assert len(pg) == len(pw) > 0
+    for g, w in zip(pg, pw):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-12)
