@@ -81,6 +81,7 @@ class IndexServer:
 
         from bloqsenjin_spark.plans.build import (
             check_index_meta,
+            read_index_content_generation,
             read_index_generation,
         )
 
@@ -90,6 +91,10 @@ class IndexServer:
         # snapshot look older than it is, so the next refresh() reloads —
         # conservative, never stale-forever
         st["generation"] = read_index_generation(index_dir)
+        # content stamp gates the opt-in replicas (doc store, fuzzy
+        # buckets): a replica built before the last CONTENT mutation must
+        # not silently serve old rows (_doc_store_ds / _fuzzy_handle)
+        st["content_generation"] = read_index_content_generation(index_dir)
         st["cfg"] = cfg = check_index_meta(index_dir, self._cfg_arg)
         st["_postings"] = ds.dataset(f"{index_dir}/postings", format="parquet",
                                      partitioning="hive")
@@ -724,8 +729,21 @@ class IndexServer:
 
     def _doc_store_ds(self):
         """Lazy handle on the doc-store replica (loaded per generation —
-        refresh() drops it with the rest of the state)."""
+        refresh() drops it with the rest of the state). Refuses a STALE
+        replica: one built before the last index-content mutation (a
+        streaming compact, rebuild, resume) would silently serve old token
+        rows — fail loudly with the remedy instead. Unstamped (legacy)
+        replicas skip the check."""
         if self._doc_store is None:
+            from bloqsenjin_spark.plans.build import replica_built_generation
+
+            bg = replica_built_generation(self.index_dir, "doc_store_meta")
+            if bg is not None and bg < self.content_generation:
+                raise ValueError(
+                    f"doc_store replica is STALE (built at generation {bg}, "
+                    f"index content at {self.content_generation}) — re-run "
+                    "plans.build.write_doc_store after content mutations"
+                )
             try:
                 self._doc_store = self._ds.dataset(
                     f"{self.index_dir}/doc_store", format="parquet",
@@ -794,6 +812,14 @@ class IndexServer:
                     "SymSpell replica — build it with "
                     "plans.build.write_fuzzy_index(spark, index_dir)"
                 ) from None
+            bg = meta.get("built_generation")
+            if bg and int(bg[0]) < self.content_generation:
+                raise ValueError(
+                    f"fuzzy_index replica is STALE (built at generation "
+                    f"{int(bg[0])}, index content at "
+                    f"{self.content_generation}) — re-run "
+                    "plans.build.write_fuzzy_index after content mutations"
+                )
             self._fuzzy_ds = (fds, int(meta["max_dist"][0]))
         return self._fuzzy_ds
 

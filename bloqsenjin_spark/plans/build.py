@@ -168,7 +168,7 @@ def write_doc_store(
         (F.col(id_col) / cfg.docs_per_shard).cast("int").alias("shard"),
     )
     store.overwrite_shards(df, "doc_store", sort_within="doc_id")
-    write_index_meta(spark, index_dir, cfg)
+    _stamp_replica(spark, index_dir, "doc_store_meta", cfg)
 
 
 def write_fuzzy_index(
@@ -201,14 +201,13 @@ def write_fuzzy_index(
         "term",
     )
     store.overwrite_sorted(fz, "fuzzy_index", "variant")
-    store.overwrite(
-        spark.createDataFrame([(int(max_dist),)], "max_dist int"),
-        "fuzzy_meta", coalesce=1,
-    )
-    write_index_meta(spark, index_dir, check_index_meta(index_dir, None))
+    _stamp_replica(spark, index_dir, "fuzzy_meta",
+                   check_index_meta(index_dir, None),
+                   extra={"max_dist": int(max_dist)})
 
 
-def write_index_meta(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> None:
+def write_index_meta(spark: SparkSession, index_dir: str, cfg: IndexConfig,
+                     content: bool = True) -> None:
     """Persist the layout-defining config WITH the index: decoding with a
     different docs_per_shard/block_docs silently corrupts docIDs, so readers
     load (or validate against) this row instead of trusting their caller.
@@ -217,6 +216,16 @@ def write_index_meta(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> N
     (build, resume, purge, compacted rewrite, logical delete) rewrites the
     meta row, so long-lived servers detect staleness with one tiny read
     (IndexServer.refresh) instead of re-scanning index tables.
+
+    TWO stamps: ``generation`` bumps on EVERY mutation (replica writes
+    included), while ``content_generation`` advances only when
+    ``content=True`` — the mutation changed index CONTENT (build, resume,
+    compact persist, purge), not just an opt-in replica (doc store, fuzzy
+    buckets) or a tombstone append. A replica stamped with the generation
+    it was built at is FRESH iff built_generation >= content_generation —
+    how serving detects stale doc-store/fuzzy replicas after a streaming
+    compact or rebuild instead of silently serving old rows
+    (IndexServer._doc_store_ds / _fuzzy_handle; ops: stale_replicas).
 
     SINGLE-WRITER CONTRACT: the bump is a read-modify-write (read generation,
     +1, overwrite in place) — two CONCURRENT writers can mint the same
@@ -231,14 +240,94 @@ def write_index_meta(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> N
     a mid-load commit makes the snapshot look older, forcing a re-refresh —
     conservative, never stale-forever)."""
     gen = read_index_generation(index_dir) + 1
+    content_gen = gen if content else read_index_content_generation(index_dir)
     S.for_index(spark, index_dir).overwrite(
         spark.createDataFrame(
             [(cfg.docs_per_shard, cfg.block_docs, cfg.k1, cfg.b,
-              cfg.positions, gen)],
+              cfg.positions, gen, content_gen)],
             "docs_per_shard int, block_docs int, k1 double, b double, "
-            "positions boolean, generation long",
+            "positions boolean, generation long, content_generation long",
         ),
         "index_meta",
+    )
+
+
+def read_index_content_generation(index_dir: str) -> int:
+    """Generation of the last index-CONTENT mutation (see write_index_meta).
+    Legacy meta without the column falls back to the plain generation."""
+    if index_dir.startswith(S.ICEBERG_SCHEME):
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return 0
+        try:
+            r = S.for_index(spark, index_dir).read("index_meta").first()
+            return int(r["content_generation"])
+        except Exception:  # noqa: BLE001 — no meta / legacy schema
+            return read_index_generation(index_dir)
+    import pyarrow.dataset as ds
+
+    try:
+        row = ds.dataset(
+            f"{index_dir}/index_meta", format="parquet"
+        ).to_table().to_pydict()
+    except FileNotFoundError:
+        return 0
+    cg = row.get("content_generation")
+    if cg:
+        return int(cg[0])
+    gens = row.get("generation")
+    return int(gens[0]) if gens else 0
+
+
+def replica_built_generation(index_dir: str, meta_table: str) -> "int | None":
+    """built_generation stamp of an opt-in replica (``doc_store_meta`` /
+    ``fuzzy_meta``); None = no stamp (legacy replica or absent table)."""
+    import pyarrow.dataset as ds
+
+    try:
+        row = ds.dataset(
+            f"{index_dir}/{meta_table}", format="parquet"
+        ).to_table().to_pydict()
+    except FileNotFoundError:
+        return None
+    bg = row.get("built_generation")
+    return int(bg[0]) if bg else None
+
+
+def stale_replicas(index_dir: str) -> list[str]:
+    """Names of opt-in replica tables that predate the last index-content
+    mutation — rebuild them with write_doc_store / write_fuzzy_index.
+    Unstamped (legacy) replicas are skipped: their age is unknowable, and
+    their serving reads skip the check symmetrically."""
+    import os
+
+    content = read_index_content_generation(index_dir)
+    out = []
+    for table, meta in (("doc_store", "doc_store_meta"),
+                        ("fuzzy_index", "fuzzy_meta")):
+        if not os.path.exists(f"{index_dir}/{table}"):
+            continue
+        bg = replica_built_generation(index_dir, meta)
+        if bg is not None and bg < content:
+            out.append(table)
+    return out
+
+
+def _stamp_replica(spark: SparkSession, index_dir: str, meta_table: str,
+                   cfg: IndexConfig, extra: "dict | None" = None) -> None:
+    """Bump the index generation WITHOUT advancing content_generation, then
+    stamp the replica's meta with the new generation (fresh by definition:
+    built_generation == generation ≥ content_generation)."""
+    write_index_meta(spark, index_dir, check_index_meta(index_dir, cfg),
+                     content=False)
+    payload = dict(extra or {})
+    payload["built_generation"] = read_index_generation(index_dir)
+    cols = sorted(payload)
+    typed = {"built_generation": "long", "max_dist": "int"}
+    schema = ", ".join(f"{c} {typed.get(c, 'long')}" for c in cols)
+    S.for_index(spark, index_dir).overwrite(
+        spark.createDataFrame([tuple(payload[c] for c in cols)], schema),
+        meta_table, coalesce=1,
     )
 
 

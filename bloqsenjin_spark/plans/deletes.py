@@ -56,7 +56,11 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> None
         [(int(d),) for d in doc_ids], "doc_id long"
     ).write.mode("append").parquet(f"{index_dir}/tombstones")
     try:
-        write_index_meta(spark, index_dir, check_index_meta(index_dir, None))
+        # content=False: tombstones mask at query time in every path (incl.
+        # snippet/fuzzy serving), so opt-in replicas stay valid — only
+        # physical rewrites (purge/rebuild) advance content_generation
+        write_index_meta(spark, index_dir, check_index_meta(index_dir, None),
+                         content=False)
     except FileNotFoundError:
         pass  # pre-meta index: nothing to stamp
 
@@ -286,7 +290,10 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> None:
     all_dlens.repartition(F.col("shard")).write.partitionBy("shard").mode(
         "overwrite"
     ).parquet(f"{index_dir}/doc_lens_new")
-    new_ts.coalesce(8).write.mode("overwrite").parquet(f"{index_dir}/term_stats_new")
+    # term-sorted, like every term_stats write: lazy serving's pruned reads
+    new_ts.repartitionByRange(8, F.col("term")).sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").parquet(f"{index_dir}/term_stats_new")
 
     import os
     import shutil
@@ -339,6 +346,16 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> None:
         "overwrite"
     ).parquet(f"{index_dir}/corpus_stats")
     shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
-    write_index_meta(spark, index_dir, cfg)
+    write_index_meta(spark, index_dir, cfg)  # content bump: docs removed
+    # the doc-store repair above keeps that replica CURRENT through the
+    # purge — re-stamp it fresh; the fuzzy replica is NOT repaired (purge
+    # can shrink the vocabulary), so it correctly reads as stale until
+    # write_fuzzy_index reruns
+    import os as _os
+
+    from bloqsenjin_spark.plans.build import _stamp_replica
+
+    if _os.path.exists(f"{index_dir}/doc_store"):
+        _stamp_replica(spark, index_dir, "doc_store_meta", cfg)
     fixed_dlens.unpersist()
     new_ts.unpersist()

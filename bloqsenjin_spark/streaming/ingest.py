@@ -109,6 +109,26 @@ def compact(
     )
 
 
+def compact_to(
+    spark: SparkSession,
+    segments_dir: str,
+    index_dir: str,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+) -> None:
+    """Persist the merged segments as the serving index (plans.build.
+    write_index) — a CONTENT mutation: both ``generation`` and
+    ``content_generation`` advance, so live IndexServers refresh on their
+    next poll, and opt-in replicas built against the old content (doc
+    store, fuzzy buckets) are REFUSED loudly by their serving paths until
+    rebuilt (plans.build.stale_replicas lists them; write_doc_store /
+    write_fuzzy_index re-stamp them fresh). That is the streaming → replica
+    coherence contract: a compact can never make a snippet or fuzzy path
+    silently serve pre-compact rows."""
+    from bloqsenjin_spark.plans.build import write_index
+
+    write_index(compact(spark, segments_dir, cfg), index_dir)
+
+
 def windowed_event_metrics(
     events: DataFrame,
     window: str = "1 hour",

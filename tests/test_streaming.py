@@ -105,3 +105,64 @@ def test_stream_ingest_idempotent_batch_replay(spark, tmp_path):
         q.awaitTermination(120)
     merged = ingest.compact(spark, seg_dir, CFG)
     assert merged.n_docs == 100
+
+
+def test_replica_coherence_after_compact(spark, tmp_path):
+    """Streaming → replica coherence: a compact that rewrites index content
+    must never let serving silently read pre-compact replica rows. Flow:
+    build + doc-store + fuzzy replicas → serve OK; append a batch and
+    compact_to the same dir → snippet/fuzzy serving REFUSES the stale
+    replicas with the remedy (stale_replicas names them); rebuild the
+    replicas → serving answers from the NEW corpus. Logical deletes, by
+    contrast, do NOT stale replicas (tombstones mask at query time)."""
+    from bloqsenjin_spark.operators.serving import IndexServer
+    from bloqsenjin_spark.plans import deletes as D
+
+    cfg = IndexConfig(docs_per_shard=64, block_docs=8, positions=True)
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx_dir = str(tmp_path / "idx")
+    first = docs.where(F.col("doc_id") < 250)
+    B.build_index_resumable(first, idx_dir, cfg)
+    B.write_doc_store(first, idx_dir, cfg)
+    B.write_fuzzy_index(spark, idx_dir, max_dist=1)
+    assert B.stale_replicas(idx_dir) == []
+
+    srv = IndexServer(idx_dir, cfg)
+    qs = [(1, ["the", "fast"], "disjunctive", 5)]
+    assert srv.snippet_batch(qs)  # fresh replica serves
+    lazy = IndexServer(idx_dir, cfg, stats_mode="lazy")
+    assert lazy.fuzzy_topk_batch([(1, "spork", 1, 5)])
+
+    # a logical delete is NOT a content mutation for the replicas
+    D.delete_docs(spark, idx_dir, [0])
+    srv.refresh()
+    assert B.stale_replicas(idx_dir) == []
+    assert srv.snippet_batch(qs)
+
+    # append a batch via streaming segments, compact INTO the serving dir
+    in_dir, seg_dir, ck_dir = (str(tmp_path / d) for d in ("in", "seg", "ck"))
+    first.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    ingest.start_ingest(spark, in_dir, seg_dir, ck_dir, cfg=cfg).awaitTermination(120)
+    docs.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(in_dir)
+    ingest.start_ingest(spark, in_dir, seg_dir, ck_dir, cfg=cfg).awaitTermination(120)
+    ingest.compact_to(spark, seg_dir, idx_dir, cfg)
+
+    assert sorted(B.stale_replicas(idx_dir)) == ["doc_store", "fuzzy_index"]
+    srv.refresh()
+    with pytest.raises(ValueError, match="STALE.*write_doc_store"):
+        srv.snippet_batch(qs)
+    lazy.refresh()
+    with pytest.raises(ValueError, match="STALE.*write_fuzzy_index"):
+        lazy.fuzzy_topk_batch([(1, "spork", 1, 5)])
+
+    # rebuild the replicas → fresh again, serving covers the NEW docs
+    B.write_doc_store(docs, idx_dir, cfg)
+    B.write_fuzzy_index(spark, idx_dir, max_dist=1)
+    assert B.stale_replicas(idx_dir) == []
+    srv.refresh()
+    rows = srv.snippet_batch([(1, ["the"], "disjunctive", 300)])
+    assert any(doc >= 250 for _q, _r, doc, _s, _p, _sn in rows)
+    lazy.refresh()
+    assert lazy.fuzzy_topk_batch([(1, "spork", 1, 5)])
