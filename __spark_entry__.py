@@ -350,10 +350,28 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+_ANN_ALLOW_PRED = "vec_id % 3 <> 0"  # the filtered-search eligibility rule
+
+
+def _ann_tagged(plain: DataFrame, filt: DataFrame) -> DataFrame:
+    return (
+        plain.withColumn("variant", F.lit("all"))
+        .unionByName(filt.withColumn("variant", F.lit("filt")))
+        .select("variant", "query_id", "rank", "vec_id",
+                F.round("score", _R).alias("score"))
+    )
+
+
 def _q_cosine_topk(spark, sf_dir):
+    """Exact cosine top-k + FILTERED vector search (eligibility semi-join
+    BEFORE top-k — exact within the allowed set, scores unchanged)."""
     emb = corpus.load_table(spark, sf_dir, "embeddings")
-    r = similarity.cosine_topk(emb, _ANN_QUERY_IDS, k=_ANN_K)
-    return r.withColumn("score", F.round("score", _R))
+    return _ann_tagged(
+        similarity.cosine_topk(emb, _ANN_QUERY_IDS, k=_ANN_K),
+        similarity.cosine_topk(
+            emb, _ANN_QUERY_IDS, k=_ANN_K,
+            allowed=emb.where(F.expr(_ANN_ALLOW_PRED))),
+    )
 
 
 def _q_ann_lsh(spark, sf_dir):
@@ -365,11 +383,16 @@ def _q_ann_lsh(spark, sf_dir):
 
 def _q_ann_ivf(spark, sf_dir):
     """IVF with full probe (n_probe == n_centroids) is EXACT ⇒ reuses the
-    brute-force SQL oracle; the pruned-probe recall path is pytest-covered."""
+    brute-force SQL oracle (plain + filtered branches); the pruned-probe
+    recall path is pytest-covered."""
     emb = corpus.load_table(spark, sf_dir, "embeddings")
-    r = similarity.ann_cosine_ivf(emb, _ANN_QUERY_IDS, k=_ANN_K,
-                                  n_centroids=8, n_probe=8)
-    return r.withColumn("score", F.round("score", _R))
+    return _ann_tagged(
+        similarity.ann_cosine_ivf(emb, _ANN_QUERY_IDS, k=_ANN_K,
+                                  n_centroids=8, n_probe=8),
+        similarity.ann_cosine_ivf(emb, _ANN_QUERY_IDS, k=_ANN_K,
+                                  n_centroids=8, n_probe=8,
+                                  allowed=emb.where(F.expr(_ANN_ALLOW_PRED))),
+    )
 
 
 def _q_ann_serving(spark, sf_dir):
@@ -386,11 +409,17 @@ def _q_ann_serving(spark, sf_dir):
     build_index_resumable(_docs(spark, sf_dir), d, _SF_CFG)
     emb = corpus.load_table(spark, sf_dir, "embeddings")
     similarity.write_ivf(emb, d, n_centroids=8)
-    rows = IndexServer(d, _SF_CFG).ann_batch(_ANN_QUERY_IDS, k=_ANN_K, n_probe=8)
-    df = spark.createDataFrame(
-        rows, "query_id long, rank int, vec_id long, score double"
+    srv = IndexServer(d, _SF_CFG)
+    allowed = [r["vec_id"] for r in
+               emb.where(F.expr(_ANN_ALLOW_PRED)).select("vec_id").collect()]
+    schema = "query_id long, rank int, vec_id long, score double"
+    return _ann_tagged(
+        spark.createDataFrame(
+            srv.ann_batch(_ANN_QUERY_IDS, k=_ANN_K, n_probe=8), schema),
+        spark.createDataFrame(
+            srv.ann_batch(_ANN_QUERY_IDS, k=_ANN_K, n_probe=8,
+                          allowed_vec_ids=allowed), schema),
     )
-    return df.withColumn("score", F.round("score", _R))
 
 
 def _q_asset_metadata(spark, sf_dir):
@@ -713,6 +742,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _ann_oracle_tagged() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS variant, * FROM (\n"
+        + oracle.cosine_topk_sql(_ANN_QUERY_IDS, _ANN_K, allowed_pred=pred)
+        + "\n)"
+        for tag, pred in (("all", None), ("filt", "b." + _ANN_ALLOW_PRED))
+    )
+
+
 _BM25F_FIELD_TOKS = {"title": "list_slice(toks, 1, 5)",
                      "body": "list_slice(toks, 6, len(toks))"}
 
@@ -804,10 +842,10 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oracle.quality_score_sql(STOPWORDS),
         "text_lang_id": oracle.lang_id_sql(LANG_MARKERS),
         "text_fingerprint": oracle.fingerprint_sql(),
-        "sim_cosine_topk": oracle.cosine_topk_sql(_ANN_QUERY_IDS, _ANN_K),
+        "sim_cosine_topk": _ann_oracle_tagged(),
         # sim_ann_lsh: rows-only (approximate; recall covered in pytest)
-        "sim_ann_ivf_fullprobe": oracle.cosine_topk_sql(_ANN_QUERY_IDS, _ANN_K),
-        "sim_ann_serving": oracle.cosine_topk_sql(_ANN_QUERY_IDS, _ANN_K),
+        "sim_ann_ivf_fullprobe": _ann_oracle_tagged(),
+        "sim_ann_serving": _ann_oracle_tagged(),
         "mm_asset_metadata": oracle.asset_metadata_sql(),
         "mm_fake_features": oracle.fake_features_sql(),
         "mm_decode_pixels": oracle.decode_pixels_sql(),

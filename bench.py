@@ -236,18 +236,34 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
             n_centroids=16,
         )
         ivf_build = time.perf_counter() - t0
-        srv.refresh()  # write_ivf bumped the generation
+        # on-disk SymSpell replica: feeds the lazy-stats serving forms below
+        t0 = time.perf_counter()
+        B.write_fuzzy_index(spark, idx_dir, max_dist=1)
+        fuzzy_idx_build = time.perf_counter() - t0
+        srv.refresh()  # write_ivf/write_fuzzy_index bumped the generation
+        # lazy-stats server: NO vocabulary residency — measures the latency
+        # price of per-batch pruned stats reads vs the eager dict replica
+        lazy_srv = IndexServer(idx_dir, cfg, stats_mode="lazy")
         prefix_qs = [(1, "s", 10), (2, "c", 10)]
         ann_ids = list(range(10))
         fuzzy_qs = [(1, "spork", 1, 10), (2, "custmer", 1, 10)]
+        fuzzy_multi_qs = [(1, ["spork", "custmer"], 1, 10),
+                          (2, ["qury", "ordr"], 1, 10)]
         sf_runs = {
             "count": lambda: srv.count_batch(corpus.REFERENCE_QUERIES),
             "prefix": lambda: srv.prefix_topk_batch(prefix_qs, max_expansions=8),
             "fuzzy": lambda: srv.fuzzy_topk_batch(fuzzy_qs, max_expansions=8),
+            "fuzzy_multi": lambda: srv.fuzzy_multi_topk_batch(
+                fuzzy_multi_qs, max_expansions=8, distance_decay=0.5),
             "boolean": lambda: srv.query_batch(boolean_qs),
             "paged": lambda: srv.paged_batch(
                 corpus.REFERENCE_QUERIES, {q[0]: 10 for q in corpus.REFERENCE_QUERIES}),
             "ann": lambda: srv.ann_batch(ann_ids, k=5, n_probe=4),
+            "query_lazy": lambda: lazy_srv.query_batch(corpus.REFERENCE_QUERIES),
+            "prefix_lazy": lambda: lazy_srv.prefix_topk_batch(
+                prefix_qs, max_expansions=8),
+            "fuzzy_lazy": lambda: lazy_srv.fuzzy_topk_batch(
+                fuzzy_qs, max_expansions=8),
         }
         sf_ts: dict[str, list[float]] = {k: [] for k in sf_runs}
         for fn in sf_runs.values():
@@ -259,6 +275,7 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
                 sf_ts[name].append(time.perf_counter() - t0)
         serving_forms = {k: round(min(v), 5) for k, v in sf_ts.items()}
         serving_forms["ivf_build_sec"] = round(ivf_build, 3)
+        serving_forms["fuzzy_index_build_sec"] = round(fuzzy_idx_build, 3)
 
         # ---- fuzzy expansion scaling: SymSpell vs full scan, two vocab sizes -
         # The round-4 weak spot was a per-word full-dictionary Levenshtein

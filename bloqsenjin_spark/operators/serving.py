@@ -982,6 +982,7 @@ class IndexServer:
 
     def ann_batch(
         self, query_ids: list[int], k: int = 5, n_probe: int = 4,
+        allowed_vec_ids=None,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, vec_id, score)] — IVF approximate-nearest-
         neighbor WITHOUT a Spark job: probe each query's n_probe nearest
@@ -992,7 +993,15 @@ class IndexServer:
         path; at equal n_probe it is rank-identical to the Spark
         ann_cosine_ivf (same deterministic centroids) — both pytest-pinned."""
         if not self._is_snap:
-            return self._snap().ann_batch(query_ids, k=k, n_probe=n_probe)
+            return self._snap().ann_batch(query_ids, k=k, n_probe=n_probe,
+                                          allowed_vec_ids=allowed_vec_ids)
+        # filtered ANN: eligibility masks candidates BEFORE top-k (exact
+        # within the allowed set — never over-fetch-and-post-filter)
+        allow = (
+            np.unique(np.fromiter((int(i) for i in allowed_vec_ids),
+                                  dtype=np.int64))
+            if allowed_vec_ids is not None else None
+        )
         cents, vds = self._ann_tables()
         ids = sorted({int(i) for i in query_ids})
         qt = vds.to_table(
@@ -1025,6 +1034,8 @@ class IndexServer:
         out: list[tuple[int, int, int, float]] = []
         for qid, cells in probes.items():
             sel = np.isin(clus, cells) & (vid != qid)
+            if allow is not None:
+                sel &= np.isin(vid, allow)
             if not sel.any():
                 continue
             q = qv[qid]

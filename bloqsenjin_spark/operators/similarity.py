@@ -34,15 +34,35 @@ def _cosine(a, b) -> F.Column:
     return dot / (na * nb)
 
 
+def _allowed_only(base: DataFrame, allowed: "DataFrame | None",
+                  allowed_col: str) -> DataFrame:
+    """Restrict the CANDIDATE vectors to an eligibility set (filtered vector
+    search): a left-semi join BEFORE scoring/top-k — exact, never the
+    over-fetch-and-post-filter approximation, and scores are unchanged
+    (eligibility filters candidates, not the similarity model). Query
+    vectors are read from the unfiltered table (a query need not be
+    eligible as a result)."""
+    if allowed is None:
+        return base
+    return base.join(
+        allowed.select(F.col(allowed_col).alias("vec_id")), "vec_id",
+        "left_semi",
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: "DataFrame | None" = None,
+    allowed_col: str = "vec_id",
 ) -> DataFrame:
     """→ (query_id, rank, vec_id, score): exact top-k cosine neighbors of each
-    query vector (self-matches excluded). Ties: score desc, vec_id asc."""
+    query vector (self-matches excluded). Ties: score desc, vec_id asc.
+    ``allowed``: optional eligibility relation → filtered vector search
+    (see _allowed_only)."""
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -51,7 +71,7 @@ def cosine_topk(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     scored = (
-        base.crossJoin(F.broadcast(q))
+        _allowed_only(base, allowed, allowed_col).crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", _cosine(F.col("qv"), F.col("v")).alias("score"))
     )
@@ -120,11 +140,16 @@ def ann_cosine_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: "DataFrame | None" = None,
+    allowed_col: str = "vec_id",
 ) -> DataFrame:
     """IVF ANN: probe the query's n_probe nearest centroid cells, exact
     re-score of in-cell candidates, top-k. At scale the assignment table is
     the partitioning key of the vector store (cluster-pruned scans); recall
-    grows with n_probe (n_probe == n_centroids → exact brute force)."""
+    grows with n_probe (n_probe == n_centroids → exact brute force).
+    ``allowed``: optional eligibility relation — candidates are semi-joined
+    BEFORE re-scoring (filtered ANN; cell probing is unaffected, so recall
+    within the allowed set is ≥ the unfiltered bound)."""
     cents = ivf_centroids(embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
     base = embeddings.select(
@@ -148,7 +173,8 @@ def ann_cosine_ivf(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     scored = (
-        base.join(F.broadcast(probes), "cluster")
+        _allowed_only(base, allowed, allowed_col)
+        .join(F.broadcast(probes), "cluster")
         .where(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(q), "query_id")
         .select("query_id", "vec_id", _cosine(F.col("qv"), F.col("v")).alias("score"))
@@ -319,11 +345,15 @@ def ann_cosine_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = _SEED,
+    allowed: "DataFrame | None" = None,
+    allowed_col: str = "vec_id",
 ) -> DataFrame:
     """→ (query_id, rank, vec_id, score): approximate top-k — candidates from
     banded LSH bucket joins, exact cosine re-score, top-k. Approximate by
     construction; recall floor is property-tested, and every returned score
-    is exact (re-scored), so precision of returned pairs is 1."""
+    is exact (re-scored), so precision of returned pairs is 1.
+    ``allowed``: optional eligibility semi-join on candidates (filtered
+    ANN, same contract as ann_cosine_ivf)."""
     sig = lsh_signatures(embeddings, bands, bits_per_band, id_col, vec_col, seed)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
@@ -342,7 +372,7 @@ def ann_cosine_lsh(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     scored = (
-        cand.join(base, "vec_id")
+        _allowed_only(cand, allowed, allowed_col).join(base, "vec_id")
         .join(F.broadcast(q), "query_id")
         .select("query_id", "vec_id", _cosine(F.col("qv"), F.col("v")).alias("score"))
     )

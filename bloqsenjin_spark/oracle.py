@@ -956,8 +956,13 @@ def fingerprint_sql() -> str:
 # ---- similarity ----------------------------------------------------------------
 
 def cosine_topk_sql(query_ids: list[int], k: int,
-                    round_to: int = SCORE_ROUND_DECIMALS) -> str:
+                    round_to: int = SCORE_ROUND_DECIMALS,
+                    allowed_pred: "str | None" = None) -> str:
+    """``allowed_pred``: optional SQL predicate over the CANDIDATE side
+    (filtered vector search — eligibility restricted, scores unchanged;
+    query vectors stay unrestricted), e.g. ``vec_id % 3 <> 0``."""
     ids = ", ".join(str(i) for i in query_ids)
+    allow = f" AND ({allowed_pred})" if allowed_pred else ""
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN ({ids})),
@@ -967,7 +972,7 @@ scored AS (
              / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v)))
              AS score
     FROM base b CROSS JOIN q
-    WHERE b.vec_id <> q.query_id
+    WHERE b.vec_id <> q.query_id{allow}
 ),
 ranked AS (
     SELECT query_id, vec_id, score,

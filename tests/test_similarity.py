@@ -183,3 +183,73 @@ def test_ivf_append_drift_triggers_recluster(spark, tmp_path):
     extra = [(5000, [float(x) for x in rs.standard_normal(8)])]
     assert similarity.append_ivf(
         spark.createDataFrame(extra, schema), d, skew_threshold=1e9) is False
+
+
+def test_filtered_vector_search(spark, emb, tmp_path):
+    """Filtered vector search: eligibility semi-joined BEFORE top-k — exact
+    within the allowed set (equals brute force over the allowed candidates,
+    never over-fetch-and-post-filter), across brute/IVF-full-probe/serving;
+    LSH respects the filter on its candidates."""
+    from pyspark.sql import functions as F
+
+    from bloqsenjin_spark.operators.serving import IndexServer
+    from bloqsenjin_spark.operators.similarity import (
+        ann_cosine_ivf,
+        ann_cosine_lsh,
+        cosine_topk,
+        write_ivf,
+    )
+
+    qids = list(range(8))
+    pred = F.expr("vec_id % 3 <> 0")
+    allowed_df = emb.where(pred)
+    allowed = {r["vec_id"] for r in allowed_df.select("vec_id").collect()}
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    want = rows(cosine_topk(emb, qids, k=5, allowed=allowed_df))
+    assert want and all(v in allowed for _q, _r, v, _s in want)
+    # independent derivation: brute force over the pre-filtered table, with
+    # query vectors taken from the UNFILTERED table (queries 0,3,6 are not
+    # themselves eligible but still query)
+    assert 0 not in allowed
+    full = rows(cosine_topk(emb, qids, k=10_000))
+    refil = {}
+    for q, _r, v, s in full:
+        if v in allowed:
+            refil.setdefault(q, []).append((-s, v))
+    manual = []
+    for q, cands in refil.items():
+        for rank, (ns, v) in enumerate(sorted(cands)[:5], 1):
+            manual.append((q, rank, v, -ns))
+    assert want == sorted(manual)
+
+    # IVF full probe filtered == brute filtered
+    got_ivf = rows(ann_cosine_ivf(emb, qids, k=5, n_centroids=8, n_probe=8,
+                                  allowed=allowed_df))
+    assert got_ivf == want
+
+    # serving filtered == brute filtered (full probe); the vector replica
+    # lives inside an index dir (the write_ivf layout)
+    from bloqsenjin_spark.config import IndexConfig
+    from bloqsenjin_spark.plans.build import build_index_resumable
+
+    d = str(tmp_path / "fann")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    build_index_resumable(docs.limit(50), d,
+                          IndexConfig(docs_per_shard=64, block_docs=8))
+    write_ivf(emb, d, n_centroids=8)
+    got_srv = sorted(
+        (q, r, v, round(s, 9))
+        for q, r, v, s in IndexServer(d).ann_batch(
+            qids, k=5, n_probe=8, allowed_vec_ids=sorted(allowed))
+    )
+    assert got_srv == want
+
+    # LSH: approximate, but every returned candidate honors the filter
+    got_lsh = rows(ann_cosine_lsh(emb, qids, k=5, allowed=allowed_df))
+    assert got_lsh and all(v in allowed for _q, _r, v, _s in got_lsh)

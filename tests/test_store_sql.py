@@ -51,6 +51,14 @@ class FakeDF:
         self.repartitioned = True
         return self
 
+    def repartitionByRange(self, n, col):
+        self.range_partitioned = (n, str(col))
+        return self
+
+    def sortWithinPartitions(self, col):
+        self.sorted_within = col
+        return self
+
     def coalesce(self, n):
         self.coalesced = n
         return self
@@ -190,3 +198,20 @@ def test_for_index_requires_runtime_on_real_session(spark):
     iceberg:// index_dir must fail loudly at the seam, not deep in a write."""
     with pytest.raises(RuntimeError, match="Iceberg runtime"):
         for_index(spark, f"{ICEBERG_SCHEME}cat.db.idx")
+
+
+def test_overwrite_sorted_range_partitioned_snapshot_commit(spark):
+    # (real session fixture only because F.col needs an active SparkContext)
+    """overwrite_sorted (term-/variant-sorted replicas: term_stats, the
+    SymSpell fuzzy_index) range-partitions on the sort column, sorts within
+    files, and replaces the table as ONE snapshot commit — file-level column
+    stats then give Iceberg the same point/range-read pruning the parquet
+    backend gets from row-group min/max."""
+    spark, store = _store()
+    df = FakeDF(spark)
+    store.overwrite_sorted(df, "term_stats", "term", n_files=8)
+    assert df.range_partitioned[0] == 8
+    assert df.sorted_within == "term"
+    assert spark.writes == [
+        (f"{NS}_term_stats", ["using(iceberg)", "createOrReplace"])
+    ]
