@@ -191,6 +191,14 @@ def bm25f_topk(
     # default), enabled by grouping composite keys by their plain term in
     # the kernel (conj_groups); the all-in-ONE-field reading remains
     # expressible as a per-field bm25_wand_topk conjunctive query.
+    # MUST_NOT (5-tuples, PLAIN neg terms): a doc is excluded when a neg
+    # term occurs in ANY field — negs expand to composite keys, and their
+    # postings must join the pushed scan filter (no idf needed: exclusion
+    # only reads doc ids)
+    neg_terms = sorted(
+        {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
+    )
+    scan_terms = sorted(set(all_terms) | set(neg_terms))
     _off = offsets or {}
     comp_queries = [
         (
@@ -200,13 +208,15 @@ def bm25f_topk(
             # deep paging: shard partials must keep offset+k rows for page
             # exactness (bm25_topk_paged's argument)
             int(q[3]) + int(_off.get(int(q[0]), 0)),
-            (),
+            tuple(f"{f}{_SEP}{t}" for f in fields
+                  for t in sorted(set(q[4])))
+            if len(q) > 4 and q[4] else (),
             {f"{f}{_SEP}{t}": weights[f]
              for f in fields for t in sorted(set(q[1]))},
         )
         for q in queries
     ]
-    conj_groups = {f"{f}{_SEP}{t}": t for f in fields for t in all_terms}
+    conj_groups = {f"{f}{_SEP}{t}": t for f in fields for t in scan_terms}
 
     pq = reduce(
         lambda a, b: a.unionByName(b),
@@ -215,7 +225,7 @@ def bm25f_topk(
                 "term", "shard", "block_id", "block_max_score",
                 "doc_deltas", "tfs",
             )
-            .where(F.col("term").isin(all_terms))
+            .where(F.col("term").isin(scan_terms))
             .withColumn("field", F.lit(f))
             for f in fields
         ],
@@ -333,6 +343,12 @@ def bm25f_merged_topk(
     for q in queries:
         if q[2] not in ("disjunctive", "conjunctive"):
             raise ValueError(f"unknown query mode {q[2]!r}")
+        if len(q) > 4 and q[4]:
+            raise ValueError(
+                "merged BM25F has no MUST_NOT surface (4-tuple queries "
+                "only) — use bm25f_topk, or anti-join the neg terms' match "
+                "set (COMPOSITION.md note 7)"
+            )
     unknown = set(field_weights) - set(fields)
     if unknown:
         raise ValueError(

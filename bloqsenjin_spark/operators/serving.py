@@ -431,6 +431,7 @@ class IndexServer:
     def prefix_topk_batch(
         self, prefix_queries: list[tuple[int, str, int]],
         max_expansions: int = 100, allowed_doc_ids=None, offsets=None,
+        must_not=None,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — prefix-expanded top-k,
         rank-identical to operators/wand.prefix_bm25_topk on the same index.
@@ -442,14 +443,17 @@ class IndexServer:
         if not self._is_snap:
             return self._snap().prefix_topk_batch(
                 prefix_queries, max_expansions=max_expansions,
-                allowed_doc_ids=allowed_doc_ids, offsets=offsets)
+                allowed_doc_ids=allowed_doc_ids, offsets=offsets,
+                must_not=must_not)
+        negs = must_not or {}
         queries = []
         for qid, prefix, k in prefix_queries:
             cands = self._prefix_candidates(str(prefix))
             cands.sort(key=lambda td: (-td[1], td[0]))
             terms = [t for t, _d in cands[:max_expansions]]
             if terms:
-                queries.append((int(qid), terms, "disjunctive", int(k)))
+                queries.append((int(qid), terms, "disjunctive", int(k),
+                                tuple(negs.get(int(qid), ()))))
         if not queries:
             return []
         if offsets:  # deep paging over the expanded batch (paged_batch rule)
@@ -874,6 +878,7 @@ class IndexServer:
     def fuzzy_topk_batch(
         self, fuzzy_queries: list[tuple[int, str, int, int]],
         max_expansions: int = 50, allowed_doc_ids=None, offsets=None,
+        must_not=None,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — typo-tolerant top-k,
         rank-identical to operators/wand.fuzzy_bm25_topk on the same index.
@@ -886,7 +891,9 @@ class IndexServer:
         if not self._is_snap:
             return self._snap().fuzzy_topk_batch(
                 fuzzy_queries, max_expansions=max_expansions,
-                allowed_doc_ids=allowed_doc_ids, offsets=offsets)
+                allowed_doc_ids=allowed_doc_ids, offsets=offsets,
+                must_not=must_not)
+        negs = must_not or {}
         queries = []
         for qid, word, max_dist, k in fuzzy_queries:
             terms = [
@@ -894,7 +901,8 @@ class IndexServer:
                     str(word), int(max_dist), max_expansions)
             ]
             if terms:
-                queries.append((int(qid), terms, "disjunctive", int(k)))
+                queries.append((int(qid), terms, "disjunctive", int(k),
+                                tuple(negs.get(int(qid), ()))))
         if not queries:
             return []
         if offsets:
@@ -924,7 +932,7 @@ class IndexServer:
     def fuzzy_multi_topk_batch(
         self, multi_queries: list[tuple[int, list[str], int, int]],
         max_expansions: int = 50, distance_decay: "float | None" = None,
-        allowed_doc_ids=None, offsets=None,
+        allowed_doc_ids=None, offsets=None, must_not=None,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — MULTI-word typo-tolerant
         top-k ((query_id, [words], max_dist, k)), rank-identical to
@@ -946,14 +954,17 @@ class IndexServer:
             return self._snap().fuzzy_multi_topk_batch(
                 multi_queries, max_expansions=max_expansions,
                 distance_decay=distance_decay,
-                allowed_doc_ids=allowed_doc_ids, offsets=offsets)
+                allowed_doc_ids=allowed_doc_ids, offsets=offsets,
+                must_not=must_not)
+        negs_map = must_not or {}
         queries = []
         for qid, words, max_dist, k in multi_queries:
             exps = [
                 self._fuzzy_expansion(str(w), int(max_dist), max_expansions)
                 for w in words
             ]
-            q = _compose_fuzzy_multi(exps, int(qid), int(k), distance_decay)
+            q = _compose_fuzzy_multi(exps, int(qid), int(k), distance_decay,
+                                     negs=negs_map.get(int(qid), ()))
             if q is not None:
                 queries.append(q)
         if not queries:
@@ -1222,7 +1233,13 @@ class FieldedIndexServer:
         snaps = {f: s._snap() for f, s in self.servers.items()}
         allow_masks = snaps[self.fields[0]]._allow_masks(allowed_doc_ids)
         all_terms = sorted({t for q in queries for t in q[1]})
-        comp, shards, bids, bmax, deltas, tfs = self._field_rows(snaps, all_terms)
+        # MUST_NOT (5-tuples, plain terms): neg postings must be loaded too
+        neg_terms = sorted(
+            {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
+        )
+        scan_terms = sorted(set(all_terms) | set(neg_terms))
+        comp, shards, bids, bmax, deltas, tfs = self._field_rows(
+            snaps, scan_terms)
         if comp.size == 0:
             return []
         idf_map = {
@@ -1238,7 +1255,9 @@ class FieldedIndexServer:
                  for t in sorted(set(q[1]))],
                 q[2],
                 int(q[3]),
-                (),
+                tuple(f"{f}{self._SEP}{t}" for f in self.fields
+                      for t in sorted(set(q[4])))
+                if len(q) > 4 and q[4] else (),
                 {f"{f}{self._SEP}{t}": weights[f]
                  for f in self.fields for t in sorted(set(q[1]))},
             )
@@ -1247,7 +1266,7 @@ class FieldedIndexServer:
         # document-level conjunctive ("every term in SOME field"): composite
         # keys group by their plain term inside the shared kernel
         conj_groups = {
-            f"{f}{self._SEP}{t}": t for f in self.fields for t in all_terms
+            f"{f}{self._SEP}{t}": t for f in self.fields for t in scan_terms
         }
         q_parts, d_parts, s_parts = [], [], []
         for shard in np.unique(shards):
@@ -1289,6 +1308,13 @@ class FieldedIndexServer:
                 "documents) for the document-level idf"
             )
         weights = self._validate(queries, field_weights)
+        for q in queries:
+            if len(q) > 4 and q[4]:
+                raise ValueError(
+                    "merged BM25F has no MUST_NOT surface (4-tuple queries "
+                    "only) — use query_batch, or anti-join the neg terms' "
+                    "match set (COMPOSITION.md note 7)"
+                )
         if offsets:
             kmap = {int(q[0]): int(q[3]) for q in queries}
             deep = [(q[0], q[1], q[2],

@@ -801,6 +801,7 @@ def prefix_bm25_topk(
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
     offsets: "dict[int, int] | None" = None,
+    must_not: "dict[int, list[str]] | None" = None,
 ) -> DataFrame:
     """Prefix-expanded disjunctive top-k (the PrefixQuery/wildcard analog):
     each prefix expands to its matching vocabulary terms — capped at
@@ -816,8 +817,10 @@ def prefix_bm25_topk(
     if len({q[0] for q in prefix_queries}) != len(prefix_queries):
         raise ValueError("duplicate query_ids in prefix_queries")
     exp = expand_prefix_terms(term_stats, prefix_queries, max_expansions)
+    negs = must_not or {}
     queries = [
-        (int(qid), exp[int(qid)], "disjunctive", int(k))
+        (int(qid), exp[int(qid)], "disjunctive", int(k),
+         tuple(negs.get(int(qid), ())))
         for qid, _p, k in prefix_queries
         if exp.get(int(qid))
     ]
@@ -1015,6 +1018,7 @@ def fuzzy_bm25_topk(
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
     offsets: "dict[int, int] | None" = None,
+    must_not: "dict[int, list[str]] | None" = None,
 ) -> DataFrame:
     """Typo-tolerant top-k (the FuzzyQuery analog): ``(query_id, word,
     max_dist, k)`` expands to vocabulary terms within ``max_dist`` edits —
@@ -1024,8 +1028,10 @@ def fuzzy_bm25_topk(
     if len({q[0] for q in fuzzy_queries}) != len(fuzzy_queries):
         raise ValueError("duplicate query_ids in fuzzy_queries")
     exp = expand_fuzzy_terms(term_stats, fuzzy_queries, max_expansions)
+    negs = must_not or {}
     queries = [
-        (int(qid), exp[int(qid)], "disjunctive", int(k))
+        (int(qid), exp[int(qid)], "disjunctive", int(k),
+         tuple(negs.get(int(qid), ())))
         for qid, _w, _d, k in fuzzy_queries
         if exp.get(int(qid))
     ]
@@ -1039,7 +1045,7 @@ def fuzzy_bm25_topk(
 
 
 def _compose_fuzzy_multi(expansions_per_word, qid: int, k: int,
-                         distance_decay: "float | None"):
+                         distance_decay: "float | None", negs=()):
     """Compose per-word (term, dist) expansion lists into ONE disjunctive
     kernel query tuple: union of the words' expansion sets, per-term MIN
     distance across words, optional per-term boost = decay ** min_dist
@@ -1055,10 +1061,13 @@ def _compose_fuzzy_multi(expansions_per_word, qid: int, k: int,
     if not best:
         return None
     terms = sorted(best)
+    negs = tuple(negs)
     if distance_decay is None:
-        return (int(qid), terms, "disjunctive", int(k))
+        if not negs:
+            return (int(qid), terms, "disjunctive", int(k))
+        return (int(qid), terms, "disjunctive", int(k), negs)
     return (
-        int(qid), terms, "disjunctive", int(k), (),
+        int(qid), terms, "disjunctive", int(k), negs,
         {t: float(distance_decay) ** best[t] for t in terms},
     )
 
@@ -1075,6 +1084,7 @@ def fuzzy_multi_bm25_topk(
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
     offsets: "dict[int, int] | None" = None,
+    must_not: "dict[int, list[str]] | None" = None,
 ) -> DataFrame:
     """MULTI-word typo-tolerant top-k — ``(query_id, [words], max_dist, k)``,
     the real-user form of fuzzy search ("helo wrold"): each word expands
@@ -1113,10 +1123,12 @@ def fuzzy_multi_bm25_topk(
     per_query: dict[int, list[list[tuple[str, int]]]] = {}
     for sid, qi in enumerate(owner):
         per_query.setdefault(qi, []).append(exp.get(sid, []))
+    negs_map = must_not or {}
     queries = []
     for qi, (qid, _words, _d, k) in enumerate(multi_queries):
         q = _compose_fuzzy_multi(
-            per_query.get(qi, []), int(qid), int(k), distance_decay
+            per_query.get(qi, []), int(qid), int(k), distance_decay,
+            negs=negs_map.get(int(qid), ()),
         )
         if q is not None:
             queries.append(q)

@@ -640,3 +640,60 @@ def test_fielded_allow_sets_and_paging(spark, tmp_path):
         for g, w in zip(got_p, want_p):
             assert g[:3] == w[:3]
             assert g[3] == pytest.approx(w[3], abs=1e-12)
+
+
+def test_fielded_must_not(spark, tmp_path):
+    """MUST_NOT on the per-field-sum fielded model (5-tuples, PLAIN neg
+    terms): a doc is excluded when a neg term occurs in ANY field — Spark ≡
+    serving, exclusion verified against the corpus; the merged model
+    refuses 5-tuples loudly with the documented workaround."""
+    import re as _re
+
+    from bloqsenjin_spark.operators.serving import FieldedIndexServer
+    from bloqsenjin_spark.plans import build as B
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idxs = fielded.build_fielded_index(docs, _field_exprs(), CFG)
+    weights = {"title": 2.0, "body": 1.0}
+    queries = [(1, ["the", "fast"], "disjunctive", 8, ["order"]),
+               (2, ["customer", "order"], "conjunctive", 8, ["slow"])]
+    neg_docs = {
+        t: {r["doc_id"] for r in docs.collect()
+            if t in _re.split("[^a-z0-9]+", (r["text"] or "").lower())}
+        for t in ("order", "slow")
+    }
+    assert all(neg_docs.values())
+
+    res = fielded.bm25f_topk(idxs, queries, weights, CFG).collect()
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in res
+    )
+    assert want
+    for qid, _r, d, _s in want:
+        for t in queries[qid - 1][4]:
+            assert d not in neg_docs[t]
+    # vs the no-neg ranking: survivors keep relative order, victims gone
+    base = fielded.bm25f_topk(
+        idxs, [q[:4] for q in queries], weights, CFG).collect()
+    victims1 = {d for d in neg_docs["order"]}
+    kept = [r["doc_id"] for r in base
+            if r["query_id"] == 1 and r["doc_id"] not in victims1]
+    got1 = [d for q, _r, d, _s in want if q == 1]
+    assert got1[: len(kept)] == kept[: len(got1)]
+
+    dirs = {}
+    for f, expr in _field_exprs().items():
+        d = str(tmp_path / f"nfld_{f}")
+        B.build_index_resumable(
+            docs.select("doc_id", expr.alias("text")), d, CFG)
+        dirs[f] = d
+    fsrv = FieldedIndexServer(dirs, CFG)
+    got = sorted(fsrv.query_batch(queries, weights))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-12)
+
+    dts = _doc_ts(spark, docs)
+    with pytest.raises(ValueError, match="no MUST_NOT surface"):
+        fielded.bm25f_merged_topk(idxs, queries, weights, dts, CFG)

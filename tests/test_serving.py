@@ -971,3 +971,55 @@ def test_paged_composition_forms(spark, index_dir, pos_index_dir):
     for g, w in zip(pg, pw):
         assert g[:3] == w[:3]
         assert g[3] == pytest.approx(w[3], abs=1e-12)
+
+
+def test_must_not_on_expansion_forms(spark, index_dir):
+    """MUST_NOT composes with prefix/fuzzy/fuzzy-multi expansion search on
+    both tiers: neg terms ride the ordinary 5-tuple exclusion under the
+    expanded disjunctive query — Spark ≡ serving, and no result doc
+    contains a neg term."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = B.read_index(spark, index_dir, CFG)
+    srv = IndexServer(index_dir, CFG)
+    neg = {1: ["order"], 2: ["slow"]}
+    neg_docs = {
+        t: {r["doc_id"] for r in docs.collect()
+            if t in (r["text"] or "").lower().split()}
+        for t in ("order", "slow")
+    }
+    assert all(neg_docs.values())
+
+    cases = [
+        (lambda: wand.prefix_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            [(1, "c", 8), (2, "s", 8)], CFG, max_expansions=4, must_not=neg),
+         lambda: srv.prefix_topk_batch(
+            [(1, "c", 8), (2, "s", 8)], max_expansions=4, must_not=neg)),
+        (lambda: wand.fuzzy_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            [(1, "spork", 1, 8), (2, "quary", 1, 8)], CFG,
+            max_expansions=3, must_not=neg),
+         lambda: srv.fuzzy_topk_batch(
+            [(1, "spork", 1, 8), (2, "quary", 1, 8)], max_expansions=3,
+            must_not=neg)),
+        (lambda: wand.fuzzy_multi_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            [(1, ["spork", "quary"], 1, 8), (2, ["sow", "row"], 1, 8)], CFG,
+            distance_decay=0.5, must_not=neg),
+         lambda: srv.fuzzy_multi_topk_batch(
+            [(1, ["spork", "quary"], 1, 8), (2, ["sow", "row"], 1, 8)],
+            distance_decay=0.5, must_not=neg)),
+    ]
+    for spark_fn, srv_fn in cases:
+        want = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in spark_fn().collect()
+        )
+        got = sorted(srv_fn())
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            assert g[:3] == w[:3]
+            assert g[3] == pytest.approx(w[3], abs=1e-12)
+        for qid, _r, d, _s in got:  # exclusion is real
+            for t in neg.get(qid, []):
+                assert d not in neg_docs[t]
