@@ -612,22 +612,31 @@ FUZZY_MULTI_QUERIES = [
     (2, ["dta", "ow"], 1, 5),
     (3, ["customer", "orde"], 1, 10),
     (4, ["xyzzy", "qqqzz"], 1, 10),
+    # q5: the conj branch BITES here — "zebra" expands to nothing on this
+    # corpus, so the AND reading returns no rows while disj still ranks
+    (5, ["quary", "zebra"], 1, 10),
 ]
 _FUZZY_DECAY = 0.5
 
 
 def _q_fuzzy_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-word fuzzy search: per-word expansion under the single-word
-    rule, ONE disjunctive ranking over the union with per-term
-    decay**min-distance boosts — all (query, word) pairs expand in the same
-    one SymSpell batch job."""
+    rule, ONE ranking over the union with per-term decay**min-distance
+    boosts — all (query, word) pairs expand in the same one SymSpell batch
+    job. Two branches: 'disj' (any word matches) and 'conj' (EVERY word's
+    expansion set must match the doc — the typo-tolerant AND reading, via
+    the kernel's per-query word groups)."""
     idx = build_index(_docs(spark, sf_dir), _SF_CFG)
-    res = wand.fuzzy_multi_bm25_topk(
-        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
-        FUZZY_MULTI_QUERIES, _SF_CFG, max_expansions=_MAX_EXPANSIONS,
-        distance_decay=_FUZZY_DECAY,
-    )
-    return res.withColumn("score", F.round("score", _R))
+    out = None
+    for tag, mode in (("disj", "disjunctive"), ("conj", "conjunctive")):
+        res = wand.fuzzy_multi_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            FUZZY_MULTI_QUERIES, _SF_CFG, max_expansions=_MAX_EXPANSIONS,
+            distance_decay=_FUZZY_DECAY, mode=mode,
+        ).withColumn("variant", F.lit(tag))
+        out = res if out is None else out.unionByName(res)
+    return out.select("variant", "query_id", "rank", "doc_id",
+                      F.round("score", _R).alias("score"))
 
 
 def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,9 +782,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_fuzzy": oracle.fuzzy_topk_sql(
             FUZZY_QUERIES, max_expansions=_MAX_EXPANSIONS
         ),
-        "bm25_topk_fuzzy_multi": oracle.fuzzy_multi_topk_sql(
-            FUZZY_MULTI_QUERIES, max_expansions=_MAX_EXPANSIONS,
-            distance_decay=_FUZZY_DECAY,
+        "bm25_topk_fuzzy_multi": "\nUNION ALL\n".join(
+            f"SELECT '{tag}' AS variant, * FROM (\n"
+            + oracle.fuzzy_multi_topk_sql(
+                FUZZY_MULTI_QUERIES, max_expansions=_MAX_EXPANSIONS,
+                distance_decay=_FUZZY_DECAY, conjunctive=conj) + "\n)"
+            for tag, conj in (("disj", False), ("conj", True))
         ),
         "bm25_topk_boolean": oracle.bm25_topk_sql(
             [q[:4] for q in BOOLEAN_QUERIES],

@@ -48,13 +48,18 @@ def score_shard_blocks(
 ) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
     """Score every query against one shard's (query-term-filtered) block rows.
 
-    ``conj_groups``: optional {term_key: group} map enabling DOCUMENT-level
-    conjunctive semantics over composite (field⟂term) keys — the Lucene
-    reading "every query term in SOME field": a conjunctive query matches a
-    doc iff the doc matched ≥1 key of EVERY group (groups = plain terms),
-    instead of every composite key. Tracked as a per-group bitmask (≤63
-    distinct groups per query). Ignored for disjunctive queries; None keeps
-    the standard all-keys conjunctive.
+    ``conj_groups``: optional {term_key: group(s)} map enabling GROUPED
+    conjunctive semantics — a conjunctive query matches a doc iff the doc
+    matched ≥1 key of EVERY group, instead of every key. Two users:
+    fielded document-level conjunctive ("every term in SOME field" —
+    groups = plain terms over composite field⟂term keys) and conjunctive
+    multi-word fuzzy ("every WORD matches somewhere" — groups = query
+    words over expansion terms; a term in several words' expansion sets
+    carries a COLLECTION of groups and counts for all of them). Per-query
+    override: a 7th query-tuple element supplies that query's own map
+    (required when group ids are query-scoped, e.g. word indexes).
+    Tracked as a per-group bitmask (≤63 distinct groups per query).
+    Ignored for disjunctive queries; None keeps all-keys conjunctive.
 
     Returns (query_id arrays, doc_id arrays, score arrays) — per-query partial
     top-k, exact under block-max pruning.
@@ -118,21 +123,31 @@ def score_shard_blocks(
         if not present:
             continue
         conj = mode == "conjunctive"
-        grouped = conj and conj_groups is not None
+        qgroups = (q[6] if len(q) > 6 and q[6] else conj_groups)
+        grouped = conj and qgroups is not None
         full_mask = 0
-        gidx: dict = {}
+        key_mask: dict = {}
         if grouped:
-            gids = sorted({conj_groups[t] for t in need})
+            def _gset(t):
+                g = qgroups[t]
+                return (tuple(g) if isinstance(g, (tuple, list, set,
+                                                   frozenset)) else (g,))
+
+            gids = sorted({g for t in need for g in _gset(t)})
             if len(gids) > 63:
                 raise ValueError(
-                    "grouped conjunctive queries cap at 63 distinct terms"
+                    "grouped conjunctive queries cap at 63 distinct groups"
                 )
             gidx = {g: i for i, g in enumerate(gids)}
             g_present: dict[int, list] = {}
             for t in present:
-                g_present.setdefault(gidx[conj_groups[t]], []).append(t)
+                m_ = 0
+                for g in _gset(t):
+                    m_ |= 1 << gidx[g]
+                    g_present.setdefault(gidx[g], []).append(t)
+                key_mask[t] = m_
             if len(g_present) != len(gids):
-                continue  # some term in NO field of this shard ⇒ no match
+                continue  # some group has no key in this shard ⇒ no match
             full_mask = (1 << len(gids)) - 1
             cand = None
             for keys in g_present.values():
@@ -183,7 +198,7 @@ def score_shard_blocks(
                 )
                 acc[off] += contrib
                 if grouped:
-                    bits[off] |= np.int64(1 << gidx[conj_groups[t]])
+                    bits[off] |= np.int64(key_mask[t])
                 matched[off] += 1
             for nt in negs:  # MUST_NOT: clear candidates holding a neg term
                 ri = term_blocks.get(nt, {}).get(bi)

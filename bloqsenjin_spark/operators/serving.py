@@ -933,6 +933,7 @@ class IndexServer:
         self, multi_queries: list[tuple[int, list[str], int, int]],
         max_expansions: int = 50, distance_decay: "float | None" = None,
         allowed_doc_ids=None, offsets=None, must_not=None,
+        mode: str = "disjunctive",
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — MULTI-word typo-tolerant
         top-k ((query_id, [words], max_dist, k)), rank-identical to
@@ -945,6 +946,8 @@ class IndexServer:
 
         if len({q[0] for q in multi_queries}) != len(multi_queries):
             raise ValueError("duplicate query_ids in fuzzy_queries")
+        if mode not in ("disjunctive", "conjunctive"):
+            raise ValueError(f"unknown query mode {mode!r}")
         if distance_decay is not None and float(distance_decay) < 0:
             raise ValueError(
                 "distance_decay must be >= 0 (negative boosts break exact "
@@ -955,7 +958,7 @@ class IndexServer:
                 multi_queries, max_expansions=max_expansions,
                 distance_decay=distance_decay,
                 allowed_doc_ids=allowed_doc_ids, offsets=offsets,
-                must_not=must_not)
+                must_not=must_not, mode=mode)
         negs_map = must_not or {}
         queries = []
         for qid, words, max_dist, k in multi_queries:
@@ -964,7 +967,8 @@ class IndexServer:
                 for w in words
             ]
             q = _compose_fuzzy_multi(exps, int(qid), int(k), distance_decay,
-                                     negs=negs_map.get(int(qid), ()))
+                                     negs=negs_map.get(int(qid), ()),
+                                     mode=mode)
             if q is not None:
                 queries.append(q)
         if not queries:

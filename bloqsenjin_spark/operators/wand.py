@@ -1045,31 +1045,47 @@ def fuzzy_bm25_topk(
 
 
 def _compose_fuzzy_multi(expansions_per_word, qid: int, k: int,
-                         distance_decay: "float | None", negs=()):
-    """Compose per-word (term, dist) expansion lists into ONE disjunctive
-    kernel query tuple: union of the words' expansion sets, per-term MIN
-    distance across words, optional per-term boost = decay ** min_dist
-    (riding the kernel's exact-pruning boost path). Shared by the Spark and
-    serving fuzzy-multi paths so the composition rule can't drift. Returns
-    None when every word expanded to nothing."""
+                         distance_decay: "float | None", negs=(),
+                         mode: str = "disjunctive"):
+    """Compose per-word (term, dist) expansion lists into ONE kernel query
+    tuple: union of the words' expansion sets, per-term MIN distance across
+    words, optional per-term boost = decay ** min_dist (riding the kernel's
+    exact-pruning boost path). ``mode="conjunctive"`` is the AND reading —
+    EVERY word must match somewhere (typo-tolerated): each word is a
+    kernel conjunctive GROUP and each term carries the set of words whose
+    expansions contain it (the per-query 7th-slot groups map), so a doc
+    matches iff every word's expansion set hits it. Shared by the Spark
+    and serving fuzzy-multi paths so the composition rule can't drift.
+    Returns None when no match is possible (no expansions at all; for
+    conjunctive, ANY word with an empty expansion set)."""
     best: dict[str, int] = {}
-    for pairs in expansions_per_word:
+    groups: dict[str, set[int]] = {}
+    n_words = len(expansions_per_word)
+    for wi, pairs in enumerate(expansions_per_word):
         for t, d in pairs:
             d = int(d)
             if t not in best or d < best[t]:
                 best[t] = d
-    if not best:
+            groups.setdefault(t, set()).add(wi)
+    conj = mode == "conjunctive"
+    if not best or (conj and
+                    {g for gs in groups.values() for g in gs} !=
+                    set(range(n_words))):
         return None
     terms = sorted(best)
     negs = tuple(negs)
+    boosts = (
+        {t: float(distance_decay) ** best[t] for t in terms}
+        if distance_decay is not None else {}
+    )
+    if conj:
+        gmap = {t: tuple(sorted(groups[t])) for t in terms}
+        return (int(qid), terms, "conjunctive", int(k), negs, boosts, gmap)
     if distance_decay is None:
         if not negs:
             return (int(qid), terms, "disjunctive", int(k))
         return (int(qid), terms, "disjunctive", int(k), negs)
-    return (
-        int(qid), terms, "disjunctive", int(k), negs,
-        {t: float(distance_decay) ** best[t] for t in terms},
-    )
+    return (int(qid), terms, "disjunctive", int(k), negs, boosts)
 
 
 def fuzzy_multi_bm25_topk(
@@ -1085,6 +1101,7 @@ def fuzzy_multi_bm25_topk(
     allow_map: "DataFrame | None" = None,
     offsets: "dict[int, int] | None" = None,
     must_not: "dict[int, list[str]] | None" = None,
+    mode: str = "disjunctive",
 ) -> DataFrame:
     """MULTI-word typo-tolerant top-k — ``(query_id, [words], max_dist, k)``,
     the real-user form of fuzzy search ("helo wrold"): each word expands
@@ -1105,6 +1122,8 @@ def fuzzy_multi_bm25_topk(
     ordinary bm25_wand_topk pass over the union terms' postings."""
     if len({q[0] for q in multi_queries}) != len(multi_queries):
         raise ValueError("duplicate query_ids in fuzzy_queries")
+    if mode not in ("disjunctive", "conjunctive"):
+        raise ValueError(f"unknown query mode {mode!r}")
     if distance_decay is not None and float(distance_decay) < 0:
         raise ValueError(
             "distance_decay must be >= 0 (negative boosts break exact "
@@ -1128,7 +1147,7 @@ def fuzzy_multi_bm25_topk(
     for qi, (qid, _words, _d, k) in enumerate(multi_queries):
         q = _compose_fuzzy_multi(
             per_query.get(qi, []), int(qid), int(k), distance_decay,
-            negs=negs_map.get(int(qid), ()),
+            negs=negs_map.get(int(qid), ()), mode=mode,
         )
         if q is not None:
             queries.append(q)

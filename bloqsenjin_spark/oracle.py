@@ -579,6 +579,7 @@ def fuzzy_multi_topk_sql(
     multi_queries: list[tuple[int, list[str], int, int]],
     max_expansions: int = 50,
     distance_decay: "float | None" = None,
+    conjunctive: bool = False,
     doc_table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -586,9 +587,12 @@ def fuzzy_multi_topk_sql(
     """Oracle for fuzzy_multi_bm25_topk: per-WORD expansion under the
     single-word rule (levenshtein ≤ max_dist, (distance ASC, df DESC, term
     ASC), capped per word), union per query with MIN distance across words,
-    optional per-term weight = decay ** min_dist, then one disjunctive BM25
-    ranking — the same (idf · w) · tfc multiplication order as the kernel's
-    boost path, so rounded scores agree exactly (dyadic decays exact)."""
+    optional per-term weight = decay ** min_dist, then one BM25 ranking —
+    the same (idf · w) · tfc multiplication order as the kernel's boost
+    path, so rounded scores agree exactly (dyadic decays exact).
+    ``conjunctive``: the AND reading — a doc is eligible iff EVERY query
+    word's expansion set matches it (HAVING count(DISTINCT word) = n_words
+    over the word-tagged expansion join); scoring is unchanged."""
     toks = DUCKDB_TOKENS_SQL.format(col=text_col)
     tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
     idf = idf_sql("ts.df", "cs.n")
@@ -601,6 +605,19 @@ def fuzzy_multi_topk_sql(
         f"power({float(distance_decay)!r}, qt.dist)"
         if distance_decay is not None else "1.0"
     )
+    conj_cte, conj_join = "", ""
+    if conjunctive:
+        conj_cte = f"""
+nw AS (SELECT query_id, count(DISTINCT word) AS n_words FROM q GROUP BY query_id),
+wexp AS (SELECT DISTINCT query_id, word, term
+         FROM exp WHERE rn <= {max_expansions}),
+wmatch AS (
+    SELECT w.query_id, tf.doc_id
+    FROM wexp w JOIN tf USING (term) JOIN nw ON nw.query_id = w.query_id
+    GROUP BY w.query_id, tf.doc_id, nw.n_words
+    HAVING count(DISTINCT w.word) = nw.n_words
+),"""
+        conj_join = "JOIN wmatch USING (query_id, doc_id)"
     return f"""
 WITH q(query_id, word, max_dist, k) AS (VALUES {rows}),
 dtok AS (
@@ -612,7 +629,7 @@ cs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
 ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 exp AS (
-    SELECT q.query_id, q.k, ts.term,
+    SELECT q.query_id, q.k, q.word, ts.term,
            levenshtein(ts.term, q.word) AS dist,
            row_number() OVER (PARTITION BY q.query_id, q.word
                               ORDER BY levenshtein(ts.term, q.word) ASC,
@@ -623,7 +640,7 @@ qt AS (
     SELECT query_id, k, term, min(dist) AS dist
     FROM exp WHERE rn <= {max_expansions}
     GROUP BY query_id, k, term
-),
+),{conj_cte}
 contrib AS (
     SELECT qt.query_id, tf.doc_id, qt.k, ({idf} * {wexpr}) * {tfc} AS contrib
     FROM qt
@@ -634,7 +651,7 @@ contrib AS (
 ),
 scored AS (
     SELECT query_id, doc_id, k, sum(contrib) AS score
-    FROM contrib GROUP BY query_id, doc_id, k
+    FROM contrib {conj_join} GROUP BY query_id, doc_id, k
 ),
 ranked AS (
     SELECT query_id, doc_id, score, k,

@@ -1023,3 +1023,83 @@ def test_must_not_on_expansion_forms(spark, index_dir):
         for qid, _r, d, _s in got:  # exclusion is real
             for t in neg.get(qid, []):
                 assert d not in neg_docs[t]
+
+
+def test_fuzzy_multi_conjunctive_semantics(spark, index_dir):
+    """Conjunctive multi-word fuzzy (the typo-tolerant AND): a doc is
+    eligible iff EVERY word's capped expansion set matches it. Pinned
+    against an independent Python derivation over the corpus at exhaustive
+    k (per-word expansion lists from the shared batch job → per-word doc
+    sets → intersection), scores equal to the disjunctive branch on the
+    surviving docs, and Spark ≡ serving."""
+    import re as _re
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = B.read_index(spark, index_dir, CFG)
+    srv = IndexServer(index_dir, CFG)
+    BIG = 10_000
+    multi = [(1, ["spork", "quary"], 1, BIG), (2, ["sow", "row"], 1, BIG),
+             (3, ["quary", "zebra"], 1, BIG)]
+    toks = {
+        r["doc_id"]: set(_re.split("[^a-z0-9]+", (r["text"] or "").lower()))
+        for r in docs.collect()
+    }
+    # independent expectation: per-word expansion (shared batch job) →
+    # matched docs per word → intersection across the query's words
+    sid = 0
+    owner, batch = [], []
+    for qi, (_q, ws, d, k) in enumerate(multi):
+        for w in ws:
+            owner.append(qi)
+            batch.append((sid, w, d, k))
+            sid += 1
+    exp = wand.expand_fuzzy_terms_with_dist(idx.term_stats, batch, 50)
+    want_conj: dict[int, set] = {}
+    for qi in range(len(multi)):
+        per_word = []
+        for s, o in enumerate(owner):
+            if o != qi:
+                continue
+            terms = {t for t, _d in exp.get(s, [])}
+            per_word.append(
+                {d for d, ts in toks.items() if ts & terms})
+        want_conj[multi[qi][0]] = (
+            set.intersection(*per_word) if per_word and all(
+                len(exp.get(s, [])) > 0 for s, o in enumerate(owner)
+                if o == qi)
+            else set()
+        )
+    assert want_conj[1] and want_conj[2]
+    assert not want_conj[3]  # zebra expands to nothing ⇒ AND fails
+
+    disj = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in wand.fuzzy_multi_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            multi, CFG, distance_decay=0.5).collect()
+    }
+    conj_rows = wand.fuzzy_multi_bm25_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        multi, CFG, distance_decay=0.5, mode="conjunctive").collect()
+    got = {}
+    for r in conj_rows:
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+        # same scoring model: conj filters eligibility, not scores
+        assert r["score"] == pytest.approx(
+            disj[(r["query_id"], r["doc_id"])], abs=1e-12)
+    for qid, ws in want_conj.items():
+        assert got.get(qid, set()) == ws
+    # the AND genuinely bites: strictly fewer matches than OR for q1
+    assert len(want_conj[1]) < sum(
+        1 for (q, _d) in disj if q == 1)
+
+    srv_rows = sorted(srv.fuzzy_multi_topk_batch(
+        multi, distance_decay=0.5, mode="conjunctive"))
+    spark_rows = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in conj_rows
+    )
+    assert len(srv_rows) == len(spark_rows) > 0
+    for g, w in zip(srv_rows, spark_rows):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-12)
