@@ -639,7 +639,7 @@ class IndexServer:
                                       offsets=offsets)
 
     def highlight_batch(
-        self, queries: list, allowed_doc_ids=None
+        self, queries: list, allowed_doc_ids=None, offsets=None,
     ) -> list[tuple[int, int, int, str, int]]:
         """→ [(query_id, rank, doc_id, term, pos)] — top-k + query-term
         positions, result-identical to operators/wand.topk_highlights on the
@@ -648,13 +648,16 @@ class IndexServer:
         the phrase paths via _decode_pos_block)."""
         if not self._is_snap:
             return self._snap().highlight_batch(
-                queries, allowed_doc_ids=allowed_doc_ids)
+                queries, allowed_doc_ids=allowed_doc_ids, offsets=offsets)
         if not self.cfg.positions:
             raise ValueError(
                 "highlight serving needs a positional index — build with "
                 "IndexConfig(positions=True)"
             )
-        tk = self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
+        tk = (self.paged_batch(queries, offsets,
+                               allowed_doc_ids=allowed_doc_ids)
+              if offsets
+              else self.query_batch(queries, allowed_doc_ids=allowed_doc_ids))
         if not tk:
             return []
         return sorted(self._topk_positions(tk, queries))
@@ -690,6 +693,7 @@ class IndexServer:
 
     def snippet_batch(
         self, queries: list, window: int = 8, allowed_doc_ids=None,
+        offsets=None,
     ) -> list[tuple[int, int, int, float, int, str]]:
         """→ [(query_id, rank, doc_id, score, snip_pos, snippet)] — top-k
         with text snippets, result-identical to operators/wand.topk_snippets
@@ -701,13 +705,17 @@ class IndexServer:
         Generation-stamped with the rest of the index: refresh() swaps it."""
         if not self._is_snap:
             return self._snap().snippet_batch(
-                queries, window=window, allowed_doc_ids=allowed_doc_ids)
+                queries, window=window, allowed_doc_ids=allowed_doc_ids,
+                offsets=offsets)
         if not self.cfg.positions:
             raise ValueError(
                 "snippet serving needs a positional index — build with "
                 "IndexConfig(positions=True)"
             )
-        tk = self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
+        tk = (self.paged_batch(queries, offsets,
+                               allowed_doc_ids=allowed_doc_ids)
+              if offsets
+              else self.query_batch(queries, allowed_doc_ids=allowed_doc_ids))
         if not tk:
             return []
         best: dict[tuple[int, int], int] = {}

@@ -1169,10 +1169,12 @@ def topk_highlights(
     cfg: IndexConfig = DEFAULT_CONFIG,
     tomb_map: "DataFrame | None" = None,
     allow_map: "DataFrame | None" = None,
+    offsets: "dict[int, int] | None" = None,
 ) -> DataFrame:
     """Top-k + per-result term positions → (query_id, rank, doc_id, term,
     pos) — the snippet/highlight primitive, answered ENTIRELY from the
-    positional index (no corpus scan, no re-tokenization).
+    positional index (no corpus scan, no re-tokenization). ``offsets``:
+    deep paging — decorate page (offset, offset+k] with GLOBAL ranks.
 
     Plan: the ordinary top-k ranking, then positional decode restricted to
     (a) the query terms (term filter pushed to the scan) and (b) ONLY the
@@ -1180,10 +1182,8 @@ def topk_highlights(
     (shard, block) pairs broadcast-join-prune the postings before any
     positions blob is decoded, so decode cost is O(topk_blocks × terms),
     not O(posting lists). Requires IndexConfig(positions=True)."""
-    tk = bm25_wand_topk(
-        postings, doc_lens, term_stats, avgdl, queries, cfg,
-        tomb_map=tomb_map, allow_map=allow_map,
-    )
+    tk = _topk_or_paged(postings, doc_lens, term_stats, avgdl, queries,
+                        cfg, offsets, tomb_map, allow_map)
     return _decode_topk_positions(tk, postings, queries, cfg)
 
 
@@ -1231,6 +1231,7 @@ def topk_snippets(
     allow_map: "DataFrame | None" = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    offsets: "dict[int, int] | None" = None,
 ) -> DataFrame:
     """Top-k + a text snippet per result → (query_id, rank, doc_id, score,
     snip_pos, snippet).
@@ -1249,10 +1250,8 @@ def topk_snippets(
     term-vector-free engines pay the same keyed doc fetch."""
     from bloqsenjin_spark.functions.text import tokens
 
-    tk = bm25_wand_topk(
-        postings, doc_lens, term_stats, avgdl, queries, cfg,
-        tomb_map=tomb_map, allow_map=allow_map,
-    )
+    tk = _topk_or_paged(postings, doc_lens, term_stats, avgdl, queries,
+                        cfg, offsets, tomb_map, allow_map)
     pos = _decode_topk_positions(tk, postings, queries, cfg)
     best = pos.groupBy("query_id", "doc_id").agg(
         F.min("pos").alias("snip_pos")

@@ -1103,3 +1103,45 @@ def test_fuzzy_multi_conjunctive_semantics(spark, index_dir):
     for g, w in zip(srv_rows, spark_rows):
         assert g[:3] == w[:3]
         assert g[3] == pytest.approx(w[3], abs=1e-12)
+
+
+def test_paged_highlights_and_snippets(spark, snippet_index_dir):
+    """Deep paging composes with the decoration forms too: paged
+    highlights/snippets decorate page (offset, offset+k] with GLOBAL
+    ranks — Spark ≡ serving ≡ the deep ranking's slice."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = B.read_index(spark, snippet_index_dir, CFG_POS_SNIP)
+    srv = IndexServer(snippet_index_dir, CFG_POS_SNIP)
+    qs = [(1, ["the", "fast"], "disjunctive", 4),
+          (2, ["customer", "order"], "disjunctive", 3)]
+    offsets = {1: 3, 2: 2}
+
+    want_h = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["term"], r["pos"])
+        for r in wand.topk_highlights(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, qs,
+            CFG_POS_SNIP, offsets=offsets,
+        ).collect()
+    )
+    got_h = sorted(srv.highlight_batch(qs, offsets=offsets))
+    assert got_h == want_h and len(got_h) > 0
+    assert all(r > offsets[q] for q, r, *_ in got_h)  # global page ranks
+
+    want_s = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9),
+         r["snip_pos"], r["snippet"])
+        for r in wand.topk_snippets(
+            docs, idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            qs, CFG_POS_SNIP, offsets=offsets,
+        ).collect()
+    )
+    got_s = [(q, r, d, round(s, 9), p, sn) for q, r, d, s, p, sn in
+             srv.snippet_batch(qs, offsets=offsets)]
+    assert got_s == want_s and len(got_s) > 0
+    # the page is exactly the deep ranking's slice
+    deep = [(q, r, d, round(s, 9), p, sn) for q, r, d, s, p, sn in
+            srv.snippet_batch([(1, ["the", "fast"], "disjunctive", 7),
+                               (2, ["customer", "order"], "disjunctive", 5)])]
+    kmap = {1: 4, 2: 3}
+    assert got_s == [r for r in deep
+                     if offsets[r[0]] < r[1] <= offsets[r[0]] + kmap[r[0]]]
