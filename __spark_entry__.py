@@ -529,6 +529,13 @@ BM25F_QUERIES = [q for q in corpus.REFERENCE_QUERIES if q[2] == "disjunctive"]
 BM25F_CONJ_QUERIES = [
     q for q in corpus.REFERENCE_QUERIES if q[2] == "conjunctive"
 ]
+# MUST_NOT on the fielded models (5-tuples, PLAIN neg terms — excluded on
+# any-field occurrence); q3's neg term is absent from the corpus (no-op)
+BM25F_BOOL_QUERIES = [
+    (1, ["the", "fast"], "disjunctive", 10, ["order"]),
+    (2, ["customer", "order"], "conjunctive", 10, ["slow"]),
+    (3, ["spark"], "disjunctive", 10, ["zebra"]),
+]
 
 
 def _q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,13 +548,13 @@ def _q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     fields = _field_cols()
     idxs = fielded.build_fielded_index(docs, fields, _SF_CFG)
-    out = fielded.bm25f_topk(
-        idxs, BM25F_QUERIES, BM25F_WEIGHTS, _SF_CFG
-    ).withColumn("variant", F.lit("disj"))
-    out = out.unionByName(
-        fielded.bm25f_topk(idxs, BM25F_CONJ_QUERIES, BM25F_WEIGHTS, _SF_CFG)
-        .withColumn("variant", F.lit("conj"))
-    )
+    out = None
+    for tag, qs in (("disj", BM25F_QUERIES), ("conj", BM25F_CONJ_QUERIES),
+                    ("bool", BM25F_BOOL_QUERIES)):
+        res = fielded.bm25f_topk(
+            idxs, qs, BM25F_WEIGHTS, _SF_CFG
+        ).withColumn("variant", F.lit(tag))
+        out = res if out is None else out.unionByName(res)
     return out.select("variant", "query_id", "rank", "doc_id",
                       F.round("score", _R).alias("score"))
 
@@ -564,14 +571,13 @@ def _q_bm25f_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     idxs = fielded.build_fielded_index(docs, fields, _SF_CFG)
     tok = topk.tokenized(docs)
     doc_ts = topk.term_stats_df(topk.term_freqs(tok), tok.count())
-    out = fielded.bm25f_merged_topk(
-        idxs, BM25F_QUERIES, BM25F_WEIGHTS, doc_ts, _SF_CFG
-    ).withColumn("variant", F.lit("disj"))
-    out = out.unionByName(
-        fielded.bm25f_merged_topk(idxs, BM25F_CONJ_QUERIES, BM25F_WEIGHTS,
-                                  doc_ts, _SF_CFG)
-        .withColumn("variant", F.lit("conj"))
-    )
+    out = None
+    for tag, qs in (("disj", BM25F_QUERIES), ("conj", BM25F_CONJ_QUERIES),
+                    ("bool", BM25F_BOOL_QUERIES)):
+        res = fielded.bm25f_merged_topk(
+            idxs, qs, BM25F_WEIGHTS, doc_ts, _SF_CFG
+        ).withColumn("variant", F.lit(tag))
+        out = res if out is None else out.unionByName(res)
     return out.select("variant", "query_id", "rank", "doc_id",
                       F.round("score", _R).alias("score"))
 
@@ -805,14 +811,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT '{tag}' AS variant, * FROM (\n" + oracle.bm25f_topk_sql(
                 qs, _BM25F_FIELD_TOKS, BM25F_WEIGHTS) + "\n)"
             for tag, qs in (("disj", BM25F_QUERIES),
-                            ("conj", BM25F_CONJ_QUERIES))
+                            ("conj", BM25F_CONJ_QUERIES),
+                            ("bool", BM25F_BOOL_QUERIES))
         ),
         "bm25f_merged": "\nUNION ALL\n".join(
             f"SELECT '{tag}' AS variant, * FROM (\n"
             + oracle.bm25f_merged_topk_sql(
                 qs, _BM25F_FIELD_TOKS, BM25F_WEIGHTS) + "\n)"
             for tag, qs in (("disj", BM25F_QUERIES),
-                            ("conj", BM25F_CONJ_QUERIES))
+                            ("conj", BM25F_CONJ_QUERIES),
+                            ("bool", BM25F_BOOL_QUERIES))
         ),
         "bm25_match_counts": oracle.match_counts_sql(corpus.REFERENCE_QUERIES),
         "phrase_match": "\nUNION ALL\n".join(

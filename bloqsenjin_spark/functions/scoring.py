@@ -270,10 +270,13 @@ def score_shard_blocks_bm25f(
     pruning keeps the same exactness guarantee as the single-field kernel.
 
     ``terms_col`` carries composite ``field⟂term`` keys (``sep`` separator);
-    queries carry PLAIN terms. 4-tuple queries, disjunctive or conjunctive —
-    conjunctive is the DOCUMENT-level reading ("every term in SOME field",
-    Lucene's default); MUST_NOT / per-term boosts remain the per-field-sum
-    path's surface.
+    queries carry PLAIN terms. 4-tuples (disjunctive or conjunctive —
+    conjunctive is the DOCUMENT-level reading "every term in SOME field",
+    Lucene's default) or 5-tuples adding PLAIN MUST_NOT terms (a doc is
+    excluded when a neg term occurs in ANY field — block-local and
+    complete, a doc's postings all live in its one block); per-term boosts
+    remain the per-field-sum path's surface (field weights are this
+    model's weighting).
     """
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
     k1, b = cfg.k1, cfg.b
@@ -287,7 +290,10 @@ def score_shard_blocks_bm25f(
         key = terms_col[i]
         bi = int(bids[i])
         key_blocks.setdefault(key, {})[bi] = i
-        m = float(bmax_col[i]) / field_idf[key]
+        fi = field_idf.get(key)
+        if fi is None:
+            continue  # MUST_NOT-only rows need no block bound (no scoring)
+        m = float(bmax_col[i]) / fi
         key_tfn_max.setdefault(key, {})[bi] = (
             k1 * m / max((k1 + 1.0) - m, 1e-300)
         )
@@ -308,7 +314,9 @@ def score_shard_blocks_bm25f(
     out_q: list[np.ndarray] = []
     out_d: list[np.ndarray] = []
     out_s: list[np.ndarray] = []
-    for qid, terms, mode, k in (q[:4] for q in queries):
+    for q in queries:
+        qid, terms, mode, k = q[:4]
+        negs = sorted(set(q[4])) if len(q) > 4 and q[4] else ()
         if mode not in ("disjunctive", "conjunctive"):
             raise ValueError(f"unknown query mode {mode!r}")
         conj = mode == "conjunctive"
@@ -385,6 +393,12 @@ def score_shard_blocks_bm25f(
                     matched &= hit
                 else:
                     matched |= hit
+            for nt in negs:  # MUST_NOT: neg term in ANY field kills the doc
+                for f in fields:
+                    ri = key_blocks.get(f"{f}{sep}{nt}", {}).get(bi)
+                    if ri is not None:
+                        nids, _ = block_postings(ri, block_base)
+                        matched[nids - block_base] = False
             offs = np.flatnonzero(matched)
             if offs.size and tomb_mask is not None:
                 offs = offs[~tomb_mask[offs + (block_base - shard_base)]]

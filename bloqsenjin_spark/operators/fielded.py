@@ -343,12 +343,6 @@ def bm25f_merged_topk(
     for q in queries:
         if q[2] not in ("disjunctive", "conjunctive"):
             raise ValueError(f"unknown query mode {q[2]!r}")
-        if len(q) > 4 and q[4]:
-            raise ValueError(
-                "merged BM25F has no MUST_NOT surface (4-tuple queries "
-                "only) — use bm25f_topk, or anti-join the neg terms' match "
-                "set (COMPOSITION.md note 7)"
-            )
     unknown = set(field_weights) - set(fields)
     if unknown:
         raise ValueError(
@@ -359,6 +353,12 @@ def bm25f_merged_topk(
     if any(w < 0 for w in weights.values()):
         raise ValueError(f"negative field weights are not rankable: {weights}")
     all_terms = sorted({t for q in queries for t in q[1]})
+    # MUST_NOT (5-tuples, plain terms): neg postings join the scan so the
+    # kernel can exclude any-field occurrences; no idf/doc-stats needed
+    neg_terms = sorted(
+        {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
+    )
+    scan_terms = sorted(set(all_terms) | set(neg_terms))
 
     doc_idf = {
         r["term"]: float(r["idf"])
@@ -384,7 +384,8 @@ def bm25f_merged_topk(
     _off = offsets or {}
     plain_queries = [
         (int(q[0]), sorted(set(q[1])), q[2],
-         int(q[3]) + int(_off.get(int(q[0]), 0)))
+         int(q[3]) + int(_off.get(int(q[0]), 0)),
+         tuple(sorted(set(q[4]))) if len(q) > 4 and q[4] else ())
         for q in queries
     ]
 
@@ -395,7 +396,7 @@ def bm25f_merged_topk(
                 "term", "shard", "block_id", "block_max_score",
                 "doc_deltas", "tfs",
             )
-            .where(F.col("term").isin(all_terms))
+            .where(F.col("term").isin(scan_terms))
             .withColumn("field", F.lit(f))
             for f in fields
         ],

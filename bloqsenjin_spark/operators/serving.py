@@ -1320,13 +1320,6 @@ class FieldedIndexServer:
                 "documents) for the document-level idf"
             )
         weights = self._validate(queries, field_weights)
-        for q in queries:
-            if len(q) > 4 and q[4]:
-                raise ValueError(
-                    "merged BM25F has no MUST_NOT surface (4-tuple queries "
-                    "only) — use query_batch, or anti-join the neg terms' "
-                    "match set (COMPOSITION.md note 7)"
-                )
         if offsets:
             kmap = {int(q[0]): int(q[3]) for q in queries}
             deep = [(q[0], q[1], q[2],
@@ -1340,7 +1333,14 @@ class FieldedIndexServer:
         snaps = {f: s._snap() for f, s in self.servers.items()}
         allow_masks = snaps[self.fields[0]]._allow_masks(allowed_doc_ids)
         all_terms = sorted({t for q in queries for t in q[1]})
-        comp, shards, bids, bmax, deltas, tfs = self._field_rows(snaps, all_terms)
+        # MUST_NOT (5-tuples, plain terms): neg postings load too; their
+        # composite keys carry no field idf (no scoring), exclusion only
+        neg_terms = sorted(
+            {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
+        )
+        scan_terms = sorted(set(all_terms) | set(neg_terms))
+        comp, shards, bids, bmax, deltas, tfs = self._field_rows(
+            snaps, scan_terms)
         if comp.size == 0:
             return []
         # snapshot ONCE: a per-term _snap() inside the comprehension could
@@ -1354,7 +1354,8 @@ class FieldedIndexServer:
         }
         avgdls = {f: snaps[f].avgdl for f in self.fields}
         plain_queries = [
-            (int(q[0]), sorted(set(q[1])), q[2], int(q[3]))
+            (int(q[0]), sorted(set(q[1])), q[2], int(q[3]),
+             tuple(sorted(set(q[4]))) if len(q) > 4 and q[4] else ())
             for q in queries
         ]
         q_parts, d_parts, s_parts = [], [], []

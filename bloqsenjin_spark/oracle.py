@@ -281,12 +281,24 @@ def bm25f_topk_sql(
     toks = DUCKDB_TOKENS_SQL.format(col=text_col)
     tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
     idf = idf_sql("ts.df", "cs.n")
-    qrows = []
-    for qid, terms, mode, k in queries:
+    qrows, neg_rows = [], []
+    for q in queries:
+        qid, terms, mode, k = q[:4]
         assert mode in ("disjunctive", "conjunctive"), mode
         uniq = sorted(set(terms))
         lit = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in uniq) + "]"
         qrows.append(f"({qid}, {lit}, {int(k)}, '{mode}', {len(uniq)})")
+        for t in sorted(set(q[4])) if len(q) > 4 and q[4] else ():
+            neg_rows.append("({}, '{}')".format(qid, t.replace("'", "''")))
+    # MUST_NOT: a doc is excluded when a neg term occurs in ANY field
+    neg_cte, neg_join = "", ""
+    if neg_rows:
+        neg_cte = (
+            f"qn(query_id, term) AS (VALUES {', '.join(neg_rows)}),\n"
+            "excl AS (SELECT DISTINCT qn.query_id, tf.doc_id "
+            "FROM qn JOIN tf USING (term)),\n"
+        )
+        neg_join = "ANTI JOIN excl USING (query_id, doc_id)"
     ft_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, '{f}' AS field, {expr} AS ftoks FROM dtok"
         for f, expr in sorted(field_toks.items())
@@ -307,7 +319,7 @@ cs AS (SELECT field, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY fi
 tf AS (SELECT field, term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
 ts AS (SELECT field, term, count(*) AS df FROM tf GROUP BY 1, 2),
 fw(field, w) AS (VALUES {wrows}),
-qt AS (SELECT query_id, k, mode, n_terms, unnest(terms) AS term FROM q),
+{neg_cte}qt AS (SELECT query_id, k, mode, n_terms, unnest(terms) AS term FROM q),
 contrib AS (
     SELECT qt.query_id, tf.doc_id, qt.k, qt.mode, qt.n_terms, qt.term,
            ({idf} * fw.w) * {tfc} AS contrib
@@ -327,7 +339,7 @@ ranked AS (
     SELECT query_id, doc_id, score, k,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, doc_id ASC) AS rank
-    FROM scored
+    FROM scored {neg_join}
 )
 SELECT query_id, rank::INT AS rank, doc_id,
        round(score, {SCORE_ROUND_DECIMALS}) AS score
@@ -357,12 +369,23 @@ def bm25f_merged_topk_sql(
     toks = DUCKDB_TOKENS_SQL.format(col=text_col)
     k1, b = BM25_K1, BM25_B
     idf = idf_sql("dts.df", "(SELECT count(*) FROM dtok)")
-    qrows = []
-    for qid, terms, mode, k in queries:
+    qrows, neg_rows = [], []
+    for q in queries:
+        qid, terms, mode, k = q[:4]
         assert mode in ("disjunctive", "conjunctive"), mode
         uniq = sorted(set(terms))
         lit = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in uniq) + "]"
         qrows.append(f"({qid}, {lit}, {int(k)}, '{mode}', {len(uniq)})")
+        for t in sorted(set(q[4])) if len(q) > 4 and q[4] else ():
+            neg_rows.append("({}, '{}')".format(qid, t.replace("'", "''")))
+    neg_cte, neg_join = "", ""
+    if neg_rows:
+        neg_cte = (
+            f"qn(query_id, term) AS (VALUES {', '.join(neg_rows)}),\n"
+            "excl AS (SELECT DISTINCT qn.query_id, tf.doc_id "
+            "FROM qn JOIN tf USING (term)),\n"
+        )
+        neg_join = "ANTI JOIN excl USING (query_id, doc_id)"
     ft_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, '{f}' AS field, {expr} AS ftoks FROM dtok"
         for f, expr in sorted(field_toks.items())
@@ -385,7 +408,7 @@ dtf AS (SELECT term, doc_id FROM (SELECT doc_id, unnest(toks) AS term FROM dtok)
         GROUP BY term, doc_id),
 dts AS (SELECT term, count(*) AS df FROM dtf GROUP BY term),
 fw(field, w) AS (VALUES {wrows}),
-qt AS (SELECT query_id, k, mode, n_terms, unnest(terms) AS term FROM q),
+{neg_cte}qt AS (SELECT query_id, k, mode, n_terms, unnest(terms) AS term FROM q),
 tfm AS (
     SELECT qt.query_id, tf.doc_id, qt.term, qt.k, qt.mode, qt.n_terms,
            sum(fw.w * tf.tf / ({1.0 - b} + {b} * dl.dl / cs.avgdl)) AS tfm
@@ -411,7 +434,7 @@ ranked AS (
     SELECT query_id, doc_id, score, k,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, doc_id ASC) AS rank
-    FROM scored
+    FROM scored {neg_join}
 )
 SELECT query_id, rank::INT AS rank, doc_id,
        round(score, {SCORE_ROUND_DECIMALS}) AS score

@@ -694,6 +694,53 @@ def test_fielded_must_not(spark, tmp_path):
         assert g[:3] == w[:3]
         assert g[3] == pytest.approx(w[3], abs=1e-12)
 
+    # merged BM25F honors the same MUST_NOT semantics (round-6 close of
+    # COMPOSITION note 7): exclusion verified + serving twin identical
     dts = _doc_ts(spark, docs)
-    with pytest.raises(ValueError, match="no MUST_NOT surface"):
-        fielded.bm25f_merged_topk(idxs, queries, weights, dts, CFG)
+    mres = fielded.bm25f_merged_topk(idxs, queries, weights, dts,
+                                     cfg=CFG).collect()
+    mwant = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in mres
+    )
+    assert mwant
+    for qid, _r, d, _s in mwant:
+        for t in queries[qid - 1][4]:
+            assert d not in neg_docs[t]
+    doc_dir = str(tmp_path / "nfld_doc")
+    B.build_index_resumable(docs, doc_dir, CFG)
+    mfsrv = FieldedIndexServer(dirs, CFG, doc_stats_dir=doc_dir)
+    mgot = sorted(mfsrv.merged_batch(queries, weights))
+    assert len(mgot) == len(mwant)
+    for g, w in zip(mgot, mwant):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-12)
+
+
+def test_fielded_serving_lazy_stats(spark, tmp_path):
+    """FieldedIndexServer forwards stats_mode='lazy' to its per-field (and
+    doc-stats) servers: no vocabulary resident anywhere, results identical
+    to the eager server on BOTH fielded models, disj and conj alike."""
+    from bloqsenjin_spark.operators.serving import FieldedIndexServer
+    from bloqsenjin_spark.plans import build as B
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    dirs = {}
+    for f, expr in _field_exprs().items():
+        d = str(tmp_path / f"lzf_{f}")
+        B.build_index_resumable(
+            docs.select("doc_id", expr.alias("text")), d, CFG)
+        dirs[f] = d
+    doc_dir = str(tmp_path / "lzf_doc")
+    B.build_index_resumable(docs, doc_dir, CFG)
+    eager = FieldedIndexServer(dirs, CFG, doc_stats_dir=doc_dir)
+    lazy = FieldedIndexServer(dirs, CFG, doc_stats_dir=doc_dir,
+                              stats_mode="lazy")
+    assert all(s.df is None for s in lazy.servers.values())
+    assert lazy._doc_stats.df is None
+    weights = {"title": 2.0, "body": 1.0}
+    qs = [(1, ["the", "fast"], "disjunctive", 6),
+          (2, ["customer", "order"], "conjunctive", 5),
+          (3, ["the"], "disjunctive", 4, ["order"])]
+    assert lazy.query_batch(qs, weights) == eager.query_batch(qs, weights)
+    qs4 = [q[:4] for q in qs[:2]]
+    assert lazy.merged_batch(qs4, weights) == eager.merged_batch(qs4, weights)
