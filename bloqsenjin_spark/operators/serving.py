@@ -1005,7 +1005,7 @@ class IndexServer:
 
     def ann_batch(
         self, query_ids: list[int], k: int = 5, n_probe: int = 4,
-        allowed_vec_ids=None,
+        allowed_vec_ids=None, exclude_tombstoned: bool = False,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, vec_id, score)] — IVF approximate-nearest-
         neighbor WITHOUT a Spark job: probe each query's n_probe nearest
@@ -1016,8 +1016,10 @@ class IndexServer:
         path; at equal n_probe it is rank-identical to the Spark
         ann_cosine_ivf (same deterministic centroids) — both pytest-pinned."""
         if not self._is_snap:
-            return self._snap().ann_batch(query_ids, k=k, n_probe=n_probe,
-                                          allowed_vec_ids=allowed_vec_ids)
+            return self._snap().ann_batch(
+                query_ids, k=k, n_probe=n_probe,
+                allowed_vec_ids=allowed_vec_ids,
+                exclude_tombstoned=exclude_tombstoned)
         # filtered ANN: eligibility masks candidates BEFORE top-k (exact
         # within the allowed set — never over-fetch-and-post-filter)
         allow = (
@@ -1052,6 +1054,18 @@ class IndexServer:
         ).to_pydict()
         vid = np.asarray(tbl["vec_id"], dtype=np.int64)
         clus = np.asarray(tbl["cluster"], dtype=np.int64)
+        # exclude_tombstoned: couple the TEXT index's delete set into vector
+        # search under the caller-asserted vec_id == doc_id mapping — mask
+        # via the already-loaded per-shard tombstone bitmaps (the serving
+        # twin of plans.deletes.live_doc_ids feeding `allowed=` Spark-side)
+        dead = None
+        if exclude_tombstoned and self.tomb_masks:
+            dps = self.cfg.docs_per_shard
+            dead = np.zeros(vid.shape, dtype=bool)
+            for sh, tm in self.tomb_masks.items():
+                in_s = (vid // dps) == sh
+                if in_s.any():
+                    dead[in_s] = tm[vid[in_s] - sh * dps]
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["v"]])
         norms = np.sqrt((mat * mat).sum(axis=1))
         out: list[tuple[int, int, int, float]] = []
@@ -1059,6 +1073,8 @@ class IndexServer:
             sel = np.isin(clus, cells) & (vid != qid)
             if allow is not None:
                 sel &= np.isin(vid, allow)
+            if dead is not None:
+                sel &= ~dead
             if not sel.any():
                 continue
             q = qv[qid]

@@ -106,6 +106,51 @@ def tombstone_bitmap_df(
                            bitmap_col="tomb")
 
 
+def live_doc_ids(spark: SparkSession, index_dir: str,
+                 cfg: IndexConfig | None = None) -> DataFrame:
+    """→ (doc_id) of LIVE documents: the doc_lens live bitmaps minus the
+    current tombstones, decoded DISTRIBUTIVELY (one mapInPandas over the
+    per-shard rows — no driver-side doc set). This is the eligibility
+    relation that couples the text index's delete set into OTHER search
+    paths — e.g. filtered vector search (`similarity.*(allowed=...)`) when
+    vec_id == doc_id, the caller-asserted mapping COMPOSITION.md note 8
+    names. Serving-side twin: `IndexServer.ann_batch(
+    exclude_tombstoned=True)` masks by the already-loaded tombstone
+    bitmaps instead of materializing this relation."""
+    cfg = check_index_meta(index_dir, cfg)
+    dps = cfg.docs_per_shard
+    dlens = spark.read.parquet(f"{index_dir}/doc_lens").select(
+        "shard", "n_docs", "live"
+    )
+    tomb = tombstone_bitmap_df(spark, index_dir, cfg)
+    if tomb is not None:
+        dlens = dlens.join(tomb, "shard", "left")
+    has_tomb = tomb is not None
+
+    def explode(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                n = int(r.n_docs)
+                live = np.unpackbits(
+                    np.frombuffer(bytes(r.live), dtype=np.uint8),
+                    bitorder="little",
+                )[:n].astype(bool)
+                if has_tomb and r.tomb is not None:
+                    tm = np.unpackbits(
+                        np.frombuffer(bytes(r.tomb), dtype=np.uint8),
+                        bitorder="little",
+                    )[:n].astype(bool)
+                    live &= ~tm
+                out.append(np.flatnonzero(live) + int(r.shard) * dps)
+            yield pd.DataFrame(
+                {"doc_id": np.concatenate(out) if out
+                 else np.empty(0, dtype=np.int64)}
+            )
+
+    return dlens.mapInPandas(explode, schema="doc_id long")
+
+
 def purge_deletes(spark: SparkSession, index_dir: str) -> None:
     """Physically remove tombstoned docs and restore exact global stats.
 

@@ -253,3 +253,52 @@ def test_filtered_vector_search(spark, emb, tmp_path):
     # LSH: approximate, but every returned candidate honors the filter
     got_lsh = rows(ann_cosine_lsh(emb, qids, k=5, allowed=allowed_df))
     assert got_lsh and all(v in allowed for _q, _r, v, _s in got_lsh)
+
+
+def test_tombstone_coupled_vector_search(spark, emb, tmp_path):
+    """Coupling the text index's delete set into vector search (the
+    vec_id == doc_id mapping): plans.deletes.live_doc_ids yields the live
+    eligibility relation for the Spark `allowed=` path, and serving
+    ann_batch(exclude_tombstoned=True) masks by the loaded tombstone
+    bitmaps — both equal the brute filtered ranking over survivors."""
+    from bloqsenjin_spark import corpus
+    from bloqsenjin_spark.config import IndexConfig
+    from bloqsenjin_spark.operators.serving import IndexServer
+    from bloqsenjin_spark.operators.similarity import cosine_topk, write_ivf
+    from bloqsenjin_spark.plans import deletes as D
+    from bloqsenjin_spark.plans.build import build_index_resumable
+
+    cfg = IndexConfig(docs_per_shard=64, block_docs=8)
+    d = str(tmp_path / "tann")
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    build_index_resumable(docs, d, cfg)
+    write_ivf(emb, d, n_centroids=8)
+    n_docs = docs.count()
+    qids = list(range(6))
+    # pick victims FROM the unmasked ranking so the coupling provably
+    # changes the results
+    base = IndexServer(d, cfg).ann_batch(qids, k=5, n_probe=8)
+    victims = sorted({v for _q, _r, v, _s in base})[:3]
+    assert victims
+    D.delete_docs(spark, d, victims)
+
+    live = D.live_doc_ids(spark, d)
+    live_set = {r["doc_id"] for r in live.collect()}
+    assert live_set == set(range(n_docs)) - set(victims)
+
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in cosine_topk(emb, qids, k=5, allowed=live,
+                     allowed_col="doc_id").collect()
+    )
+    assert want and not any(v in victims for _q, _r, v, _s in want)
+    got = sorted(
+        (q, r, v, round(s, 9))
+        for q, r, v, s in IndexServer(d, cfg).ann_batch(
+            qids, k=5, n_probe=8, exclude_tombstoned=True)
+    )
+    assert got == want
+    # vectors are a SEPARATE table, so UNMASKED ANN still returns the
+    # victims — the coupling (exclude_tombstoned / live_doc_ids) is exactly
+    # what removes them, pinned by construction above
+    assert any(v in victims for _q, _r, v, _s in base)
