@@ -383,7 +383,7 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
                 lshim._ts_ds = pads.dataset(f"{sd}/term_stats",
                                             format="parquet")
                 lshim._stats_lru = OrderedDict()
-                lshim._fuzzy_ds = None
+                lshim._replica_handles = {}
                 lshim.max_cached_terms = 65536
                 lshim._stats_for(workload)  # the same term workload
                 for w in fuzzy_words:

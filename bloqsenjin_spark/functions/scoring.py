@@ -332,11 +332,15 @@ def score_shard_blocks_bm25f(
             continue
         # a term can exist in a field's postings but be absent from the
         # document-level stats when the fields don't partition the document
-        # text (the public API accepts arbitrary field exprs): treat missing
-        # doc-level idf as 0 — the term contributes no SCORE, though a
-        # conjunctive query still requires its presence
+        # text (the public API accepts arbitrary field exprs): disjunctive
+        # treats missing doc-level idf as 0 (the term contributes nothing);
+        # CONJUNCTIVE queries containing such a term match NOTHING — the
+        # oracle's HAVING count(DISTINCT contrib term) = n_terms can never
+        # be met when a term has no doc-stats row, and the kernel mirrors
+        # that exactly (when fields partition the text, doc stats cover
+        # every field term, so this never binds)
         present = [t for t in avail if t in doc_idf]
-        if not present:
+        if not present or (conj and len(present) != len(avail)):
             continue
         per_term_blocks = {
             t: {bi for f in fields
@@ -373,9 +377,9 @@ def score_shard_blocks_bm25f(
             block_base = shard_base + bi * bdocs
             acc = np.zeros(bdocs, dtype=np.float64)
             matched = (np.ones if conj else np.zeros)(bdocs, dtype=bool)
-            # conjunctive walks ALL available terms (presence is required
-            # even for zero-doc-idf terms); disjunctive only scoring terms
-            for t in (avail if conj else present):  # sorted ⇒ deterministic
+            # conj live queries have present == avail (guard above), so one
+            # loop serves both modes
+            for t in present:  # sorted ⇒ deterministic summation
                 tfn = np.zeros(bdocs, dtype=np.float64)
                 for f in fields:  # sorted by caller = deterministic
                     key = f"{f}{sep}{t}"

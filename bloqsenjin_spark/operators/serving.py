@@ -31,6 +31,28 @@ from bloqsenjin_spark.functions.scoring import (
 )
 
 
+def _deepen_queries(queries, offsets, k_index: int):
+    """Deepen each query's k by its offset — rank at depth offset+k so the
+    page slice is exact (bm25_topk_paged's argument). ONE implementation
+    for every serving deep-paging form; ``k_index`` is the k slot in the
+    form's query tuples."""
+    return [
+        q[:k_index] + (int(q[k_index]) + int(offsets.get(int(q[0]), 0)),)
+        + tuple(q[k_index + 1:])
+        for q in queries
+    ]
+
+
+def _page_slice(rows, queries, offsets, k_index: int):
+    """Keep page (offset, offset+k] of globally-ranked result rows —
+    _deepen_queries' other half."""
+    kmap = {int(q[0]): int(q[k_index]) for q in queries}
+    return [
+        r for r in rows
+        if offsets.get(r[0], 0) < r[1] <= offsets.get(r[0], 0) + kmap[r[0]]
+    ]
+
+
 class IndexServer:
     """Serve top-k queries from an on-disk index directory (plans/build.py
     layout). Loads stats + doc lengths once; posting blocks are read per query
@@ -117,7 +139,13 @@ class IndexServer:
             from collections import OrderedDict as _OD
 
             st["_stats_lru"] = _OD()
-        st["_fuzzy_ds"] = None  # on-disk SymSpell replica handle, lazy-loaded
+        # replica dataset handles (doc store, fuzzy buckets), lazily opened
+        # ONCE per generation. A shared MUTABLE dict — _snap() batches are
+        # shallow copies, so rebinding an attribute on the copy would throw
+        # the handle away and re-open + re-staleness-check parquet on every
+        # batch; mutating this dict persists to the parent (same mechanism
+        # as _fuzzy_idx / the LRU caches)
+        st["_replica_handles"] = {}
         dl = ds.dataset(f"{index_dir}/doc_lens", format="parquet",
                         partitioning="hive").to_table().to_pydict()
         owned = self._owned
@@ -155,8 +183,6 @@ class IndexServer:
         st["_term_cache"] = OrderedDict() if self._cache_terms else None
         st["_pos_term_cache"] = OrderedDict() if self._cache_terms else None
         st["_block_cache"] = OrderedDict()
-        st["_ann"] = None  # IVF replica loads lazily; refresh invalidates it
-        st["_doc_store"] = None  # snippet replica handle, same lifecycle
         # SymSpell deletion-neighborhood indexes, built lazily per distinct
         # max_dist on first fuzzy query of a generation (shared by snapshots;
         # refresh() drops them with the rest of the state)
@@ -314,8 +340,12 @@ class IndexServer:
         fld = self._ds.field("term")
         if prefix:
             flt = fld >= prefix
-            if ord(prefix[-1]) < 0x10FFFF:  # bump for an upper range bound
-                flt = flt & (fld < prefix[:-1] + chr(ord(prefix[-1]) + 1))
+            bump = ord(prefix[-1]) + 1
+            # upper range bound: skip when the bumped char is unencodable
+            # (surrogates D800–DFFF, or past the last code point) — the
+            # >= bound alone stays correct, post-filter trims
+            if bump <= 0x10FFFF and not (0xD800 <= bump <= 0xDFFF):
+                flt = flt & (fld < prefix[:-1] + chr(bump))
             tbl = self._ts_ds.to_table(
                 filter=flt, columns=["term", "df"]).to_pydict()
         else:
@@ -416,17 +446,9 @@ class IndexServer:
         """→ page (offset, offset+k] of each ranking with GLOBAL ranks —
         identical to operators/wand.bm25_topk_paged: rank at depth offset+k,
         slice the page."""
-        deep = [
-            (q[0], q[1], q[2], int(q[3]) + int(offsets.get(q[0], 0)))
-            + tuple(q[4:])
-            for q in queries
-        ]
-        kmap = {int(q[0]): int(q[3]) for q in queries}
-        rows = self.query_batch(deep, allowed_doc_ids=allowed_doc_ids)
-        return [
-            r for r in rows
-            if offsets.get(r[0], 0) < r[1] <= offsets.get(r[0], 0) + kmap[r[0]]
-        ]
+        rows = self.query_batch(_deepen_queries(queries, offsets, 3),
+                                allowed_doc_ids=allowed_doc_ids)
+        return _page_slice(rows, queries, offsets, 3)
 
     def prefix_topk_batch(
         self, prefix_queries: list[tuple[int, str, int]],
@@ -569,19 +591,10 @@ class IndexServer:
         from bloqsenjin_spark.operators.wand import _parse_phrases
 
         if offsets:  # deep paging: rank at depth offset+k, slice the page
-            kmap = {int(q[0]): int(q[2]) for q in phrases}
-            deep = [
-                (q[0], q[1], int(q[2]) + int(offsets.get(int(q[0]), 0)))
-                + tuple(q[3:])
-                for q in phrases
-            ]
-            rows = self.phrase_topk_batch(deep, ordered=ordered,
-                                          allowed_doc_ids=allowed_doc_ids)
-            return [
-                r for r in rows
-                if offsets.get(r[0], 0) < r[1]
-                <= offsets.get(r[0], 0) + kmap[r[0]]
-            ]
+            rows = self.phrase_topk_batch(
+                _deepen_queries(phrases, offsets, 2), ordered=ordered,
+                allowed_doc_ids=allowed_doc_ids)
+            return _page_slice(rows, phrases, offsets, 2)
         if not self._is_snap:
             return self._snap().phrase_topk_batch(
                 phrases, ordered=ordered, allowed_doc_ids=allowed_doc_ids)
@@ -746,7 +759,7 @@ class IndexServer:
         streaming compact, rebuild, resume) would silently serve old token
         rows — fail loudly with the remedy instead. Unstamped (legacy)
         replicas skip the check."""
-        if self._doc_store is None:
+        if self._replica_handles.get("doc_store") is None:
             from bloqsenjin_spark.plans.build import replica_built_generation
 
             bg = replica_built_generation(self.index_dir, "doc_store_meta")
@@ -757,7 +770,7 @@ class IndexServer:
                     "plans.build.write_doc_store after content mutations"
                 )
             try:
-                self._doc_store = self._ds.dataset(
+                self._replica_handles["doc_store"] = self._ds.dataset(
                     f"{self.index_dir}/doc_store", format="parquet",
                     partitioning="hive",
                 )
@@ -766,7 +779,7 @@ class IndexServer:
                     "no doc_store table in this index — snippet serving needs "
                     "the opt-in replica (plans.build.write_doc_store)"
                 ) from None
-        return self._doc_store
+        return self._replica_handles["doc_store"]
 
     @staticmethod
     def _levenshtein(a: str, b: str, cap: int) -> int:
@@ -811,7 +824,7 @@ class IndexServer:
     def _fuzzy_handle(self):
         """→ (dataset, built_max_dist) for the on-disk SymSpell replica
         (plans.build.write_fuzzy_index) — the lazy-stats fuzzy source."""
-        if self._fuzzy_ds is None:
+        if self._replica_handles.get("fuzzy") is None:
             try:
                 fds = self._ds.dataset(
                     f"{self.index_dir}/fuzzy_index", format="parquet")
@@ -832,25 +845,40 @@ class IndexServer:
                     f"{self.content_generation}) — re-run "
                     "plans.build.write_fuzzy_index after content mutations"
                 )
-            self._fuzzy_ds = (fds, int(meta["max_dist"][0]))
-        return self._fuzzy_ds
+            self._replica_handles["fuzzy"] = (fds, int(meta["max_dist"][0]))
+        return self._replica_handles["fuzzy"]
 
     def _fuzzy_candidates_lazy(self, word: str, max_dist: int) -> "list[str]":
         """Lazy-stats candidate lookup: ONE pruned pyarrow read of the query
         word's ≤max_dist-deletion variant buckets from the variant-sorted
         on-disk table — resident memory O(1) in vocabulary. Buckets built at
         a LARGER distance than queried are still correct (the table is a
-        superset of the ≤max_dist buckets; Levenshtein verify trims)."""
-        fds, built_d = self._fuzzy_handle()
-        if max_dist > built_d:
-            # documented fallback (mirrors the eager full-scan): one
-            # full-column read of the vocabulary, verify trims
-            return self._ts_ds.to_table(columns=["term"])["term"].to_pylist()
+        superset of the ≤max_dist buckets; Levenshtein verify trims).
+        Distances ABOVE the build distance never reach here — they route to
+        the streaming scan (_fuzzy_expansion_scan_lazy)."""
+        fds, _built_d = self._fuzzy_handle()
         variants = sorted(self._deletes(word, max_dist))
         tbl = fds.to_table(
             filter=self._ds.field("variant").isin(variants), columns=["term"]
         )
         return sorted(set(tbl["term"].to_pylist()))
+
+    def _fuzzy_expansion_scan_lazy(self, word: str, max_dist: int,
+                                   max_expansions: int) -> list:
+        """Lazy-mode fallback when the query distance exceeds the on-disk
+        bucket replica's build distance: ONE STREAMING vocabulary scan
+        (record batches — memory O(batch + matches), never the whole
+        dictionary, and nothing enters the stats LRU), Levenshtein verify
+        per batch, then the shared (dist ASC, df DESC, term ASC) cap."""
+        cands = []
+        for rb in self._ts_ds.to_batches(columns=["term", "df"]):
+            for t, dfv in zip(rb.column("term").to_pylist(),
+                              rb.column("df").to_pylist()):
+                d = self._levenshtein(t, word, int(max_dist))
+                if d <= max_dist:
+                    cands.append((d, -int(dfv), t))
+        cands.sort()
+        return [(t, d) for d, _ndf, t in cands[:max_expansions]]
 
     def _fuzzy_candidates(self, word: str, max_dist: int) -> "list[str]":
         """Candidate dictionary terms possibly within ``max_dist`` edits of
@@ -924,6 +952,11 @@ class IndexServer:
         (Levenshtein ≤ max_dist, distance ASC / df DESC / term ASC, capped)
         — SymSpell candidates + exact verify, shared by the single- and
         multi-word fuzzy entry points."""
+        if self.df is None:
+            _fds, built_d = self._fuzzy_handle()
+            if int(max_dist) > built_d:
+                return self._fuzzy_expansion_scan_lazy(
+                    str(word), int(max_dist), max_expansions)
         terms = self._fuzzy_candidates(word, int(max_dist))
         dfs = (
             self.df if self.df is not None
@@ -953,7 +986,7 @@ class IndexServer:
         from bloqsenjin_spark.operators.wand import _compose_fuzzy_multi
 
         if len({q[0] for q in multi_queries}) != len(multi_queries):
-            raise ValueError("duplicate query_ids in fuzzy_queries")
+            raise ValueError("duplicate query_ids in multi_queries")
         if mode not in ("disjunctive", "conjunctive"):
             raise ValueError(f"unknown query mode {mode!r}")
         if distance_decay is not None and float(distance_decay) < 0:
@@ -990,7 +1023,7 @@ class IndexServer:
         """Lazy-load the persisted IVF replica (similarity.write_ivf layout):
         the centroid matrix stays in memory; vectors are read per probe with
         cluster-partition pruning."""
-        if self._ann is None:
+        if self._replica_handles.get("ann") is None:
             ct = self._ds.dataset(
                 f"{self.index_dir}/ann_centroids", format="parquet"
             ).to_table().to_pydict()
@@ -1000,8 +1033,8 @@ class IndexServer:
             )
             vds = self._ds.dataset(f"{self.index_dir}/ann_vectors",
                                    format="parquet", partitioning="hive")
-            self._ann = (cents, vds)
-        return self._ann
+            self._replica_handles["ann"] = (cents, vds)
+        return self._replica_handles["ann"]
 
     def ann_batch(
         self, query_ids: list[int], k: int = 5, n_probe: int = 4,
@@ -1249,15 +1282,10 @@ class FieldedIndexServer:
         offset+k, return the page with GLOBAL ranks."""
         weights = self._validate(queries, field_weights)
         if offsets:
-            kmap = {int(q[0]): int(q[3]) for q in queries}
-            deep = [(q[0], q[1], q[2],
-                     int(q[3]) + int(offsets.get(int(q[0]), 0))) + tuple(q[4:])
-                    for q in queries]
-            rows = self.query_batch(deep, field_weights,
+            rows = self.query_batch(_deepen_queries(queries, offsets, 3),
+                                    field_weights,
                                     allowed_doc_ids=allowed_doc_ids)
-            return [r for r in rows
-                    if offsets.get(r[0], 0) < r[1]
-                    <= offsets.get(r[0], 0) + kmap[r[0]]]
+            return _page_slice(rows, queries, offsets, 3)
         snaps = {f: s._snap() for f, s in self.servers.items()}
         allow_masks = snaps[self.fields[0]]._allow_masks(allowed_doc_ids)
         all_terms = sorted({t for q in queries for t in q[1]})
@@ -1337,15 +1365,10 @@ class FieldedIndexServer:
             )
         weights = self._validate(queries, field_weights)
         if offsets:
-            kmap = {int(q[0]): int(q[3]) for q in queries}
-            deep = [(q[0], q[1], q[2],
-                     int(q[3]) + int(offsets.get(int(q[0]), 0))) + tuple(q[4:])
-                    for q in queries]
-            rows = self.merged_batch(deep, field_weights,
+            rows = self.merged_batch(_deepen_queries(queries, offsets, 3),
+                                     field_weights,
                                      allowed_doc_ids=allowed_doc_ids)
-            return [r for r in rows
-                    if offsets.get(r[0], 0) < r[1]
-                    <= offsets.get(r[0], 0) + kmap[r[0]]]
+            return _page_slice(rows, queries, offsets, 3)
         snaps = {f: s._snap() for f, s in self.servers.items()}
         allow_masks = snaps[self.fields[0]]._allow_masks(allowed_doc_ids)
         all_terms = sorted({t for q in queries for t in q[1]})

@@ -1121,7 +1121,7 @@ def fuzzy_multi_bm25_topk(
     (expand_fuzzy_terms_with_dist — the batch SymSpell equi-join), then the
     ordinary bm25_wand_topk pass over the union terms' postings."""
     if len({q[0] for q in multi_queries}) != len(multi_queries):
-        raise ValueError("duplicate query_ids in fuzzy_queries")
+        raise ValueError("duplicate query_ids in multi_queries")
     if mode not in ("disjunctive", "conjunctive"):
         raise ValueError(f"unknown query mode {mode!r}")
     if distance_decay is not None and float(distance_decay) < 0:

@@ -298,9 +298,20 @@ def stale_replicas(index_dir: str) -> list[str]:
     """Names of opt-in replica tables that predate the last index-content
     mutation — rebuild them with write_doc_store / write_fuzzy_index.
     Unstamped (legacy) replicas are skipped: their age is unknowable, and
-    their serving reads skip the check symmetrically."""
+    their serving reads skip the check symmetrically.
+
+    Parquet-path indexes only (like the serving tier itself, which reads
+    parquet paths directly): an iceberg:// index raises instead of silently
+    reporting no staleness — on that backend replica reads go through
+    snapshot-isolated catalog tables, and coherence tooling would live
+    there, not on this path-probing helper."""
     import os
 
+    if index_dir.startswith(S.ICEBERG_SCHEME):
+        raise NotImplementedError(
+            "stale_replicas probes parquet paths; iceberg:// replica "
+            "coherence is catalog-side (snapshot-isolated reads)"
+        )
     content = read_index_content_generation(index_dir)
     out = []
     for table, meta in (("doc_store", "doc_store_meta"),

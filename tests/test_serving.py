@@ -1145,3 +1145,41 @@ def test_paged_highlights_and_snippets(spark, snippet_index_dir):
     kmap = {1: 4, 2: 3}
     assert got_s == [r for r in deep
                      if offsets[r[0]] < r[1] <= offsets[r[0]] + kmap[r[0]]]
+
+
+def test_lazy_edge_cases_from_review(spark, index_dir):
+    """Round-6 review regressions: (a) a prefix whose bumped last char
+    lands in the surrogate range must not crash the lazy ranged read;
+    (b) a fuzzy distance ABOVE the on-disk bucket replica's build distance
+    routes to the streaming vocabulary scan — identical results to the
+    eager server's documented scan fallback, nothing through the stats
+    LRU; (c) replica handles persist across _snap() batches (opened once,
+    not re-opened per batch)."""
+    B.write_fuzzy_index(spark, index_dir, max_dist=1)
+    eager = IndexServer(index_dir, CFG)
+    lazy = IndexServer(index_dir, CFG, stats_mode="lazy")
+
+    # (a) surrogate-boundary prefix: no crash, same (empty) answer
+    weird = [(1, "퟿", 5), (2, "s", 5)]
+    assert (lazy.prefix_topk_batch(weird, max_expansions=4)
+            == eager.prefix_topk_batch(weird, max_expansions=4))
+
+    # (b) dist 2 > built dist 1 → streaming scan, results == eager
+    fq = [(1, "quary", 2, 5), (2, "spork", 2, 4)]
+    before = len(lazy._stats_lru)
+    got = lazy.fuzzy_topk_batch(fq, max_expansions=3)
+    want = eager.fuzzy_topk_batch(fq, max_expansions=3)
+    assert len(got) == len(want) > 0
+    for g, w in zip(sorted(got), sorted(want)):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-12)
+    # the scan path added nothing vocabulary-sized to the LRU (only the
+    # expansion terms' stats from the scoring pass enter it)
+    assert len(lazy._stats_lru) - before < 50
+
+    # (c) the fuzzy replica handle opened during (b) persisted to the
+    # parent server despite the per-batch snapshot copies
+    assert lazy._replica_handles.get("fuzzy") is not None
+    h1 = lazy._replica_handles["fuzzy"][0]
+    lazy.fuzzy_topk_batch([(1, "spork", 1, 3)])
+    assert lazy._replica_handles["fuzzy"][0] is h1  # not re-opened
