@@ -747,12 +747,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver's 50-entry verification window (round-4 verdict #1); each
         # suite branch calls the unchanged operator, and per-operator oracle
         # checks live in tests/test_relational.py
-        "rel_scan_set_suite": _rel(relational.scan_set_suite, "lineitem", "orders"),
+        "rel_scan_scalar_suite": _rel(relational.scan_scalar_suite,
+                                      "lineitem", "orders", "events", "part"),
         "rel_join_suite": _rel(relational.join_suite, "customer", "orders",
                                "lineitem", "part"),
         "rel_agg_window_suite": _rel(relational.agg_window_suite, "orders",
                                      "lineitem", "events"),
-        "rel_scalar_suite": _rel(relational.scalar_suite, "events", "orders", "part"),
         "term_prefix_scan": _q_prefix_scan,
     }
 
@@ -871,5 +871,13 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_pixels": oracle.decode_pixels_sql(),
         "term_prefix_scan": oracle.prefix_scan_sql("s", 10),
     }
-    out.update(oracle.COMPOSITE_RELATIONAL_SQL)
+    # round-7: scan/set + scalar suites share one driver slot (their oracles
+    # are UNION ALL chains over the same suite schema, so concatenation is a
+    # valid composite); per-suite oracles stay in tests/test_relational.py
+    comp = oracle.COMPOSITE_RELATIONAL_SQL
+    out["rel_scan_scalar_suite"] = (
+        comp["rel_scan_set_suite"] + "\nUNION ALL\n" + comp["rel_scalar_suite"]
+    )
+    out["rel_join_suite"] = comp["rel_join_suite"]
+    out["rel_agg_window_suite"] = comp["rel_agg_window_suite"]
     return out

@@ -379,6 +379,18 @@ def scalar_suite(events: DataFrame, orders: DataFrame, part: DataFrame) -> DataF
     ])
 
 
+def scan_scalar_suite(lineitem: DataFrame, orders: DataFrame,
+                      events: DataFrame, part: DataFrame) -> DataFrame:
+    """Round-7 consolidation: the scan/set and scalar suites merged into ONE
+    UNION-tagged entry (branch tags are disjoint, schema already shared) to
+    free a slot in the driver's 50-entry verification window for the query-
+    language suite. Both constituent suites remain individually oracle-checked
+    in tests/test_relational.py."""
+    return scan_set_suite(lineitem, orders).unionByName(
+        scalar_suite(events, orders, part)
+    )
+
+
 def schema_merge_union(orders: DataFrame) -> DataFrame:
     """A6/S3: column-set union across heterogeneous row batches (the insert
     key-union loop, internal/db/mariadb.go:136-146) via unionByName with

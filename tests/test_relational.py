@@ -103,6 +103,18 @@ SUITES = {
 }
 
 
+def test_merged_scan_scalar_suite(spark, duck):
+    """The round-7 driver entry (scan/set + scalar merged to free a window
+    slot) matches the concatenated composite oracle."""
+    sdf = relational.scan_scalar_suite(
+        *[corpus.load_table(spark, SF_DIR, t)
+          for t in ("lineitem", "orders", "events", "part")])
+    _compare(sdf, duck,
+             oracle.COMPOSITE_RELATIONAL_SQL["rel_scan_set_suite"]
+             + "\nUNION ALL\n"
+             + oracle.COMPOSITE_RELATIONAL_SQL["rel_scalar_suite"])
+
+
 @pytest.mark.parametrize("name", sorted(SUITES))
 def test_composite_suite_matches_oracle(spark, duck, name):
     fn, tables = SUITES[name]
