@@ -684,6 +684,40 @@ def _q_prefix_scan(spark, sf_dir):
     return relational.prefix_scan_limited(ts.select("term", "df"), prefix="s", limit=10)
 
 
+# query-language front end: one mixed batch of Lucene-style strings covering
+# every compiled kind (plain or/and/bool/boosted, phrase, near ordered +
+# unordered, prefix, fuzzy, multi-fuzzy disj + conj) — parsed, compiled and
+# dispatched by sources/querylang; the oracle is the UNION of the SAME
+# per-operator oracle builders the individual entries use (disjoint qids)
+DSL_QUERIES = [
+    (1, "the OR fast", 10),
+    (2, "customer order", 5),          # implicit AND (default_op below)
+    (3, "join hash -merge", 10),
+    (4, "the^0.25 OR fast^2", 10),
+    (5, '"the fast"', 10),
+    (6, '"customer order"~1', 10),
+    (7, '"fast the"~1u', 10),
+    (8, "s*", 10),
+    (9, "spork~1", 10),
+    (10, "spork~1 OR quary~1", 10),
+    (11, "customer~1 orde~1", 10),     # implicit AND → conjunctive fuzzy
+]
+
+
+def _q_query_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-facing query language: Lucene-style strings → parse → compile
+    onto the EXISTING operator tuple forms → grouped dispatch (one Spark
+    job per operator kind for the whole batch). Adds no execution path, so
+    the oracle is the union of the per-operator oracles."""
+    from bloqsenjin_spark.sources import querylang as ql
+
+    idx = build_index(_docs(spark, sf_dir), _SF_CFG_POS)
+    compiled = ql.compile_batch(DSL_QUERIES, default_op="and")
+    res = ql.run_query_batch(idx, compiled, max_expansions=_MAX_EXPANSIONS,
+                             distance_decay=_FUZZY_DECAY)
+    return res.withColumn("score", F.round("score", _R))
+
+
 def _rel(fn, *tables):
     def run(spark, sf_dir):
         return fn(*[corpus.load_table(spark, sf_dir, t) for t in tables])
@@ -754,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_agg_window_suite": _rel(relational.agg_window_suite, "orders",
                                      "lineitem", "events"),
         "term_prefix_scan": _q_prefix_scan,
+        # query-language front end (sources/querylang)
+        "query_dsl_suite": _q_query_dsl,
     }
 
 
@@ -870,6 +906,38 @@ def oracle_sql() -> dict[str, str]:
         "mm_fake_features": oracle.fake_features_sql(),
         "mm_decode_pixels": oracle.decode_pixels_sql(),
         "term_prefix_scan": oracle.prefix_scan_sql("s", 10),
+        # query_dsl_suite: the compiled batch IS the per-operator forms, so
+        # the oracle is the union of the same builders over disjoint qids
+        "query_dsl_suite": "\nUNION ALL\n".join(
+            "SELECT * FROM (\n" + part + "\n)"
+            for part in (
+                oracle.bm25_topk_sql(
+                    [(1, ["the", "fast"], "disjunctive", 10),
+                     (2, ["customer", "order"], "conjunctive", 5),
+                     (3, ["join", "hash"], "conjunctive", 10)],
+                    must_not={3: ["merge"]},
+                ),
+                oracle.weighted_topk_sql(
+                    [(4, ["the", "fast"], "disjunctive", 10, [],
+                      {"the": 0.25, "fast": 2.0})]
+                ),
+                oracle.phrase_topk_sql([(5, "the fast", 10)]),
+                oracle.near_topk_sql([(6, "customer order", 10, 1)]),
+                oracle.near_unordered_topk_sql([(7, "fast the", 10, 1)]),
+                oracle.prefix_topk_sql(
+                    [(8, "s", 10)], max_expansions=_MAX_EXPANSIONS),
+                oracle.fuzzy_topk_sql(
+                    [(9, "spork", 1, 10)], max_expansions=_MAX_EXPANSIONS),
+                oracle.fuzzy_multi_topk_sql(
+                    [(10, ["spork", "quary"], 1, 10)],
+                    max_expansions=_MAX_EXPANSIONS,
+                    distance_decay=_FUZZY_DECAY, conjunctive=False),
+                oracle.fuzzy_multi_topk_sql(
+                    [(11, ["customer", "orde"], 1, 10)],
+                    max_expansions=_MAX_EXPANSIONS,
+                    distance_decay=_FUZZY_DECAY, conjunctive=True),
+            )
+        ),
     }
     # round-7: scan/set + scalar suites share one driver slot (their oracles
     # are UNION ALL chains over the same suite schema, so concatenation is a

@@ -1,0 +1,576 @@
+"""Lucene-style query-language front end.
+
+The engine's 19 ranked forms are all driven by positional tuple protocols
+((qid, terms, mode, k, negs, boosts, groups), (qid, phrase, k, slop), …).
+This module is the user-facing string syntax that compiles onto those
+EXISTING forms — it adds no new execution path, so every kernel property
+(exact block-max pruning, tie-breaks, oracle parity) is inherited, and a
+parsed batch dispatches through the same operator entry points the driver
+verifies.
+
+Reference shape: the reference's entire front end is a parser from a
+positional IR onto its data layer — URL segment routing
+(/root/reference/pkg/http/router.go:31-59, pkg/rest/server.go:256-266) and
+form/body ingestion (/root/reference/pkg/auth/http/log.go:48-92). This is
+the text-query analog: string → IR → operator dispatch.
+
+Syntax (flat boolean, Lucene-inspired)::
+
+    spark engine              implicit mode (default_op: 'or' or 'and')
+    spark OR engine           explicit disjunction   (uppercase keyword)
+    spark AND engine          explicit conjunction
+    -nsfw                     MUST_NOT (prohibited term; needs a positive)
+    +spark +engine            '+' = required → the whole query is an AND
+    spark^2.5                 per-term boost (≥ 0)
+    "data engine"             exact phrase (tokenizer-normalized)
+    "data engine"~2           ordered proximity, slop 2
+    "engine data"~2u          unordered proximity (symmetric window)
+    pre*                      prefix expansion
+    wrod~1                    fuzzy (Levenshtein ≤ 1); bare ~ defaults to 2
+    helo~1 wrold~1            multi-word fuzzy (one shared distance)
+    title:spark title:fast    single-field query (runs on that field's index)
+
+Terms and phrase bodies are normalized with THE engine tokenizer regex
+(config.TOKEN_SPLIT_REGEX) — ``"The, FAST!"`` parses identically to
+``"the fast"``. A word that normalizes to more than one token (``foo.bar``)
+is a syntax error, not a silent phrase.
+
+Two error classes, both loud:
+
+- ``QueryParseError``: the string is malformed (unbalanced quote, dangling
+  operator, empty phrase, multi-token word).
+- ``UnsupportedQueryError``: the string parses, but no composed operator
+  exists for the combination (phrase mixed with loose terms, terms across
+  two different fields, boost on an expansion form…). The message names the
+  COMPOSITION.md cell so the refusal is auditable.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as _dc_field
+
+from bloqsenjin_spark.config import TOKEN_SPLIT_REGEX
+
+_SPLIT = re.compile(TOKEN_SPLIT_REGEX)
+_FIELD_RE = re.compile(r"[a-z_][a-z0-9_]*")
+_DEFAULT_FUZZY_DIST = 2  # Lucene's FuzzyQuery default maximum edit distance
+
+
+class QueryParseError(ValueError):
+    """The query string is syntactically malformed."""
+
+
+class UnsupportedQueryError(ValueError):
+    """Valid syntax, but the combination has no composed operator
+    (COMPOSITION.md documents the matrix)."""
+
+
+@dataclass(frozen=True)
+class Term:
+    text: str
+    field: "str | None" = None
+    boost: "float | None" = None
+    prefix: bool = False
+    fuzzy: "int | None" = None
+    required: bool = False
+    prohibited: bool = False
+
+
+@dataclass(frozen=True)
+class Phrase:
+    tokens: tuple
+    field: "str | None" = None
+    slop: int = 0
+    ordered: bool = True
+
+
+@dataclass(frozen=True)
+class ParsedQuery:
+    clauses: tuple
+    op: str  # 'and' | 'or'
+
+
+def _norm_word(raw: str, pos: int) -> str:
+    toks = [t for t in _SPLIT.split(raw.lower()) if t]
+    if len(toks) != 1:
+        raise QueryParseError(
+            f"word {raw!r} at position {pos} normalizes to {len(toks)} "
+            f"tokens under the engine tokenizer; quote it as a phrase or "
+            f"split it"
+        )
+    return toks[0]
+
+
+_WORD_RE = re.compile(r'[^\s"^~*]+')
+_SLOP_RE = re.compile(r"~(\d+)(u?)")
+_FUZZ_RE = re.compile(r"~(\d*)")
+_BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)")
+
+
+def parse(text: str, default_op: str = "or") -> ParsedQuery:
+    """Parse a query string into the flat boolean IR. ``default_op`` sets
+    the mode when neither OR nor AND appears ('or' mirrors Lucene's default;
+    'and' is the web-search reading)."""
+    if default_op not in ("or", "and"):
+        raise ValueError(f"default_op must be 'or' or 'and', got {default_op!r}")
+    clauses: list = []
+    saw_or = saw_and = False
+    i, n = 0, len(text)
+    while i < n:
+        if text[i].isspace():
+            i += 1
+            continue
+        # explicit operators (uppercase keywords only; 'or' is a term)
+        for kw in ("OR", "AND"):
+            if text.startswith(kw, i) and (
+                i + len(kw) == n or text[i + len(kw)].isspace()
+            ):
+                if not clauses:
+                    raise QueryParseError(f"{kw} with no left operand")
+                if kw == "OR":
+                    saw_or = True
+                else:
+                    saw_and = True
+                i += len(kw)
+                break
+        else:
+            clause, i = _parse_clause(text, i)
+            clauses.append(clause)
+            continue
+    if saw_or and saw_and:
+        raise QueryParseError(
+            "mixed AND/OR in one query — the engine's boolean forms are "
+            "flat (one mode per query)"
+        )
+    if not clauses:
+        raise QueryParseError("empty query")
+    if not any(
+        not (isinstance(c, Term) and c.prohibited) for c in clauses
+    ):
+        raise QueryParseError(
+            "query has no positive clause (pure MUST_NOT cannot rank)"
+        )
+    required = [c for c in clauses if isinstance(c, Term) and c.required]
+    positives = [
+        c for c in clauses if not (isinstance(c, Term) and c.prohibited)
+    ]
+    if required and len(required) != len(positives):
+        raise QueryParseError(
+            "mixed required (+) and optional terms — mark every positive "
+            "term with + (pure AND) or none (mode from OR/AND/default_op)"
+        )
+    op = "or" if saw_or else "and" if saw_and else default_op
+    if required:
+        if saw_or:
+            raise QueryParseError("+required terms contradict OR mode")
+        op = "and"
+    return ParsedQuery(tuple(clauses), op)
+
+
+def _parse_clause(text: str, i: int):
+    n = len(text)
+    required = prohibited = False
+    if text[i] in "+-":
+        required = text[i] == "+"
+        prohibited = text[i] == "-"
+        i += 1
+        if i >= n or text[i].isspace():
+            raise QueryParseError(f"dangling {'+' if required else '-'} sign")
+    fieldname = None
+    m = _FIELD_RE.match(text, i)
+    if m and m.end() < n and text[m.end()] == ":":
+        fieldname = m.group(0)
+        i = m.end() + 1
+        if i >= n or text[i].isspace():
+            raise QueryParseError(f"field '{fieldname}:' with no value")
+    if i < n and text[i] == '"':
+        return _parse_phrase(text, i, fieldname, required, prohibited)
+    m = _WORD_RE.match(text, i)
+    if not m:
+        raise QueryParseError(
+            f"unexpected character {text[i]!r} at position {i}"
+        )
+    raw, i = m.group(0), m.end()
+    if ":" in raw:
+        raise QueryParseError(
+            f"stray ':' in {raw!r} — fields are lowercase identifiers "
+            f"(field:term)"
+        )
+    word = _norm_word(raw, m.start())
+    prefix = False
+    fuzzy = None
+    if i < n and text[i] == "*":
+        prefix = True
+        i += 1
+    elif i < n and text[i] == "~":
+        fm = _FUZZ_RE.match(text, i)
+        fuzzy = int(fm.group(1)) if fm.group(1) else _DEFAULT_FUZZY_DIST
+        i = fm.end()
+    boost = None
+    if i < n and text[i] == "^":
+        bm = _BOOST_RE.match(text, i)
+        if not bm:
+            raise QueryParseError(f"malformed boost at position {i}")
+        boost = float(bm.group(1))
+        i = bm.end()
+    if i < n and not text[i].isspace():
+        raise QueryParseError(
+            f"unexpected character {text[i]!r} after term at position {i}"
+        )
+    return (
+        Term(word, field=fieldname, boost=boost, prefix=prefix, fuzzy=fuzzy,
+             required=required, prohibited=prohibited),
+        i,
+    )
+
+
+def _parse_phrase(text, i, fieldname, required, prohibited):
+    n = len(text)
+    end = text.find('"', i + 1)
+    if end < 0:
+        raise QueryParseError(f"unbalanced quote at position {i}")
+    body = text[i + 1:end]
+    toks = tuple(t for t in _SPLIT.split(body.lower()) if t)
+    if not toks:
+        raise QueryParseError(f"empty phrase at position {i}")
+    i = end + 1
+    slop, ordered = 0, True
+    if i < n and text[i] == "~":
+        sm = _SLOP_RE.match(text, i)
+        if not sm:
+            raise QueryParseError(f"malformed slop at position {i}")
+        slop = int(sm.group(1))
+        ordered = not sm.group(2)
+        i = sm.end()
+    if i < n and not text[i].isspace():
+        raise QueryParseError(
+            f"unexpected character {text[i]!r} after phrase at position {i}"
+        )
+    if required or prohibited:
+        raise UnsupportedQueryError(
+            "+/- on a phrase: MUST/MUST_NOT phrase clauses have no composed "
+            "operator (COMPOSITION.md: phrase × boolean)"
+        )
+    return Phrase(toks, field=fieldname, slop=slop, ordered=ordered), i
+
+
+def to_string(q: ParsedQuery) -> str:
+    """Canonical printer — parse(to_string(q), default_op=q.op) == q
+    (property-tested)."""
+    parts = []
+    for c in q.clauses:
+        if isinstance(c, Phrase):
+            s = (f"{c.field}:" if c.field else "") + \
+                '"' + " ".join(c.tokens) + '"'
+            if c.slop or not c.ordered:
+                s += f"~{c.slop}" + ("" if c.ordered else "u")
+        else:
+            s = ("+" if c.required else "-" if c.prohibited else "") + (
+                f"{c.field}:" if c.field else ""
+            ) + c.text
+            if c.prefix:
+                s += "*"
+            if c.fuzzy is not None:
+                s += f"~{c.fuzzy}"
+            if c.boost is not None:
+                s += f"^{c.boost:g}"
+        parts.append(s)
+    sep = " OR " if q.op == "or" and len(parts) > 1 else " "
+    return sep.join(parts)
+
+
+# ---- compilation onto the operator tuple forms -------------------------------
+
+
+@dataclass(frozen=True)
+class Compiled:
+    """One query compiled to an operator form. ``kind`` selects the operator;
+    ``payload`` is the operator's own tuple (qid first); ``field`` routes to
+    a field index (None = whole-document index)."""
+
+    qid: int
+    kind: str  # plain | phrase | near | prefix | fuzzy | fuzzy_multi
+    payload: tuple
+    field: "str | None" = None
+    mode: str = "disjunctive"          # plain / fuzzy_multi
+    ordered: bool = True               # phrase / near
+    must_not: tuple = _dc_field(default_factory=tuple)
+
+
+def compile_query(qid: int, parsed: ParsedQuery, k: int = 10) -> Compiled:
+    """Map a parsed query onto the one operator form that answers it, or
+    refuse loudly. The mapping is total over the shipped operator set —
+    every Compiled.kind corresponds to a driver-verified queries() form."""
+    phrases = [c for c in parsed.clauses if isinstance(c, Phrase)]
+    terms = [c for c in parsed.clauses if isinstance(c, Term)]
+    pos = [t for t in terms if not t.prohibited]
+    negs = [t for t in terms if t.prohibited]
+    for t in negs:
+        if t.prefix or t.fuzzy is not None or t.boost is not None:
+            raise UnsupportedQueryError(
+                "MUST_NOT supports plain terms only (exclusion reads doc "
+                "ids, not expansions)"
+            )
+    neg_texts = tuple(t.text for t in negs)
+
+    if phrases:
+        if len(phrases) > 1 or pos:
+            raise UnsupportedQueryError(
+                "a phrase clause must be the only positive clause — "
+                "phrase × loose-term composition has no operator "
+                "(COMPOSITION.md: phrase column)"
+            )
+        if negs:
+            raise UnsupportedQueryError(
+                "phrase × MUST_NOT has no composed operator "
+                "(COMPOSITION.md: phrase × boolean)"
+            )
+        p = phrases[0]
+        body = " ".join(p.tokens)
+        if p.slop == 0 and p.ordered:
+            return Compiled(qid, "phrase", (qid, body, int(k)),
+                            field=p.field)
+        return Compiled(qid, "near", (qid, body, int(k), int(p.slop)),
+                        field=p.field, ordered=p.ordered)
+
+    fields = {t.field for t in terms}
+    if len(fields) > 1:
+        raise UnsupportedQueryError(
+            f"terms span fields {sorted(f or '(doc)' for f in fields)} — "
+            "qualify every term with the SAME field (one field's index) or "
+            "none (whole-document / BM25F ranking); cross-field per-term "
+            "routing has no composed operator"
+        )
+    fld = next(iter(fields)) if fields else None
+
+    prefixes = [t for t in pos if t.prefix]
+    fuzzies = [t for t in pos if t.fuzzy is not None]
+    plains = [t for t in pos if not t.prefix and t.fuzzy is None]
+
+    if prefixes:
+        if len(prefixes) > 1 or fuzzies or plains:
+            raise UnsupportedQueryError(
+                "a prefix term must be the only positive clause "
+                "(multi-prefix / prefix × term composition has no operator)"
+            )
+        t = prefixes[0]
+        if t.boost is not None:
+            raise UnsupportedQueryError(
+                "boost on a prefix term: expansion forms rank with the "
+                "expansion's own df order, not user boosts"
+            )
+        return Compiled(qid, "prefix", (qid, t.text, int(k)), field=fld,
+                        must_not=neg_texts)
+
+    if fuzzies:
+        if plains:
+            raise UnsupportedQueryError(
+                "fuzzy and exact terms in one query: per-word distances "
+                "are not supported — write every word with ~N (multi-word "
+                "fuzzy) or none"
+            )
+        if any(t.boost is not None for t in fuzzies):
+            raise UnsupportedQueryError(
+                "boost on a fuzzy term: expansion forms weight by "
+                "distance decay, not user boosts"
+            )
+        dists = {t.fuzzy for t in fuzzies}
+        if len(dists) > 1:
+            raise UnsupportedQueryError(
+                f"differing fuzzy distances {sorted(dists)} in one query — "
+                "the multi-word form expands every word at ONE distance"
+            )
+        d = dists.pop()
+        if len(fuzzies) == 1:
+            return Compiled(qid, "fuzzy",
+                            (qid, fuzzies[0].text, int(d), int(k)),
+                            field=fld, must_not=neg_texts)
+        mode = "conjunctive" if parsed.op == "and" else "disjunctive"
+        return Compiled(
+            qid, "fuzzy_multi",
+            (qid, [t.text for t in fuzzies], int(d), int(k)),
+            field=fld, mode=mode, must_not=neg_texts,
+        )
+
+    if not plains:
+        raise QueryParseError("query has no positive clause")
+    mode = "conjunctive" if parsed.op == "and" else "disjunctive"
+    texts = [t.text for t in plains]
+    boosts = {t.text: float(t.boost) for t in plains if t.boost is not None}
+    if any(b < 0 for b in boosts.values()):
+        raise UnsupportedQueryError("negative boosts are not rankable")
+    if boosts:
+        payload = (qid, texts, mode, int(k), neg_texts, boosts)
+    elif neg_texts:
+        payload = (qid, texts, mode, int(k), neg_texts)
+    else:
+        payload = (qid, texts, mode, int(k))
+    return Compiled(qid, "plain", payload, field=fld, mode=mode,
+                    must_not=neg_texts)
+
+
+def compile_batch(
+    queries: "list[tuple[int, str]] | list[tuple[int, str, int]]",
+    default_op: str = "or",
+    k: int = 10,
+) -> list[Compiled]:
+    """(qid, text[, k]) rows → Compiled list. Duplicate qids are refused
+    here once (the per-operator guards would each refuse them later)."""
+    qids = [q[0] for q in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("duplicate query_ids in a DSL batch")
+    out = []
+    for row in queries:
+        qid, text = int(row[0]), row[1]
+        kk = int(row[2]) if len(row) > 2 else int(k)
+        out.append(compile_query(qid, parse(text, default_op), k=kk))
+    return out
+
+
+# ---- dispatch ----------------------------------------------------------------
+
+
+def _group(compiled: list[Compiled]) -> dict:
+    """Group a compiled batch so each operator runs ONCE per distinct
+    (kind, field, batch-level param) — mode only splits fuzzy_multi (it's a
+    batch param there; plain queries carry mode inside their tuples) and
+    ordered only splits near."""
+    groups: dict = {}
+    for c in compiled:
+        mode = c.mode if c.kind == "fuzzy_multi" else ""
+        ordered = c.ordered if c.kind == "near" else True
+        groups.setdefault((c.kind, c.field, mode, ordered), []).append(c)
+    return groups
+
+
+def _index_for(index, fielded_indexes, fld: "str | None", kind: str):
+    if fld is None:
+        return index
+    if not fielded_indexes or fld not in fielded_indexes:
+        have = sorted(fielded_indexes or ())
+        raise UnsupportedQueryError(
+            f"query targets field {fld!r} but the dispatch has field "
+            f"indexes {have} (pass fielded_indexes=)"
+        )
+    return fielded_indexes[fld]
+
+
+def run_query_batch(
+    index,
+    compiled: list[Compiled],
+    *,
+    fielded_indexes: "dict | None" = None,
+    max_expansions: int = 50,
+    distance_decay: "float | None" = None,
+    tomb_map=None,
+    allow_map=None,
+):
+    """Execute a compiled DSL batch on Spark → ONE DataFrame (query_id,
+    rank, doc_id, score). Queries are grouped so each operator runs ONCE per
+    (kind, field, mode/ordered) group — a 100-query mixed batch costs the
+    same handful of Spark jobs as the hand-written tuple batches; within a
+    group, mixed tuple arities (boosted/negated/plain) share the one kernel
+    pass exactly as the driver-verified entries do.
+
+    ``index``: plans.build.Index (or any object with postings/doc_lens/
+    term_stats/avgdl). ``fielded_indexes``: {field: Index} for field-
+    qualified queries — a field's index IS an index, so single-field forms
+    run on it directly (COMPOSITION.md)."""
+    from functools import reduce
+
+    from bloqsenjin_spark.operators import wand
+
+    if len({c.qid for c in compiled}) != len(compiled):
+        raise ValueError("duplicate query_ids in a DSL batch")
+    groups = _group(compiled)
+    outs = []
+    for (kind, fld, mode, ordered), cs in sorted(
+        groups.items(), key=lambda kv: str(kv[0])
+    ):
+        idx = _index_for(index, fielded_indexes, fld, kind)
+        args = (idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl)
+        payloads = [c.payload for c in cs]
+        negs = {c.qid: list(c.must_not) for c in cs if c.must_not}
+        kw = dict(tomb_map=tomb_map, allow_map=allow_map)
+        if kind == "plain":
+            # mode rides in each tuple; grouped only for determinism
+            df = wand.bm25_wand_topk(*args, payloads, idx.cfg, **kw)
+        elif kind == "phrase":
+            df = wand.phrase_bm25_topk(*args, payloads, idx.cfg, **kw)
+        elif kind == "near":
+            df = wand.near_bm25_topk(*args, payloads, idx.cfg,
+                                     ordered=ordered, **kw)
+        elif kind == "prefix":
+            df = wand.prefix_bm25_topk(*args, payloads, idx.cfg,
+                                       max_expansions=max_expansions,
+                                       must_not=negs or None, **kw)
+        elif kind == "fuzzy":
+            df = wand.fuzzy_bm25_topk(*args, payloads, idx.cfg,
+                                      max_expansions=max_expansions,
+                                      must_not=negs or None, **kw)
+        elif kind == "fuzzy_multi":
+            df = wand.fuzzy_multi_bm25_topk(
+                *args, payloads, idx.cfg, max_expansions=max_expansions,
+                distance_decay=distance_decay, mode=mode,
+                must_not=negs or None, **kw)
+        else:  # pragma: no cover — compile_query is the only producer
+            raise AssertionError(f"unknown compiled kind {kind!r}")
+        outs.append(df)
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def serve_query_batch(
+    server,
+    compiled: list[Compiled],
+    *,
+    field_servers: "dict | None" = None,
+    max_expansions: int = 50,
+    distance_decay: "float | None" = None,
+    allowed_doc_ids=None,
+) -> list[tuple]:
+    """Serving-tier dispatch of the same compiled batch → [(query_id, rank,
+    doc_id, score)] sorted by (query_id, rank) — row-identical to
+    run_query_batch on the same index (pytest-pinned), because every kind
+    maps to the serving twin of the Spark operator it maps to above."""
+    if len({c.qid for c in compiled}) != len(compiled):
+        raise ValueError("duplicate query_ids in a DSL batch")
+    groups = _group(compiled)
+    rows: list[tuple] = []
+    for (kind, fld, mode, ordered), cs in sorted(
+        groups.items(), key=lambda kv: str(kv[0])
+    ):
+        if fld is None:
+            srv = server
+        elif not field_servers or fld not in field_servers:
+            raise UnsupportedQueryError(
+                f"query targets field {fld!r} but the dispatch has field "
+                f"servers {sorted(field_servers or ())} (pass field_servers=)"
+            )
+        else:
+            srv = field_servers[fld]
+        payloads = [c.payload for c in cs]
+        negs = {c.qid: list(c.must_not) for c in cs if c.must_not}
+        kw = dict(allowed_doc_ids=allowed_doc_ids)
+        if kind == "plain":
+            rows += srv.query_batch(payloads, **kw)
+        elif kind == "phrase":
+            rows += srv.phrase_topk_batch(payloads, **kw)
+        elif kind == "near":
+            rows += srv.near_topk_batch(payloads, ordered=ordered, **kw)
+        elif kind == "prefix":
+            rows += srv.prefix_topk_batch(payloads,
+                                          max_expansions=max_expansions,
+                                          must_not=negs or None, **kw)
+        elif kind == "fuzzy":
+            rows += srv.fuzzy_topk_batch(payloads,
+                                         max_expansions=max_expansions,
+                                         must_not=negs or None, **kw)
+        elif kind == "fuzzy_multi":
+            rows += srv.fuzzy_multi_topk_batch(
+                payloads, max_expansions=max_expansions,
+                distance_decay=distance_decay, mode=mode,
+                must_not=negs or None, **kw)
+        else:  # pragma: no cover
+            raise AssertionError(f"unknown compiled kind {kind!r}")
+    return sorted(rows, key=lambda r: (r[0], r[1]))

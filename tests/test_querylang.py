@@ -1,0 +1,290 @@
+"""Query-language front end: parser, printer round-trip, loud errors,
+compile targets, and dispatch identity (Spark router == hand-written
+operator calls; serving router == Spark router)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bloqsenjin_spark import corpus
+from bloqsenjin_spark.config import IndexConfig
+from bloqsenjin_spark.operators import wand
+from bloqsenjin_spark.plans.build import build_index
+from bloqsenjin_spark.sources import querylang as ql
+from bloqsenjin_spark.sources.querylang import (
+    Compiled,
+    ParsedQuery,
+    Phrase,
+    QueryParseError,
+    Term,
+    UnsupportedQueryError,
+    compile_batch,
+    compile_query,
+    parse,
+    to_string,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+CFG = IndexConfig(docs_per_shard=128, block_docs=16, positions=True)
+
+
+# ---- parser ------------------------------------------------------------------
+
+def test_parse_plain_default_or():
+    q = parse("spark engine")
+    assert q == ParsedQuery((Term("spark"), Term("engine")), "or")
+    assert parse("spark engine", default_op="and").op == "and"
+
+
+def test_parse_explicit_operators():
+    assert parse("spark OR engine").op == "or"
+    assert parse("spark AND engine").op == "and"
+    # lowercase or/and are terms, not operators
+    q = parse("spark or engine")
+    assert [t.text for t in q.clauses] == ["spark", "or", "engine"]
+
+
+def test_parse_modifiers():
+    q = parse("data -nsfw fast^2.5 pre* wrod~1 plain~")
+    t = q.clauses
+    assert t[1].prohibited and t[1].text == "nsfw"
+    assert t[2].boost == 2.5
+    assert t[3].prefix
+    assert t[4].fuzzy == 1
+    assert t[5].fuzzy == 2  # bare ~ defaults to Lucene's distance
+
+
+def test_parse_required_terms_force_and():
+    q = parse("+spark +engine")
+    assert q.op == "and" and all(t.required for t in q.clauses)
+
+
+def test_parse_phrases():
+    q = parse('"data engine"')
+    assert q.clauses == (Phrase(("data", "engine")),)
+    q = parse('"data engine"~2')
+    assert q.clauses[0].slop == 2 and q.clauses[0].ordered
+    q = parse('"engine data"~3u')
+    assert q.clauses[0].slop == 3 and not q.clauses[0].ordered
+
+
+def test_parse_field_and_normalization():
+    q = parse("title:Spark title:FAST!")
+    assert q.clauses[0] == Term("spark", field="title")
+    assert q.clauses[1].text == "fast"
+    assert parse('title:"Big Data"').clauses[0] == Phrase(
+        ("big", "data"), field="title")
+
+
+@pytest.mark.parametrize("bad", [
+    "", "   ", "OR spark", "spark OR AND engine", '-',
+    '"unbalanced', '""', "title: spark", "foo.bar", "spark^x",
+    "-nsfw",                      # no positive clause
+    "+must optional",             # mixed required/optional
+    "+must OR other",             # + contradicts OR
+])
+def test_parse_errors(bad):
+    with pytest.raises(QueryParseError):
+        parse(bad)
+
+
+@pytest.mark.parametrize("bad", [
+    '-"a phrase"', '+"a phrase"',
+])
+def test_parse_unsupported(bad):
+    with pytest.raises(UnsupportedQueryError):
+        parse(bad)
+
+
+ROUND_TRIP = [
+    "spark",
+    "spark OR engine",
+    "spark engine fast",
+    "+spark +engine",
+    "-nsfw spark^2.5",
+    "data^0.25 OR big^2",
+    '"data engine"',
+    '"data engine"~2',
+    '"engine data"~0u',
+    "title:spark OR title:fast",
+    "pre*",
+    "wrod~1",
+    "helo~1 OR wrold~1",
+    "helo~1 wrold~1",
+    'body:"big data"~1u',
+]
+
+
+@pytest.mark.parametrize("s", ROUND_TRIP)
+def test_round_trip(s):
+    q = parse(s, default_op="and")
+    assert parse(to_string(q), default_op=q.op) == q
+
+
+# ---- compiler ----------------------------------------------------------------
+
+def test_compile_plain_forms():
+    c = compile_query(1, parse("spark engine", default_op="and"), k=7)
+    assert c.kind == "plain" and c.payload == (1, ["spark", "engine"],
+                                               "conjunctive", 7)
+    c = compile_query(2, parse("spark OR engine -nsfw"), k=5)
+    assert c.payload == (2, ["spark", "engine"], "disjunctive", 5, ("nsfw",))
+    c = compile_query(3, parse("the^0.25 OR fast^2"), k=3)
+    assert c.payload == (3, ["the", "fast"], "disjunctive", 3, (),
+                         {"the": 0.25, "fast": 2.0})
+
+
+def test_compile_phrase_near_prefix_fuzzy():
+    assert compile_query(1, parse('"the fast"'), k=4) == Compiled(
+        1, "phrase", (1, "the fast", 4))
+    c = compile_query(2, parse('"the fast"~2u'), k=4)
+    assert c.kind == "near" and c.payload == (2, "the fast", 4, 2)
+    assert not c.ordered
+    assert compile_query(3, parse("s*"), k=9).payload == (3, "s", 9)
+    assert compile_query(4, parse("spork~1"), k=9).payload == (4, "spork", 1, 9)
+    c = compile_query(5, parse("helo~1 wrold~1", default_op="and"), k=9)
+    assert c.kind == "fuzzy_multi" and c.payload == (5, ["helo", "wrold"], 1, 9)
+    assert c.mode == "conjunctive"  # implicit-AND default carried through
+    assert compile_query(6, parse("helo~1 OR wrold~1")).mode == "disjunctive"
+
+
+def test_compile_field_routing():
+    c = compile_query(1, parse("title:spark title:fast"), k=5)
+    assert c.field == "title" and c.kind == "plain"
+    assert compile_query(2, parse('title:"big data"')).field == "title"
+
+
+@pytest.mark.parametrize("bad", [
+    '"a phrase" loose',           # phrase × loose terms
+    '"one phrase" "two phrase"',
+    "title:spark body:fast",      # cross-field terms
+    "a* b*",                      # multi-prefix
+    "pre* loose",
+    "pre*^2",                     # boost on expansion (scanner allows, compiler refuses)
+    "wrod~1 exact",               # mixed fuzzy/exact
+    "wrod~1^2",
+    "a~1 b~2",                    # differing distances
+    "-pre* spark",                # MUST_NOT expansion
+])
+def test_compile_unsupported(bad):
+    with pytest.raises(UnsupportedQueryError):
+        compile_query(1, parse(bad))
+
+
+def test_compile_batch_duplicate_qids():
+    with pytest.raises(ValueError, match="duplicate"):
+        compile_batch([(1, "a"), (1, "b")])
+
+
+# ---- dispatch identity -------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    docs = corpus.load_table(spark, SF_DIR, "documents")
+    return build_index(docs, CFG)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_dispatch_matches_direct_operators(spark, idx):
+    """One mixed DSL batch == the hand-written per-operator calls."""
+    compiled = compile_batch([
+        (1, "the OR fast", 10),
+        (2, "customer order", 5),          # implicit AND (default below)
+        (3, "join hash -merge", 10),
+        (4, "the^0.25 OR fast^2", 10),
+        (5, '"the fast"', 10),
+        (6, '"customer order"~1', 10),
+        (7, "s*", 10),
+        (8, "spork~1", 10),
+        (9, "spork~1 OR quary~1", 10),
+    ], default_op="and")
+    got = _rows(ql.run_query_batch(idx, compiled, max_expansions=4,
+                                   distance_decay=0.5))
+
+    args = (idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl)
+    want = []
+    want += _rows(wand.bm25_wand_topk(args[0], args[1], args[2], args[3], [
+        (1, ["the", "fast"], "disjunctive", 10),
+        (2, ["customer", "order"], "conjunctive", 5),
+        (3, ["join", "hash"], "conjunctive", 10, ("merge",)),
+        (4, ["the", "fast"], "disjunctive", 10, (),
+         {"the": 0.25, "fast": 2.0}),
+    ], CFG))
+    want += _rows(wand.phrase_bm25_topk(*args, [(5, "the fast", 10)], CFG))
+    want += _rows(wand.near_bm25_topk(*args, [(6, "customer order", 10, 1)],
+                                      CFG))
+    want += _rows(wand.prefix_bm25_topk(*args, [(7, "s", 10)], CFG,
+                                        max_expansions=4))
+    want += _rows(wand.fuzzy_bm25_topk(*args, [(8, "spork", 1, 10)], CFG,
+                                       max_expansions=4))
+    want += _rows(wand.fuzzy_multi_bm25_topk(
+        *args, [(9, ["spork", "quary"], 1, 10)], CFG, max_expansions=4,
+        distance_decay=0.5))
+    assert got == sorted(want)
+
+
+def test_dispatch_field_routing(spark, idx):
+    """field: queries run on that field's index (single-field forms apply
+    to a field index directly)."""
+    from pyspark.sql import functions as F
+
+    from bloqsenjin_spark.functions.text import tokens
+    from bloqsenjin_spark.operators import fielded
+
+    docs = corpus.load_table(spark, SF_DIR, "documents")
+    t = tokens(F.col("text"))
+    fidxs = fielded.build_fielded_index(docs, {
+        "title": F.concat_ws(" ", F.slice(t, 1, 5)),
+        "body": F.concat_ws(
+            " ", F.when(F.size(t) > 5, F.slice(t, 6, F.size(t) - 5))
+            .otherwise(F.array().cast("array<string>"))),
+    }, CFG)
+    compiled = compile_batch(
+        [(1, "title:the title:fast", 10), (2, 'title:"the fast"', 10)],
+        default_op="or")
+    got = _rows(ql.run_query_batch(idx, compiled, fielded_indexes=fidxs))
+    ti = fidxs["title"]
+    want = _rows(wand.bm25_wand_topk(
+        ti.postings, ti.doc_lens, ti.term_stats, ti.avgdl,
+        [(1, ["the", "fast"], "disjunctive", 10)], CFG))
+    want += _rows(wand.phrase_bm25_topk(
+        ti.postings, ti.doc_lens, ti.term_stats, ti.avgdl,
+        [(2, "the fast", 10)], CFG))
+    assert got == sorted(want)
+    with pytest.raises(UnsupportedQueryError, match="field"):
+        ql.run_query_batch(idx, compiled)  # no fielded_indexes passed
+
+
+def test_serving_dispatch_identical(spark, tmp_path):
+    """Serving router == Spark router, row for row, on the same index."""
+    from bloqsenjin_spark.operators.serving import IndexServer
+    from bloqsenjin_spark.plans.build import build_index_resumable, read_index
+
+    docs = corpus.load_table(spark, SF_DIR, "documents")
+    d = str(tmp_path / "dsl_idx")
+    build_index_resumable(docs, d, CFG)
+    idx = read_index(spark, d, CFG)
+    compiled = compile_batch([
+        (1, "the OR fast", 10),
+        (2, "customer order", 5),
+        (3, "join hash -merge", 10),
+        (4, '"the fast"', 10),
+        (5, '"customer order"~1u', 10),
+        (6, "s*", 10),
+        (7, "spork~1", 10),
+        (8, "spork~1 OR quary~1", 10),
+    ], default_op="and")
+    spark_rows = sorted(
+        tuple(r) for r in ql.run_query_batch(
+            idx, compiled, max_expansions=4, distance_decay=0.5).collect()
+    )
+    srv = IndexServer(d, CFG)
+    serve_rows = sorted(ql.serve_query_batch(
+        srv, compiled, max_expansions=4, distance_decay=0.5))
+    assert [(q, r, d_) for q, r, d_, _ in serve_rows] == \
+           [(q, r, d_) for q, r, d_, _ in spark_rows]
+    for a, b in zip(serve_rows, spark_rows):
+        assert abs(a[3] - b[3]) < 1e-9
