@@ -311,7 +311,10 @@ def _q_prepare_corpus(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
-    # rows-only oracle: signature values are xxhash64-dependent
+    """SimHash near-dup pairs, FULL value oracle: token hashes are
+    md5-derived (engine-neutral), so DuckDB re-derives the signatures and
+    the exact popcount(xor) ≤ 3 pair set (chunk-bucket candidates are
+    complete for Hamming ≤ 3 by pigeonhole)."""
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
@@ -375,7 +378,10 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    # rows-only oracle: approximate by construction (recall tested in pytest)
+    """Banded-LSH ANN, FULL value oracle: md5-keyed ±1 planes over
+    fixed-point vectors make the signatures (and hence the candidate set)
+    integer-exact in both engines; re-scored cosine + top-k mirror the
+    brute-force oracle's scoring."""
     emb = corpus.load_table(spark, sf_dir, "embeddings")
     r = similarity.ann_cosine_lsh(emb, _ANN_QUERY_IDS, k=_ANN_K)
     return r.withColumn("score", F.round("score", _R))
@@ -885,7 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracle.exact_dedup_sql(),
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(0.8),
         "dedup_minhash_lsh": oracle.ngram_jaccard_sql(0.9),
-        # dedup_simhash: rows-only (xxhash64-seeded signatures)
+        "dedup_simhash": oracle.simhash_pairs_sql(max_hamming=3),
         "dedup_embedding_cosine": oracle.embedding_near_dup_sql(0.45),
         "dedup_clusters": oracle.dedup_clusters_sql(0.8),
         "pipeline_prepare_corpus": oracle.prepare_corpus_sql(
@@ -899,7 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": oracle.lang_id_sql(LANG_MARKERS),
         "text_fingerprint": oracle.fingerprint_sql(),
         "sim_cosine_topk": _ann_oracle_tagged(),
-        # sim_ann_lsh: rows-only (approximate; recall covered in pytest)
+        "sim_ann_lsh": oracle.ann_lsh_topk_sql(_ANN_QUERY_IDS, _ANN_K),
         "sim_ann_ivf_fullprobe": _ann_oracle_tagged(),
         "sim_ann_serving": _ann_oracle_tagged(),
         "mm_asset_metadata": oracle.asset_metadata_sql(),

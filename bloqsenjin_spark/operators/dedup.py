@@ -338,12 +338,26 @@ def embedding_near_dup_pairs(
     )
 
 
+def _md5_hash64(col) -> F.Column:
+    """64-bit token hash from md5 hex halves — engine-neutral (DuckDB
+    recomputes the identical bit pattern from the same md5 string), unlike
+    xxhash64. Two 32-bit conv() parses avoid the >int64 overflow a single
+    16-hex-char parse would hit; shiftleft wraps two's-complement, giving
+    the int64 whose unsigned bits are (hi ‖ lo)."""
+    h = F.md5(col)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """→ (doc_id, simhash long): tf-weighted 64-bit SimHash, map-side only."""
+    """→ (doc_id, simhash long): tf-weighted 64-bit SimHash, map-side only.
+    Token hashes are md5-derived (engine-neutral) so the DuckDB oracle
+    reproduces signatures exactly (oracle.simhash_pairs_sql)."""
     t = tokens(F.col(text_col))
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(t, lambda x: F.xxhash64(x)).alias("h"),
+        F.transform(t, lambda x: _md5_hash64(x)).alias("h"),
     ).where(F.size("h") > 0)
 
     def sigs(it):

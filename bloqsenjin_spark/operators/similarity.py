@@ -301,9 +301,22 @@ def append_ivf(
     return reclustered
 
 
+_LSH_QUANT = 1024  # fixed-point scale: floor(x * 1024) — exact in any engine
+
+
 def _planes(dim: int, bits: int, seed: int = _SEED) -> np.ndarray:
-    rs = np.random.RandomState(seed)
-    return rs.standard_normal((bits, dim))
+    """±1 (Rademacher) hyperplanes keyed by md5 — engine-neutral: DuckDB
+    reproduces every entry as md5('lsh:{seed}:{j}:{i}') hex-parity, so the
+    whole signature pipeline is full-value-oracle-checkable (sign random
+    projections retain the cosine-LSH collision bound; Achlioptas 2003)."""
+    import hashlib
+
+    w = np.empty((bits, dim), dtype=np.int64)
+    for j in range(bits):
+        for i in range(dim):
+            hx = hashlib.md5(f"lsh:{seed}:{j}:{i}".encode()).hexdigest()
+            w[j, i] = 1 if int(hx[:8], 16) % 2 == 0 else -1
+    return w
 
 
 def lsh_signatures(
@@ -312,14 +325,20 @@ def lsh_signatures(
 ) -> DataFrame:
     """→ (vec_id, band int, key int): banded random-hyperplane signatures —
     one Arrow pass, one matrix multiply per batch. A pair collides if ANY
-    band's sign pattern matches (OR-amplification: recall 1-(1-p^b)^B)."""
+    band's sign pattern matches (OR-amplification: recall 1-(1-p^b)^B).
+
+    Engine-neutral by construction: ±1 md5-keyed planes × fixed-point
+    vectors (floor(x·1024) int64) make every projection an exact integer
+    sum — bit-identical in Spark/NumPy and in the DuckDB oracle
+    (oracle.ann_lsh_topk_sql), with no float-summation-order hazard."""
     first = embeddings.select(F.size(vec_col).alias("d")).first()
     planes = _planes(int(first["d"]), bands * bits_per_band, seed)
 
     def sig(it):
         for pdf in it:
             m = np.stack(pdf[vec_col].to_numpy())
-            proj = (m.astype(np.float64) @ planes.T) > 0  # (n, bands*bpb)
+            xq = np.floor(m.astype(np.float64) * _LSH_QUANT).astype(np.int64)
+            proj = (xq @ planes.T) > 0  # (n, bands*bpb)
             bits = proj.reshape(len(pdf), bands, bits_per_band)
             keys = (bits.astype(np.int64) << np.arange(bits_per_band)).sum(axis=2)
             n = len(pdf)

@@ -1024,6 +1024,104 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
+def simhash_pairs_sql(max_hamming: int = 3, doc_table: str = "documents",
+                      text_col: str = "text") -> str:
+    """Exact re-derivation of dedup.simhash_pairs: md5-derived 64-bit token
+    hashes ((hi ‖ lo) from two 32-bit hex parses — the same bit pattern as
+    the Spark _md5_hash64), tf-weighted per-bit votes, sign → signature,
+    all-pairs popcount(xor) ≤ max_hamming. All-pairs is equivalent to the
+    engine's 4×16-bit chunk-bucket candidates by pigeonhole (Hamming ≤ 3 ⇒
+    ≥1 identical chunk) whenever the hot-bucket cap doesn't bind (it cannot
+    at oracle SF)."""
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({toks}) AS t FROM {doc_table}
+),
+h AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(t), 1, 8))::UBIGINT * 4294967296::UBIGINT
+             + ('0x' || substr(md5(t), 9, 8))::UBIGINT AS h64
+    FROM tok
+),
+votes AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN ((h64 >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+    FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+    GROUP BY doc_id, b
+),
+sig AS (
+    SELECT doc_id,
+           bit_or(CASE WHEN v > 0 THEN 1::UBIGINT << b ELSE 0::UBIGINT END) AS s
+    FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.s, b.s))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+""".strip()
+
+
+def ann_lsh_topk_sql(query_ids: list[int], k: int, bands: int = 8,
+                     bits_per_band: int = 4, seed: int = 42,
+                     round_to: int = SCORE_ROUND_DECIMALS) -> str:
+    """Exact re-derivation of similarity.ann_cosine_lsh: md5-keyed ±1
+    planes × floor(x·1024) fixed-point vectors → integer projections (no
+    float-sum-order hazard), banded keys, candidate = shares ANY band key
+    with the query, exact cosine re-score, top-k (score DESC, vec_id ASC)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    nbits = bands * bits_per_band
+    return f"""
+WITH dims AS (
+    SELECT unnest(generate_series(0, (SELECT len(embedding) - 1
+                                      FROM embeddings LIMIT 1))) AS i
+),
+planes AS (
+    SELECT j, i,
+           CASE WHEN ('0x' || substr(md5('lsh:{seed}:' || j || ':' || i), 1, 8))::BIGINT
+                     % 2 = 0 THEN 1 ELSE -1 END AS w
+    FROM (SELECT unnest(generate_series(0, {nbits - 1})) AS j) CROSS JOIN dims
+),
+vx AS (
+    SELECT vec_id, i, CAST(floor(embedding[i + 1]::DOUBLE * 1024) AS BIGINT) AS xq
+    FROM embeddings CROSS JOIN dims
+),
+proj AS (
+    SELECT vec_id, p.j,
+           CASE WHEN sum(vx.xq * p.w) > 0 THEN 1 ELSE 0 END AS bit
+    FROM vx JOIN planes p ON vx.i = p.i
+    GROUP BY vec_id, p.j
+),
+sig AS (
+    SELECT vec_id, j // {bits_per_band} AS band,
+           sum(bit << (j % {bits_per_band})) AS key
+    FROM proj GROUP BY vec_id, j // {bits_per_band}
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, s.vec_id
+    FROM sig s JOIN sig q ON s.band = q.band AND s.key = q.key
+    WHERE q.vec_id IN ({ids}) AND s.vec_id <> q.vec_id
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+    SELECT c.query_id, c.vec_id,
+           list_dot_product(q.v, b.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS score
+    FROM cand c
+    JOIN base b ON b.vec_id = c.vec_id
+    JOIN base q ON q.vec_id = c.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, vec_id, round(score, {round_to}) AS score
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
 def embedding_near_dup_sql(threshold: float,
                            round_to: int = SCORE_ROUND_DECIMALS) -> str:
     """All-pairs cosine ≥ threshold over the embeddings table (d1 < d2) —
