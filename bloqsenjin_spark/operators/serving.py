@@ -61,9 +61,16 @@ class IndexServer:
     def __init__(self, index_dir: str, cfg: IndexConfig | None = None,
                  cache_terms: bool = True, max_cached_terms: int = 65536,
                  max_cached_blocks: int = 8192, auto_refresh: bool = False,
-                 shards=None, stats_mode: str = "eager"):
+                 shards=None, stats_mode: str = "eager",
+                 allow_fuzzy_scan: bool = False):
         if stats_mode not in ("eager", "lazy"):
             raise ValueError(f"stats_mode must be 'eager' or 'lazy', got {stats_mode!r}")
+        # allow_fuzzy_scan: opt-in escape hatch for lazy-mode fuzzy queries
+        # whose distance exceeds the on-disk replica's build distance — an
+        # O(vocabulary) streaming scan per word. Default OFF: the latency
+        # tier refuses loudly (build the deeper replica) rather than
+        # silently degrading to a vocabulary pass.
+        self.allow_fuzzy_scan = allow_fuzzy_scan
         self.index_dir = index_dir
         self._cfg_arg = cfg
         self._cache_terms = cache_terms
@@ -863,6 +870,38 @@ class IndexServer:
         )
         return sorted(set(tbl["term"].to_pylist()))
 
+    def _fuzzy_prefetch_lazy(self, word_dists) -> dict:
+        """Batch form of _fuzzy_candidates_lazy: ONE pruned read of ALL the
+        batch's words' deletion-variant buckets, plus ONE stats read warming
+        the LRU for the union of candidates — a mixed fuzzy batch costs two
+        pyarrow reads total instead of two per word.
+        → {(word, max_dist): sorted candidate terms}; over-distance words are
+        omitted (routed to refuse/scan by _fuzzy_expansion)."""
+        fds, built_d = self._fuzzy_handle()
+        var2keys: dict[str, list] = {}
+        out: dict = {}
+        for w, d in word_dists:
+            key = (str(w), int(d))
+            if key[1] > built_d or key in out:
+                continue
+            out[key] = set()
+            for v in self._deletes(key[0], key[1]):
+                var2keys.setdefault(v, []).append(key)
+        if var2keys:
+            tbl = fds.to_table(
+                filter=self._ds.field("variant").isin(sorted(var2keys)),
+                columns=["variant", "term"],
+            )
+            for v, t in zip(tbl["variant"].to_pylist(),
+                            tbl["term"].to_pylist()):
+                for key in var2keys[v]:
+                    out[key].add(t)
+        res = {k: sorted(v) for k, v in out.items()}
+        union = sorted(set().union(*res.values())) if res else []
+        if union:
+            self._stats_for(union)  # one coalesced read fills the LRU
+        return res
+
     def _fuzzy_expansion_scan_lazy(self, word: str, max_dist: int,
                                    max_expansions: int) -> list:
         """Lazy-mode fallback when the query distance exceeds the on-disk
@@ -930,11 +969,15 @@ class IndexServer:
                 allowed_doc_ids=allowed_doc_ids, offsets=offsets,
                 must_not=must_not)
         negs = must_not or {}
+        pre = (self._fuzzy_prefetch_lazy(
+                   [(str(q[1]), int(q[2])) for q in fuzzy_queries])
+               if self.df is None else {})
         queries = []
         for qid, word, max_dist, k in fuzzy_queries:
             terms = [
                 t for t, _d in self._fuzzy_expansion(
-                    str(word), int(max_dist), max_expansions)
+                    str(word), int(max_dist), max_expansions,
+                    candidates=pre.get((str(word), int(max_dist))))
             ]
             if terms:
                 queries.append((int(qid), terms, "disjunctive", int(k),
@@ -947,17 +990,31 @@ class IndexServer:
         return self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
 
     def _fuzzy_expansion(self, word: str, max_dist: int,
-                         max_expansions: int) -> list[tuple[str, int]]:
+                         max_expansions: int,
+                         candidates: "list[str] | None" = None,
+                         ) -> list[tuple[str, int]]:
         """One word's (term, distance) expansion list under THE rule
         (Levenshtein ≤ max_dist, distance ASC / df DESC / term ASC, capped)
         — SymSpell candidates + exact verify, shared by the single- and
-        multi-word fuzzy entry points."""
+        multi-word fuzzy entry points. ``candidates``: prefetched bucket
+        candidates (_fuzzy_prefetch_lazy) to skip the per-word read."""
         if self.df is None:
             _fds, built_d = self._fuzzy_handle()
             if int(max_dist) > built_d:
+                if not self.allow_fuzzy_scan:
+                    raise ValueError(
+                        f"fuzzy distance {int(max_dist)} exceeds the on-disk "
+                        f"SymSpell replica's build distance {built_d} — "
+                        f"rebuild the replica with plans.build."
+                        f"write_fuzzy_index(spark, index_dir, "
+                        f"max_dist={int(max_dist)}), or opt into the "
+                        f"O(vocabulary) streaming scan with "
+                        f"IndexServer(..., allow_fuzzy_scan=True)"
+                    )
                 return self._fuzzy_expansion_scan_lazy(
                     str(word), int(max_dist), max_expansions)
-        terms = self._fuzzy_candidates(word, int(max_dist))
+        terms = (candidates if candidates is not None
+                 else self._fuzzy_candidates(word, int(max_dist)))
         dfs = (
             self.df if self.df is not None
             else {t: v[0] for t, v in self._stats_for(terms).items()}
@@ -1001,10 +1058,16 @@ class IndexServer:
                 allowed_doc_ids=allowed_doc_ids, offsets=offsets,
                 must_not=must_not, mode=mode)
         negs_map = must_not or {}
+        pre = (self._fuzzy_prefetch_lazy(
+                   [(str(w), int(q[2])) for q in multi_queries
+                    for w in q[1]])
+               if self.df is None else {})
         queries = []
         for qid, words, max_dist, k in multi_queries:
             exps = [
-                self._fuzzy_expansion(str(w), int(max_dist), max_expansions)
+                self._fuzzy_expansion(str(w), int(max_dist), max_expansions,
+                                      candidates=pre.get((str(w),
+                                                          int(max_dist))))
                 for w in words
             ]
             q = _compose_fuzzy_multi(exps, int(qid), int(k), distance_decay,

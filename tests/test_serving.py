@@ -476,6 +476,28 @@ def test_lazy_stats_mode_identical(spark, index_dir, pos_index_dir):
         _sh.rmtree(bare, ignore_errors=True)
 
 
+def test_lazy_fuzzy_over_distance_refuses_unless_opted_in(spark, index_dir):
+    """Lazy-mode fuzzy at a distance ABOVE the replica's build distance
+    must refuse loudly by default (the latency tier never silently degrades
+    to an O(vocabulary) scan); allow_fuzzy_scan=True opts into the
+    streaming scan, which returns results identical to the eager tier's
+    full-dict fallback at the same distance."""
+    B.write_fuzzy_index(spark, index_dir, max_dist=1)
+    fq = [(1, "spork", 3, 5)]  # dist 3 > built 1 (and > eager SymSpell cap)
+    lazy = IndexServer(index_dir, CFG, stats_mode="lazy")
+    with pytest.raises(ValueError, match="exceeds the on-disk"):
+        lazy.fuzzy_topk_batch(fq, max_expansions=3)
+    scan = IndexServer(index_dir, CFG, stats_mode="lazy",
+                       allow_fuzzy_scan=True)
+    eager = IndexServer(index_dir, CFG)
+    assert (scan.fuzzy_topk_batch(fq, max_expansions=3)
+            == eager.fuzzy_topk_batch(fq, max_expansions=3))
+    # within the build distance the prefetched-bucket path serves as before
+    ok = [(1, "spork", 1, 5), (2, "quary", 1, 4)]
+    assert (lazy.fuzzy_topk_batch(ok, max_expansions=3)
+            == eager.fuzzy_topk_batch(ok, max_expansions=3))
+
+
 def test_serving_fuzzy_multi_matches_spark_path(spark, index_dir):
     """Multi-word fuzzy serving (per-word SymSpell expansion composed into
     one boosted disjunctive query) is rank-identical to
@@ -1151,13 +1173,16 @@ def test_lazy_edge_cases_from_review(spark, index_dir):
     """Round-6 review regressions: (a) a prefix whose bumped last char
     lands in the surrogate range must not crash the lazy ranged read;
     (b) a fuzzy distance ABOVE the on-disk bucket replica's build distance
-    routes to the streaming vocabulary scan — identical results to the
-    eager server's documented scan fallback, nothing through the stats
-    LRU; (c) replica handles persist across _snap() batches (opened once,
-    not re-opened per batch)."""
+    routes (under the explicit allow_fuzzy_scan opt-in — the default now
+    refuses, test_lazy_fuzzy_over_distance_refuses_unless_opted_in) to the
+    streaming vocabulary scan — identical results to the eager server's
+    documented scan fallback, nothing through the stats LRU; (c) replica
+    handles persist across _snap() batches (opened once, not re-opened per
+    batch)."""
     B.write_fuzzy_index(spark, index_dir, max_dist=1)
     eager = IndexServer(index_dir, CFG)
-    lazy = IndexServer(index_dir, CFG, stats_mode="lazy")
+    lazy = IndexServer(index_dir, CFG, stats_mode="lazy",
+                       allow_fuzzy_scan=True)
 
     # (a) surrogate-boundary prefix: no crash, same (empty) answer
     weird = [(1, "퟿", 5), (2, "s", 5)]
