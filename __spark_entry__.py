@@ -542,6 +542,17 @@ BM25F_BOOL_QUERIES = [
     (2, ["customer", "order"], "conjunctive", 10, ["slow"]),
     (3, ["spark"], "disjunctive", 10, ["zebra"]),
 ]
+# cross-field expansion forms (round-7): fuzzy/prefix expanded against the
+# CROSS-field vocabulary (df summed over title+body), ranked by the fielded
+# model with decay^dist riding the composite boosts. q3 is the
+# zero-expansion guard; the conj variant's q1 exercises word-level AND
+# across fields
+BM25F_FUZZY_QUERIES = [
+    (1, ["spork", "quary"], 1, 10),
+    (2, ["customer", "orde"], 1, 10),
+    (3, ["xyzzy"], 1, 10),
+]
+BM25F_PREFIX_QUERIES = [(1, "s", 10), (2, "c", 10), (3, "zz", 5)]
 
 
 def _q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,6 +572,20 @@ def _q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
             idxs, qs, BM25F_WEIGHTS, _SF_CFG
         ).withColumn("variant", F.lit(tag))
         out = res if out is None else out.unionByName(res)
+    # cross-field expansion branches: fuzzy (disj + word-level conj, decay
+    # boosts × field weights) and prefix, expanded on the cross-field vocab
+    for tag, mode in (("fuzzy", "disjunctive"), ("fuzzy_conj", "conjunctive")):
+        res = fielded.bm25f_fuzzy_topk(
+            idxs, BM25F_FUZZY_QUERIES, BM25F_WEIGHTS, _SF_CFG,
+            max_expansions=_MAX_EXPANSIONS, distance_decay=_FUZZY_DECAY,
+            mode=mode,
+        ).withColumn("variant", F.lit(tag))
+        out = out.unionByName(res)
+    res = fielded.bm25f_prefix_topk(
+        idxs, BM25F_PREFIX_QUERIES, BM25F_WEIGHTS, _SF_CFG,
+        max_expansions=_MAX_EXPANSIONS,
+    ).withColumn("variant", F.lit("prefix"))
+    out = out.unionByName(res)
     return out.select("variant", "query_id", "rank", "doc_id",
                       F.round("score", _R).alias("score"))
 
@@ -850,11 +875,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_snippets": oracle.topk_snippets_sql(corpus.REFERENCE_QUERIES),
         "bm25_topk_fielded": "\nUNION ALL\n".join(
-            f"SELECT '{tag}' AS variant, * FROM (\n" + oracle.bm25f_topk_sql(
-                qs, _BM25F_FIELD_TOKS, BM25F_WEIGHTS) + "\n)"
-            for tag, qs in (("disj", BM25F_QUERIES),
-                            ("conj", BM25F_CONJ_QUERIES),
-                            ("bool", BM25F_BOOL_QUERIES))
+            [
+                f"SELECT '{tag}' AS variant, * FROM (\n"
+                + oracle.bm25f_topk_sql(
+                    qs, _BM25F_FIELD_TOKS, BM25F_WEIGHTS) + "\n)"
+                for tag, qs in (("disj", BM25F_QUERIES),
+                                ("conj", BM25F_CONJ_QUERIES),
+                                ("bool", BM25F_BOOL_QUERIES))
+            ]
+            + [
+                f"SELECT '{tag}' AS variant, * FROM (\n"
+                + oracle.bm25f_fuzzy_topk_sql(
+                    BM25F_FUZZY_QUERIES, _BM25F_FIELD_TOKS, BM25F_WEIGHTS,
+                    max_expansions=_MAX_EXPANSIONS,
+                    distance_decay=_FUZZY_DECAY, conjunctive=conj) + "\n)"
+                for tag, conj in (("fuzzy", False), ("fuzzy_conj", True))
+            ]
+            + [
+                "SELECT 'prefix' AS variant, * FROM (\n"
+                + oracle.bm25f_prefix_topk_sql(
+                    BM25F_PREFIX_QUERIES, _BM25F_FIELD_TOKS, BM25F_WEIGHTS,
+                    max_expansions=_MAX_EXPANSIONS) + "\n)"
+            ]
         ),
         "bm25f_merged": "\nUNION ALL\n".join(
             f"SELECT '{tag}' AS variant, * FROM (\n"

@@ -160,6 +160,13 @@ def bm25f_topk(
     for q in queries:
         if q[2] not in ("disjunctive", "conjunctive"):
             raise ValueError(f"unknown query mode {q[2]!r}")
+        if len(q) > 5 and q[5]:
+            bad = {t: w for t, w in q[5].items() if float(w) < 0}
+            if bad:
+                raise ValueError(
+                    f"negative term boosts break exact pruning: {bad} "
+                    f"(query_id={q[0]})"
+                )
     unknown = set(field_weights) - set(fields)
     if unknown:
         raise ValueError(
@@ -200,10 +207,20 @@ def bm25f_topk(
     )
     scan_terms = sorted(set(all_terms) | set(neg_terms))
     _off = offsets or {}
-    comp_queries = [
-        (
+    # extended tuples (the expansion forms' slots, mirroring the plain
+    # kernel's): slot 6 = per-PLAIN-term boost multiplier (composed
+    # MULTIPLICATIVELY with the field weight — w_field · boost_t, e.g.
+    # fuzzy distance decay), slot 7 = per-query group map {plain term:
+    # group id(s)} overriding the term-level document-conjunctive grouping
+    # (e.g. word-level groups for typo-tolerant AND across fields)
+    comp_queries = []
+    for q in queries:
+        tb = q[5] if len(q) > 5 and q[5] else {}
+        gm = q[6] if len(q) > 6 and q[6] else None
+        terms_u = sorted(set(q[1]))
+        comp = (
             int(q[0]),
-            [f"{f}{_SEP}{t}" for f in fields for t in sorted(set(q[1]))],
+            [f"{f}{_SEP}{t}" for f in fields for t in terms_u],
             q[2],
             # deep paging: shard partials must keep offset+k rows for page
             # exactness (bm25_topk_paged's argument)
@@ -211,11 +228,18 @@ def bm25f_topk(
             tuple(f"{f}{_SEP}{t}" for f in fields
                   for t in sorted(set(q[4])))
             if len(q) > 4 and q[4] else (),
-            {f"{f}{_SEP}{t}": weights[f]
-             for f in fields for t in sorted(set(q[1]))},
+            {f"{f}{_SEP}{t}": weights[f] * float(tb.get(t, 1.0))
+             for f in fields for t in terms_u},
         )
-        for q in queries
-    ]
+        if gm is not None:
+            comp = comp + ({
+                f"{f}{_SEP}{t}": (tuple(gm[t])
+                                  if isinstance(gm[t], (tuple, list, set,
+                                                        frozenset))
+                                  else (gm[t],))
+                for f in fields for t in terms_u
+            },)
+        comp_queries.append(comp)
     conj_groups = {f"{f}{_SEP}{t}": t for f in fields for t in scan_terms}
 
     pq = reduce(
@@ -304,6 +328,149 @@ def bm25f_topk(
                & (F.col("rank") <= off + kmap[F.col("query_id")]))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def cross_field_term_stats(indexes: dict[str, Index]) -> DataFrame:
+    """→ (term, df): the CROSS-FIELD expansion vocabulary — the union of the
+    fields' vocabularies with df summed across fields. Expansion forms
+    (fuzzy/prefix) rank their candidate caps on this relation so a term's
+    priority reflects its corpus-wide presence, while SCORING still uses
+    each field's own statistics (the bm25f contract). One tagged union +
+    one groupBy — vocabulary-sized, never doc-sized."""
+    return (
+        reduce(
+            lambda a, b: a.unionByName(b),
+            [indexes[f].term_stats.select("term", "df")
+             for f in sorted(indexes)],
+        )
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+
+
+def bm25f_fuzzy_topk(
+    indexes: dict[str, Index],
+    multi_queries: list[tuple[int, list[str], int, int]],
+    field_weights: dict[str, float],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    max_expansions: int = 50,
+    distance_decay: "float | None" = None,
+    mode: str = "disjunctive",
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+    offsets: "dict[int, int] | None" = None,
+    must_not: "dict[int, list[str]] | None" = None,
+) -> DataFrame:
+    """Typo-tolerant search ACROSS weighted fields — fuzzy expansion ×
+    BM25F composition: ``(query_id, [words], max_dist, k)`` queries where
+    each word expands against the CROSS-FIELD vocabulary
+    (cross_field_term_stats: union of field vocabs, df summed) under the
+    standard rule (Levenshtein ≤ max_dist, distance ASC / df DESC / term
+    ASC, capped PER WORD), then ranks with the fielded model: each
+    expansion term t contributes w_field · decay^min_dist(t) · BM25_field(t)
+    per field it occurs in.
+
+    ``mode="conjunctive"`` is the WORD-level AND reading across fields —
+    every query word must match in SOME field via SOME of its expansions
+    (each word = a kernel conjunctive group over its expansion terms, the
+    same grouped-conjunctive kernel as single-field fuzzy AND, here over
+    composite (field, term) keys). MUST_NOT terms exclude on any-field
+    occurrence (bm25f_topk's rule). A 1-word disjunctive query with weights
+    {field: 1.0} over a single-field index ≡ fuzzy_bm25_topk on that index
+    (property-tested).
+
+    Plan: ALL (query, word) pairs expand in ONE SymSpell equi-join job over
+    the vocabulary-sized cross-field stats (wand.expand_fuzzy_terms_with_dist
+    — no new plan), composed per query by the SHARED _compose_fuzzy_multi
+    rule, then ONE bm25f_topk pass: the decay boosts ride the composite
+    boost map (w_field · decay^d multiplied into the per-key weight) so
+    combined block-max pruning stays exact. No extra shuffle vs plain
+    fielded search."""
+    from bloqsenjin_spark.operators import wand
+
+    if len({q[0] for q in multi_queries}) != len(multi_queries):
+        raise ValueError("duplicate query_ids in multi_queries")
+    if mode not in ("disjunctive", "conjunctive"):
+        raise ValueError(f"unknown query mode {mode!r}")
+    if distance_decay is not None and float(distance_decay) < 0:
+        raise ValueError(
+            "distance_decay must be >= 0 (negative boosts break exact "
+            "block-max pruning)"
+        )
+    flat: list[tuple[int, str, int, int]] = []
+    owner: list[int] = []
+    for qi, (_qid, words, d, k) in enumerate(multi_queries):
+        for w_ in words:
+            owner.append(qi)
+            flat.append((len(flat), str(w_), int(d), int(k)))
+    exp = (
+        wand.expand_fuzzy_terms_with_dist(
+            cross_field_term_stats(indexes), flat, max_expansions)
+        if flat else {}
+    )
+    per_query: dict[int, list[list[tuple[str, int]]]] = {}
+    for sid, qi in enumerate(owner):
+        per_query.setdefault(qi, []).append(exp.get(sid, []))
+    negs_map = must_not or {}
+    queries = []
+    for qi, (qid, _words, _d, k) in enumerate(multi_queries):
+        q = wand._compose_fuzzy_multi(
+            per_query.get(qi, []), int(qid), int(k), distance_decay,
+            negs=negs_map.get(int(qid), ()), mode=mode,
+        )
+        if q is not None:
+            queries.append(q)
+    if not queries:
+        spark = next(iter(indexes.values())).postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return bm25f_topk(indexes, queries, field_weights, cfg,
+                      tomb_map=tomb_map, allow_map=allow_map,
+                      offsets=offsets)
+
+
+def bm25f_prefix_topk(
+    indexes: dict[str, Index],
+    prefix_queries: list[tuple[int, str, int]],
+    field_weights: dict[str, float],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    max_expansions: int = 100,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+    offsets: "dict[int, int] | None" = None,
+    must_not: "dict[int, list[str]] | None" = None,
+) -> DataFrame:
+    """Prefix search ACROSS weighted fields — prefix expansion × BM25F:
+    each ``(query_id, prefix, k)`` expands against the cross-field
+    vocabulary (df summed across fields, capped at ``max_expansions`` by
+    df DESC / term ASC — the standard head-biased rule), then ranks as ONE
+    disjunctive fielded query: each expansion term contributes
+    w_field · BM25_field per field it occurs in. Expansion is ONE batch
+    job (wand.expand_prefix_terms over cross_field_term_stats); ranking is
+    one bm25f_topk pass. With weights {field: 1.0} over a single-field
+    index ≡ prefix_bm25_topk (property-tested)."""
+    from bloqsenjin_spark.operators import wand
+
+    if len({q[0] for q in prefix_queries}) != len(prefix_queries):
+        raise ValueError("duplicate query_ids in prefix_queries")
+    exp = wand.expand_prefix_terms(
+        cross_field_term_stats(indexes), prefix_queries, max_expansions)
+    negs = must_not or {}
+    queries = [
+        (int(qid), exp[int(qid)], "disjunctive", int(k),
+         tuple(negs.get(int(qid), ())))
+        for qid, _p, k in prefix_queries
+        if exp.get(int(qid))
+    ]
+    if not queries:
+        spark = next(iter(indexes.values())).postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return bm25f_topk(indexes, queries, field_weights, cfg,
+                      tomb_map=tomb_map, allow_map=allow_map,
+                      offsets=offsets)
 
 
 def bm25f_merged_topk(

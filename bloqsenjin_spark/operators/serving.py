@@ -950,6 +950,27 @@ class IndexServer:
                 seen.update(bucket)
         return list(seen)
 
+    def _fuzzy_candidates_checked(self, word: str, max_dist: int) -> "list[str]":
+        """UNCAPPED candidate list for cross-field expansion
+        (FieldedIndexServer) — the caller ranks/caps on the CROSS-field df
+        rule, so it needs raw candidates, not _fuzzy_expansion's per-field
+        capped list. Eager: the in-memory SymSpell buckets (full-dict scan
+        above the documented dist cap). Lazy: the on-disk bucket replica;
+        over-distance REFUSES with the rebuild recipe (the per-field capped
+        streaming scan can't serve the cross-field rule, so there is no
+        allow_fuzzy_scan route here)."""
+        if self.df is not None:
+            return self._fuzzy_candidates(word, max_dist)
+        _fds, built_d = self._fuzzy_handle()
+        if int(max_dist) > built_d:
+            raise ValueError(
+                f"fuzzy distance {int(max_dist)} exceeds the on-disk "
+                f"SymSpell replica's build distance {built_d} — rebuild "
+                f"the replica with plans.build.write_fuzzy_index(spark, "
+                f"index_dir, max_dist={int(max_dist)})"
+            )
+        return self._fuzzy_candidates_lazy(word, int(max_dist))
+
     def fuzzy_topk_batch(
         self, fuzzy_queries: list[tuple[int, str, int, int]],
         max_expansions: int = 50, allowed_doc_ids=None, offsets=None,
@@ -1281,6 +1302,13 @@ class FieldedIndexServer:
         for q in queries:
             if q[2] not in ("disjunctive", "conjunctive"):
                 raise ValueError(f"unknown query mode {q[2]!r}")
+            if len(q) > 5 and q[5]:
+                bad = {t: w for t, w in q[5].items() if float(w) < 0}
+                if bad:
+                    raise ValueError(
+                        f"negative term boosts break exact pruning: {bad} "
+                        f"(query_id={q[0]})"
+                    )
         unknown = set(field_weights) - set(self.fields)
         if unknown:
             raise ValueError(
@@ -1367,21 +1395,36 @@ class FieldedIndexServer:
             for t, v in snaps[f]._idf_for(all_terms).items()
         }
         avgdls = {f: snaps[f].avgdl for f in self.fields}
-        comp_queries = [
-            (
+        # extended tuples mirror operators/fielded.bm25f_topk: slot 6 =
+        # per-plain-term boost multiplier (× field weight — fuzzy decay),
+        # slot 7 = per-query group map (word-level conjunctive across fields)
+        comp_queries = []
+        for q in queries:
+            tb = q[5] if len(q) > 5 and q[5] else {}
+            gm = q[6] if len(q) > 6 and q[6] else None
+            terms_u = sorted(set(q[1]))
+            cq = (
                 int(q[0]),
                 [f"{f}{self._SEP}{t}" for f in self.fields
-                 for t in sorted(set(q[1]))],
+                 for t in terms_u],
                 q[2],
                 int(q[3]),
                 tuple(f"{f}{self._SEP}{t}" for f in self.fields
                       for t in sorted(set(q[4])))
                 if len(q) > 4 and q[4] else (),
-                {f"{f}{self._SEP}{t}": weights[f]
-                 for f in self.fields for t in sorted(set(q[1]))},
+                {f"{f}{self._SEP}{t}": weights[f] * float(tb.get(t, 1.0))
+                 for f in self.fields for t in terms_u},
             )
-            for q in queries
-        ]
+            if gm is not None:
+                cq = cq + ({
+                    f"{f}{self._SEP}{t}": (tuple(gm[t])
+                                           if isinstance(
+                                               gm[t], (tuple, list, set,
+                                                       frozenset))
+                                           else (gm[t],))
+                    for f in self.fields for t in terms_u
+                },)
+            comp_queries.append(cq)
         # document-level conjunctive ("every term in SOME field"): composite
         # keys group by their plain term inside the shared kernel
         conj_groups = {
@@ -1411,6 +1454,106 @@ class FieldedIndexServer:
             np.concatenate(q_parts), np.concatenate(d_parts),
             np.concatenate(s_parts), queries,
         )
+
+    def _fuzzy_expansion_cross(self, snaps, word: str, max_dist: int,
+                               max_expansions: int) -> list:
+        """One word's (term, distance) expansion under the CROSS-FIELD rule
+        (operators/fielded.bm25f_fuzzy_topk): candidates = union of the
+        fields' SymSpell buckets (each a superset of its vocab's ≤max_dist
+        neighborhood), ordering df = Σ_field df — Levenshtein-verified,
+        ranked distance ASC / df DESC / term ASC, capped."""
+        cand: set[str] = set()
+        for f in self.fields:
+            cand.update(
+                snaps[f]._fuzzy_candidates_checked(str(word), int(max_dist)))
+        terms = sorted(cand)
+        dfs: dict[str, int] = {}
+        for f in self.fields:
+            for t, (dfv, _idf) in snaps[f]._stats_for(terms).items():
+                dfs[t] = dfs.get(t, 0) + int(dfv)
+        out = []
+        for t in terms:
+            if t not in dfs:  # replica row for a since-purged term
+                continue
+            d = IndexServer._levenshtein(t, str(word), int(max_dist))
+            if d <= int(max_dist):
+                out.append((d, -dfs[t], t))
+        out.sort()
+        return [(t, d) for d, _ndf, t in out[:max_expansions]]
+
+    def fuzzy_topk_batch(
+        self, multi_queries: list, field_weights: dict[str, float],
+        max_expansions: int = 50, distance_decay: "float | None" = None,
+        mode: str = "disjunctive", allowed_doc_ids=None, offsets=None,
+        must_not=None,
+    ) -> list[tuple[int, int, int, float]]:
+        """Typo-tolerant search across weighted fields, rank-identical to
+        operators/fielded.bm25f_fuzzy_topk (pytest-pinned):
+        ``(query_id, [words], max_dist, k)`` — per-word expansion under the
+        cross-field rule (_fuzzy_expansion_cross), composed by the SHARED
+        wand._compose_fuzzy_multi rule (union terms, min distance, optional
+        decay^dist boosts, word-level conjunctive groups), then ONE fielded
+        query_batch whose composite boosts carry w_field · decay^dist."""
+        from bloqsenjin_spark.operators.wand import _compose_fuzzy_multi
+
+        if len({q[0] for q in multi_queries}) != len(multi_queries):
+            raise ValueError("duplicate query_ids in multi_queries")
+        if mode not in ("disjunctive", "conjunctive"):
+            raise ValueError(f"unknown query mode {mode!r}")
+        if distance_decay is not None and float(distance_decay) < 0:
+            raise ValueError(
+                "distance_decay must be >= 0 (negative boosts break exact "
+                "block-max pruning)"
+            )
+        snaps = {f: s._snap() for f, s in self.servers.items()}
+        negs_map = must_not or {}
+        queries = []
+        for qid, words, max_dist, k in multi_queries:
+            exps = [
+                self._fuzzy_expansion_cross(snaps, str(w), int(max_dist),
+                                            max_expansions)
+                for w in words
+            ]
+            q = _compose_fuzzy_multi(exps, int(qid), int(k), distance_decay,
+                                     negs=negs_map.get(int(qid), ()),
+                                     mode=mode)
+            if q is not None:
+                queries.append(q)
+        if not queries:
+            return []
+        return self.query_batch(queries, field_weights,
+                                allowed_doc_ids=allowed_doc_ids,
+                                offsets=offsets)
+
+    def prefix_topk_batch(
+        self, prefix_queries: list, field_weights: dict[str, float],
+        max_expansions: int = 100, allowed_doc_ids=None, offsets=None,
+        must_not=None,
+    ) -> list[tuple[int, int, int, float]]:
+        """Prefix search across weighted fields, rank-identical to
+        operators/fielded.bm25f_prefix_topk: each prefix expands against
+        the union of the fields' dictionaries with df summed (df DESC /
+        term ASC, capped), then ranks as ONE disjunctive fielded batch."""
+        if len({q[0] for q in prefix_queries}) != len(prefix_queries):
+            raise ValueError("duplicate query_ids in prefix_queries")
+        snaps = {f: s._snap() for f, s in self.servers.items()}
+        negs = must_not or {}
+        queries = []
+        for qid, prefix, k in prefix_queries:
+            dfs: dict[str, int] = {}
+            for f in self.fields:
+                for t, d in snaps[f]._prefix_candidates(str(prefix)):
+                    dfs[t] = dfs.get(t, 0) + int(d)
+            cands = sorted(dfs.items(), key=lambda td: (-td[1], td[0]))
+            terms = [t for t, _d in cands[:max_expansions]]
+            if terms:
+                queries.append((int(qid), terms, "disjunctive", int(k),
+                                tuple(negs.get(int(qid), ()))))
+        if not queries:
+            return []
+        return self.query_batch(queries, field_weights,
+                                allowed_doc_ids=allowed_doc_ids,
+                                offsets=offsets)
 
     def merged_batch(
         self, queries: list, field_weights: dict[str, float],

@@ -442,6 +442,176 @@ FROM ranked WHERE rank <= k
 """.strip()
 
 
+def _fielded_ctes(field_toks: dict[str, str], field_weights: dict[str, float],
+                  toks: str, id_col: str, doc_table: str) -> str:
+    """The shared fielded CTE block (per-field tok/dl/cs/tf/ts + weights +
+    the cross-field expansion vocabulary tsx = df summed across fields)."""
+    ft_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{f}' AS field, {expr} AS ftoks FROM dtok"
+        for f, expr in sorted(field_toks.items())
+    )
+    wrows = ", ".join(
+        f"('{f}', {float(field_weights.get(f, 1.0))!r}::DOUBLE)"
+        for f in sorted(field_toks)
+    )
+    return f"""dtok AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}),
+ft AS (
+{ft_selects}
+),
+tok AS (SELECT doc_id, field, unnest(ftoks) AS term FROM ft),
+dl AS (SELECT doc_id, field, len(ftoks) AS dl FROM ft),
+cs AS (SELECT field, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY field),
+tf AS (SELECT field, term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+ts AS (SELECT field, term, count(*) AS df FROM tf GROUP BY 1, 2),
+tsx AS (SELECT term, sum(df) AS df FROM ts GROUP BY term),
+fw(field, w) AS (VALUES {wrows})"""
+
+
+def bm25f_fuzzy_topk_sql(
+    multi_queries: list[tuple[int, list[str], int, int]],
+    field_toks: dict[str, str],
+    field_weights: dict[str, float],
+    max_expansions: int = 50,
+    distance_decay: "float | None" = None,
+    conjunctive: bool = False,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for fielded.bm25f_fuzzy_topk — fuzzy expansion × BM25F: each
+    word expands against the CROSS-FIELD vocabulary (tsx: union of the
+    fields' vocabularies, df summed) under the standard rule (levenshtein ≤
+    max_dist, (distance ASC, df DESC, term ASC), capped per word), unioned
+    per query with MIN distance; each expansion term then contributes
+    ({{idf_field}} · (w_field · decay^dist)) · tfc per field — the kernel's
+    (idf · boost) · tfc multiplication order, dyadic decays exact.
+    ``conjunctive``: the word-level AND reading — a doc is eligible iff
+    EVERY query word's expansion set matches it in SOME field."""
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
+    idf = idf_sql("ts.df", "cs.n")
+    rows = ", ".join(
+        "({}, '{}', {}, {})".format(qid, str(w).replace("'", "''"), d, k)
+        for qid, words, d, k in multi_queries
+        # dedup per query: a repeated word would double its expansion
+        # partition's rows and corrupt the per-word row_number cap
+        for w in dict.fromkeys(str(w) for w in words)
+    )
+    wexpr = (
+        f"power({float(distance_decay)!r}, qt.dist)"
+        if distance_decay is not None else "1.0"
+    )
+    conj_cte, conj_join = "", ""
+    if conjunctive:
+        conj_cte = f"""
+nw AS (SELECT query_id, count(DISTINCT word) AS n_words FROM q GROUP BY query_id),
+wexp AS (SELECT DISTINCT query_id, word, term
+         FROM exp WHERE rn <= {max_expansions}),
+wmatch AS (
+    SELECT w.query_id, tf.doc_id
+    FROM wexp w JOIN tf USING (term) JOIN nw ON nw.query_id = w.query_id
+    GROUP BY w.query_id, tf.doc_id, nw.n_words
+    HAVING count(DISTINCT w.word) = nw.n_words
+),"""
+        conj_join = "JOIN wmatch USING (query_id, doc_id)"
+    return f"""
+WITH q(query_id, word, max_dist, k) AS (VALUES {rows}),
+{_fielded_ctes(field_toks, field_weights, toks, id_col, doc_table)},
+exp AS (
+    SELECT q.query_id, q.k, q.word, tsx.term,
+           levenshtein(tsx.term, q.word) AS dist,
+           row_number() OVER (PARTITION BY q.query_id, q.word
+                              ORDER BY levenshtein(tsx.term, q.word) ASC,
+                                       tsx.df DESC, tsx.term ASC) AS rn
+    FROM q JOIN tsx ON levenshtein(tsx.term, q.word) <= q.max_dist
+),
+qt AS (
+    SELECT query_id, k, term, min(dist) AS dist
+    FROM exp WHERE rn <= {max_expansions}
+    GROUP BY query_id, k, term
+),{conj_cte}
+contrib AS (
+    SELECT qt.query_id, tf.doc_id, qt.k,
+           ({idf} * (fw.w * {wexpr})) * {tfc} AS contrib
+    FROM qt
+    JOIN tf USING (term)
+    JOIN ts ON ts.field = tf.field AND ts.term = tf.term
+    JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
+    JOIN cs ON cs.field = tf.field
+    JOIN fw ON fw.field = tf.field
+),
+scored AS (
+    SELECT query_id, doc_id, k, sum(contrib) AS score
+    FROM contrib {conj_join} GROUP BY query_id, doc_id, k
+),
+ranked AS (
+    SELECT query_id, doc_id, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= k
+""".strip()
+
+
+def bm25f_prefix_topk_sql(
+    prefix_queries: list[tuple[int, str, int]],
+    field_toks: dict[str, str],
+    field_weights: dict[str, float],
+    max_expansions: int = 100,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for fielded.bm25f_prefix_topk — prefix expansion × BM25F:
+    prefixes expand against the cross-field vocabulary (df summed across
+    fields, LIKE prefix%, capped by df DESC / term ASC), then each term
+    contributes (idf_field · w_field) · tfc per field it occurs in."""
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
+    idf = idf_sql("ts.df", "cs.n")
+    rows = ", ".join(
+        "({}, '{}', {})".format(qid, p.replace("'", "''"), k)
+        for qid, p, k in prefix_queries
+    )
+    return f"""
+WITH q(query_id, prefix, k) AS (VALUES {rows}),
+{_fielded_ctes(field_toks, field_weights, toks, id_col, doc_table)},
+exp AS (
+    SELECT q.query_id, q.k, tsx.term,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY tsx.df DESC, tsx.term ASC) AS rn
+    FROM q JOIN tsx ON tsx.term LIKE q.prefix || '%'
+),
+qt AS (SELECT query_id, k, term FROM exp WHERE rn <= {max_expansions}),
+contrib AS (
+    SELECT qt.query_id, tf.doc_id, qt.k,
+           ({idf} * fw.w) * {tfc} AS contrib
+    FROM qt
+    JOIN tf USING (term)
+    JOIN ts ON ts.field = tf.field AND ts.term = tf.term
+    JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
+    JOIN cs ON cs.field = tf.field
+    JOIN fw ON fw.field = tf.field
+),
+scored AS (
+    SELECT query_id, doc_id, k, sum(contrib) AS score
+    FROM contrib GROUP BY query_id, doc_id, k
+),
+ranked AS (
+    SELECT query_id, doc_id, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= k
+""".strip()
+
+
 def weighted_topk_sql(
     wqueries: list,
     doc_table: str = "documents",

@@ -744,3 +744,119 @@ def test_fielded_serving_lazy_stats(spark, tmp_path):
     assert lazy.query_batch(qs, weights) == eager.query_batch(qs, weights)
     qs4 = [q[:4] for q in qs[:2]]
     assert lazy.merged_batch(qs4, weights) == eager.merged_batch(qs4, weights)
+
+
+def test_bm25f_fuzzy_prefix_single_field_identity(spark):
+    """Cross-field expansion's degenerate case: over ONE field at weight 1.0
+    the composed operators must equal the plain single-index forms exactly —
+    bm25f_fuzzy_topk ≡ fuzzy_multi_bm25_topk (disj + decay AND word-level
+    conjunctive) and bm25f_prefix_topk ≡ prefix_bm25_topk (the cross-field
+    vocabulary reduces to the field's own term_stats)."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idxs = fielded.build_fielded_index(docs, {"all": F.col("text")}, CFG)
+    idx = build_index(docs, CFG)
+    fq = [(1, ["spork", "quary"], 1, 8), (2, ["orde"], 1, 6),
+          (3, ["xyzzy"], 1, 5)]
+    for mode in ("disjunctive", "conjunctive"):
+        got = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in fielded.bm25f_fuzzy_topk(
+                idxs, fq, {"all": 1.0}, CFG, max_expansions=4,
+                distance_decay=0.5, mode=mode).collect()
+        )
+        want = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in wand.fuzzy_multi_bm25_topk(
+                idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+                fq, CFG, max_expansions=4, distance_decay=0.5,
+                mode=mode).collect()
+        )
+        assert got == want and len(got) > 0, mode
+    pq = [(1, "s", 8), (2, "cust", 6), (3, "zzqq", 5)]
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in fielded.bm25f_prefix_topk(
+            idxs, pq, {"all": 1.0}, CFG, max_expansions=4).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand.prefix_bm25_topk(
+            idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+            pq, CFG, max_expansions=4).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bm25f_expansion_guards(spark):
+    """Expansion-form guards: bad mode, negative decay, duplicate qids, and
+    the extended tuple's negative per-term boost all fail loudly."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idxs = fielded.build_fielded_index(docs, {"all": F.col("text")}, CFG)
+    with pytest.raises(ValueError, match="unknown query mode"):
+        fielded.bm25f_fuzzy_topk(idxs, [(1, ["the"], 1, 5)], {}, CFG,
+                                 mode="dismax")
+    with pytest.raises(ValueError, match="distance_decay"):
+        fielded.bm25f_fuzzy_topk(idxs, [(1, ["the"], 1, 5)], {}, CFG,
+                                 distance_decay=-0.5)
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        fielded.bm25f_fuzzy_topk(
+            idxs, [(1, ["the"], 1, 5), (1, ["a"], 1, 5)], {}, CFG)
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        fielded.bm25f_prefix_topk(idxs, [(1, "a", 5), (1, "b", 5)], {}, CFG)
+    with pytest.raises(ValueError, match="negative term boosts"):
+        fielded.bm25f_topk(
+            idxs, [(1, ["the"], "disjunctive", 5, (), {"the": -2.0})],
+            {"all": 1.0}, CFG)
+
+
+def test_bm25f_expansion_serving_matches_spark(spark, tmp_path):
+    """FieldedIndexServer.fuzzy_topk_batch / prefix_topk_batch over
+    title+body replicas are rank-identical to the Spark cross-field
+    operators (disj with decay, word-level conjunctive, prefix), in BOTH
+    stats modes (lazy needs the per-field SymSpell bucket replicas)."""
+    from bloqsenjin_spark.operators.serving import FieldedIndexServer
+    from bloqsenjin_spark.plans import build as B
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    dirs = {}
+    for f, expr in _field_exprs().items():
+        d = str(tmp_path / f"xf_{f}")
+        B.build_index_resumable(
+            docs.select("doc_id", expr.alias("text")), d, CFG)
+        B.write_fuzzy_index(spark, d, max_dist=1)
+        dirs[f] = d
+    idxs = fielded.build_fielded_index(docs, _field_exprs(), CFG)
+    weights = {"title": 2.0, "body": 1.0}
+    fq = [(1, ["spork", "quary"], 1, 8), (2, ["customer", "orde"], 1, 6),
+          (3, ["xyzzy"], 1, 5)]
+    pq = [(1, "s", 8), (2, "cust", 6), (3, "zzqq", 5)]
+    servers = [FieldedIndexServer(dirs, CFG),
+               FieldedIndexServer(dirs, CFG, stats_mode="lazy")]
+    for mode in ("disjunctive", "conjunctive"):
+        want = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in fielded.bm25f_fuzzy_topk(
+                idxs, fq, weights, CFG, max_expansions=4,
+                distance_decay=0.5, mode=mode).collect()
+        )
+        assert len(want) > 0, mode
+        for srv in servers:
+            got = sorted(srv.fuzzy_topk_batch(
+                fq, weights, max_expansions=4, distance_decay=0.5,
+                mode=mode))
+            assert len(got) == len(want), mode
+            for g, w in zip(got, want):
+                assert g[:3] == w[:3], mode
+                assert g[3] == pytest.approx(w[3], abs=1e-12)
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in fielded.bm25f_prefix_topk(
+            idxs, pq, weights, CFG, max_expansions=4).collect()
+    )
+    assert len(want) > 0
+    for srv in servers:
+        got = sorted(srv.prefix_topk_batch(pq, weights, max_expansions=4))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[:3] == w[:3]
+            assert g[3] == pytest.approx(w[3], abs=1e-12)
