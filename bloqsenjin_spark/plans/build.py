@@ -324,6 +324,54 @@ def stale_replicas(index_dir: str) -> list[str]:
     return out
 
 
+def refresh_replicas(
+    spark: SparkSession,
+    index_dir: str,
+    docs: "DataFrame | None" = None,
+    cfg: "IndexConfig | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[str]:
+    """ONE-CALL replica maintenance: rebuild EXACTLY what stale_replicas()
+    lists — nothing when everything is fresh — and return the rebuilt table
+    names. The operational closer of the replica-coherence contract: after
+    any content mutation (append/compact/purge), one call makes every
+    serving form servable again instead of a per-replica rebuild sequence.
+
+    * ``fuzzy_index`` rebuilds at its PREVIOUS build distance (read from
+      fuzzy_meta) — maintenance never silently shrinks the served distance.
+    * ``doc_store`` needs the CURRENT corpus (``docs``): the store is a
+      projection of source rows the index layout does not otherwise hold.
+      A stale doc_store with docs=None raises with the recipe — a silent
+      skip would leave the snippet path refusing after "maintenance ran".
+
+    The IVF vector replica is out of scope by design: it lives in its own
+    directory (operators/similarity.write_ivf) under its own drift policy
+    (ivf_append's recluster trigger), not under the index generation stamp.
+    """
+    stale = stale_replicas(index_dir)
+    got_cfg = check_index_meta(index_dir, cfg)
+    rebuilt: list[str] = []
+    for table in stale:
+        if table == "fuzzy_index":
+            meta = S.for_index(spark, index_dir).read("fuzzy_meta").first()
+            write_fuzzy_index(spark, index_dir,
+                              max_dist=int(meta["max_dist"]))
+        else:  # doc_store
+            if docs is None:
+                raise ValueError(
+                    "doc_store replica is stale but refresh_replicas got "
+                    "no docs= DataFrame — the doc store duplicates corpus "
+                    "rows, so pass the CURRENT corpus (the same relation "
+                    "the index content came from) or call write_doc_store "
+                    "directly"
+                )
+            write_doc_store(docs, index_dir, got_cfg,
+                            text_col=text_col, id_col=id_col)
+        rebuilt.append(table)
+    return rebuilt
+
+
 def _stamp_replica(spark: SparkSession, index_dir: str, meta_table: str,
                    cfg: IndexConfig, extra: "dict | None" = None) -> None:
     """Bump the index generation WITHOUT advancing content_generation, then

@@ -114,6 +114,8 @@ def compact_to(
     segments_dir: str,
     index_dir: str,
     cfg: IndexConfig = DEFAULT_CONFIG,
+    refresh: bool = False,
+    docs: "DataFrame | None" = None,
 ) -> None:
     """Persist the merged segments as the serving index (plans.build.
     write_index) — a CONTENT mutation: both ``generation`` and
@@ -123,10 +125,18 @@ def compact_to(
     rebuilt (plans.build.stale_replicas lists them; write_doc_store /
     write_fuzzy_index re-stamp them fresh). That is the streaming → replica
     coherence contract: a compact can never make a snippet or fuzzy path
-    silently serve pre-compact rows."""
-    from bloqsenjin_spark.plans.build import write_index
+    silently serve pre-compact rows.
+
+    ``refresh=True`` opts into ONE-CALL maintenance right after the
+    compact: plans.build.refresh_replicas rebuilds exactly the replicas
+    the mutation staled (the fuzzy buckets from the new term_stats at
+    their previous build distance; the doc store from ``docs`` — required
+    then, since segments hold index tables, not corpus rows)."""
+    from bloqsenjin_spark.plans.build import refresh_replicas, write_index
 
     write_index(compact(spark, segments_dir, cfg), index_dir)
+    if refresh:
+        refresh_replicas(spark, index_dir, docs=docs, cfg=cfg)
 
 
 def windowed_event_metrics(

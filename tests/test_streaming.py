@@ -157,12 +157,31 @@ def test_replica_coherence_after_compact(spark, tmp_path):
     with pytest.raises(ValueError, match="STALE.*write_fuzzy_index"):
         lazy.fuzzy_topk_batch([(1, "spork", 1, 5)])
 
-    # rebuild the replicas → fresh again, serving covers the NEW docs
-    B.write_doc_store(docs, idx_dir, cfg)
-    B.write_fuzzy_index(spark, idx_dir, max_dist=1)
+    # ONE-call maintenance (round 7): refresh_replicas rebuilds exactly the
+    # stale set — doc_store needs the current corpus (raises without it),
+    # fuzzy buckets rebuild at their PREVIOUS distance; idempotent when
+    # fresh — then serving covers the NEW docs with no manual sequence
+    with pytest.raises(ValueError, match="doc_store replica is stale"):
+        B.refresh_replicas(spark, idx_dir)
+    assert sorted(B.refresh_replicas(spark, idx_dir, docs=docs)) == [
+        "doc_store", "fuzzy_index"]
     assert B.stale_replicas(idx_dir) == []
+    assert B.refresh_replicas(spark, idx_dir, docs=docs) == []
     srv.refresh()
     rows = srv.snippet_batch([(1, ["the"], "disjunctive", 300)])
     assert any(doc >= 250 for _q, _r, doc, _s, _p, _sn in rows)
     lazy.refresh()
+    assert lazy.fuzzy_topk_batch([(1, "spork", 1, 5)])
+    # the preserved build distance still refuses ABOVE-distance queries
+    # through the round-7 default (no silent vocabulary scan)
+    with pytest.raises(ValueError, match="exceeds the on-disk"):
+        lazy.fuzzy_topk_batch([(1, "spork", 2, 5)])
+
+    # streaming hook: a re-compact re-stales; compact_to(refresh=True)
+    # leaves every serving form servable in the one call
+    ingest.compact_to(spark, seg_dir, idx_dir, cfg, refresh=True, docs=docs)
+    assert B.stale_replicas(idx_dir) == []
+    srv.refresh()
+    lazy.refresh()
+    assert srv.snippet_batch(qs)
     assert lazy.fuzzy_topk_batch([(1, "spork", 1, 5)])
