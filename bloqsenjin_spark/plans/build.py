@@ -101,17 +101,36 @@ def build_index(
     )
 
 
-def write_index(idx: Index, index_dir: str) -> None:
+def write_index(idx: Index, index_dir: str,
+                timings: "dict | None" = None) -> None:
     """Full (non-resumable) persist via the storage seam: ``index_dir`` may be
     a filesystem path (parquet) or ``iceberg://catalog.db.name`` (Iceberg
-    tables; atomic snapshot commits) — see plans/store.py."""
+    tables; atomic snapshot commits) — see plans/store.py.
+
+    ``timings``: optional dict the per-table write seconds are recorded
+    into (jobs/scale_stress.py's stage attribution on the REAL write path
+    — no separate instrumented build)."""
+    import time as _time
+
     spark = idx.postings.sparkSession
     store = S.for_index(spark, index_dir)
-    store.replace_all(idx.postings, "postings")
-    store.replace_all(idx.doc_lens, "doc_lens")
+
+    def _timed(name, fn):
+        t0 = _time.perf_counter()
+        out = fn()
+        if timings is not None:
+            timings[name] = round(_time.perf_counter() - t0, 3)
+        return out
+
+    _timed("postings_write",
+           lambda: store.replace_all(idx.postings, "postings"))
+    _timed("doc_lens_write",
+           lambda: store.replace_all(idx.doc_lens, "doc_lens"))
     # term-sorted files: row-group stats prune the serving tier's lazy
     # per-term and prefix-range stats reads to the touched groups
-    store.overwrite_sorted(idx.term_stats, "term_stats", "term")
+    _timed("term_stats_write",
+           lambda: store.overwrite_sorted(idx.term_stats, "term_stats",
+                                          "term"))
     store.overwrite(
         spark.createDataFrame([(idx.n_docs, idx.avgdl)], "n_docs long, avgdl double"),
         "corpus_stats",
