@@ -733,20 +733,41 @@ DSL_QUERIES = [
     (10, "spork~1 OR quary~1", 10),
     (11, "customer~1 orde~1", 10),     # implicit AND → conjunctive fuzzy
 ]
+# the same strings under a FIELDED PROFILE (field_weights set): unqualified
+# queries rank ACROSS the weighted fields — plain → bm25f_topk, fuzzy/prefix
+# → the cross-field expansion operators; qids disjoint from DSL_QUERIES so
+# both batches union into the one driver entry
+DSL_PROFILE_QUERIES = [
+    (12, "the OR fast", 10),
+    (13, "customer order", 5),         # document-level conjunctive (Lucene)
+    (14, "join hash -merge", 10),      # MUST_NOT excludes matches in ANY field
+    (15, "spork~1 OR quary~1", 10),    # cross-field fuzzy, decay × w_field
+    (16, "spork~1 quary~1", 10),       # word-level AND across fields
+    (17, "c*", 10),                    # cross-field prefix expansion
+]
 
 
 def _q_query_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-facing query language: Lucene-style strings → parse → compile
     onto the EXISTING operator tuple forms → grouped dispatch (one Spark
     job per operator kind for the whole batch). Adds no execution path, so
-    the oracle is the union of the per-operator oracles."""
+    the oracle is the union of the per-operator oracles. The second batch
+    runs the SAME syntax under a fielded profile (field_weights), routing
+    unqualified queries onto the cross-field operators."""
+    from bloqsenjin_spark.operators import fielded
     from bloqsenjin_spark.sources import querylang as ql
 
-    idx = build_index(_docs(spark, sf_dir), _SF_CFG_POS)
+    docs = _docs(spark, sf_dir)
+    idx = build_index(docs, _SF_CFG_POS)
     compiled = ql.compile_batch(DSL_QUERIES, default_op="and")
     res = ql.run_query_batch(idx, compiled, max_expansions=_MAX_EXPANSIONS,
                              distance_decay=_FUZZY_DECAY)
-    return res.withColumn("score", F.round("score", _R))
+    fidxs = fielded.build_fielded_index(docs, _field_cols(), _SF_CFG)
+    prof = ql.run_query_batch(
+        None, ql.compile_batch(DSL_PROFILE_QUERIES, default_op="and"),
+        fielded_indexes=fidxs, field_weights=BM25F_WEIGHTS,
+        max_expansions=_MAX_EXPANSIONS, distance_decay=_FUZZY_DECAY)
+    return res.unionByName(prof).withColumn("score", F.round("score", _R))
 
 
 def _rel(fn, *tables):
@@ -984,6 +1005,24 @@ def oracle_sql() -> dict[str, str]:
                     [(11, ["customer", "orde"], 1, 10)],
                     max_expansions=_MAX_EXPANSIONS,
                     distance_decay=_FUZZY_DECAY, conjunctive=True),
+                # fielded-profile branch (qids 12–17): the same strings
+                # dispatched across weighted fields → the bm25f oracles
+                oracle.bm25f_topk_sql(
+                    [(12, ["the", "fast"], "disjunctive", 10),
+                     (13, ["customer", "order"], "conjunctive", 5),
+                     (14, ["join", "hash"], "conjunctive", 10, ["merge"])],
+                    _BM25F_FIELD_TOKS, BM25F_WEIGHTS),
+                oracle.bm25f_fuzzy_topk_sql(
+                    [(15, ["spork", "quary"], 1, 10)], _BM25F_FIELD_TOKS,
+                    BM25F_WEIGHTS, max_expansions=_MAX_EXPANSIONS,
+                    distance_decay=_FUZZY_DECAY, conjunctive=False),
+                oracle.bm25f_fuzzy_topk_sql(
+                    [(16, ["spork", "quary"], 1, 10)], _BM25F_FIELD_TOKS,
+                    BM25F_WEIGHTS, max_expansions=_MAX_EXPANSIONS,
+                    distance_decay=_FUZZY_DECAY, conjunctive=True),
+                oracle.bm25f_prefix_topk_sql(
+                    [(17, "c", 10)], _BM25F_FIELD_TOKS, BM25F_WEIGHTS,
+                    max_expansions=_MAX_EXPANSIONS),
             )
         ),
     }

@@ -461,6 +461,7 @@ def run_query_batch(
     compiled: list[Compiled],
     *,
     fielded_indexes: "dict | None" = None,
+    field_weights: "dict | None" = None,
     max_expansions: int = 50,
     distance_decay: "float | None" = None,
     tomb_map=None,
@@ -476,11 +477,22 @@ def run_query_batch(
     ``index``: plans.build.Index (or any object with postings/doc_lens/
     term_stats/avgdl). ``fielded_indexes``: {field: Index} for field-
     qualified queries — a field's index IS an index, so single-field forms
-    run on it directly (COMPOSITION.md)."""
+    run on it directly (COMPOSITION.md).
+
+    ``field_weights``: the FIELDED PROFILE — unqualified queries rank
+    ACROSS the weighted fields instead of on ``index`` (which may then be
+    None): plain → bm25f_topk (DSL ^boosts multiply into the field
+    weights), prefix/fuzzy → the cross-field expansion operators
+    (bm25f_prefix_topk / bm25f_fuzzy_topk — expansion on the cross-field
+    vocabulary). Unqualified phrases refuse loudly (cross-field phrase has
+    no composed operator — qualify with a field); field-qualified queries
+    run on that field's index exactly as without the profile."""
     from functools import reduce
 
     from bloqsenjin_spark.operators import wand
 
+    if field_weights is not None and not fielded_indexes:
+        raise ValueError("field_weights needs fielded_indexes")
     if len({c.qid for c in compiled}) != len(compiled):
         raise ValueError("duplicate query_ids in a DSL batch")
     groups = _group(compiled)
@@ -488,10 +500,15 @@ def run_query_batch(
     for (kind, fld, mode, ordered), cs in sorted(
         groups.items(), key=lambda kv: str(kv[0])
     ):
-        idx = _index_for(index, fielded_indexes, fld, kind)
-        args = (idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl)
         payloads = [c.payload for c in cs]
         negs = {c.qid: list(c.must_not) for c in cs if c.must_not}
+        if field_weights is not None and fld is None:
+            outs.append(_run_fielded_group(
+                fielded_indexes, field_weights, kind, mode, payloads, negs,
+                max_expansions, distance_decay, tomb_map, allow_map))
+            continue
+        idx = _index_for(index, fielded_indexes, fld, kind)
+        args = (idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl)
         kw = dict(tomb_map=tomb_map, allow_map=allow_map)
         if kind == "plain":
             # mode rides in each tuple; grouped only for determinism
@@ -520,11 +537,51 @@ def run_query_batch(
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
+def _cross_field_refusal(kind: str):
+    return UnsupportedQueryError(
+        f"unqualified {kind} query under a fielded profile: cross-field "
+        "phrase/proximity has no composed operator — qualify the phrase "
+        "with a field (COMPOSITION.md: phrase-in-field row)"
+    )
+
+
+def _run_fielded_group(fielded_indexes, field_weights, kind, mode, payloads,
+                       negs, max_expansions, distance_decay, tomb_map,
+                       allow_map):
+    """Fielded-profile executor for ONE unqualified group — the cross-field
+    operators take the SAME payload tuples the single-index forms do
+    (fuzzy's single-word payload lifts to the 1-word multi form, which is
+    its exact identity)."""
+    from bloqsenjin_spark.operators import fielded
+
+    cfg = next(iter(fielded_indexes.values())).cfg
+    kw = dict(tomb_map=tomb_map, allow_map=allow_map)
+    if kind == "plain":
+        return fielded.bm25f_topk(fielded_indexes, payloads, field_weights,
+                                  cfg, **kw)
+    if kind == "prefix":
+        return fielded.bm25f_prefix_topk(
+            fielded_indexes, payloads, field_weights, cfg,
+            max_expansions=max_expansions, must_not=negs or None, **kw)
+    if kind == "fuzzy":
+        lifted = [(q, [w], d, k) for q, w, d, k in payloads]
+        return fielded.bm25f_fuzzy_topk(
+            fielded_indexes, lifted, field_weights, cfg,
+            max_expansions=max_expansions, must_not=negs or None, **kw)
+    if kind == "fuzzy_multi":
+        return fielded.bm25f_fuzzy_topk(
+            fielded_indexes, payloads, field_weights, cfg,
+            max_expansions=max_expansions, distance_decay=distance_decay,
+            mode=mode, must_not=negs or None, **kw)
+    raise _cross_field_refusal(kind)  # phrase / near
+
+
 def serve_query_batch(
     server,
     compiled: list[Compiled],
     *,
     field_servers: "dict | None" = None,
+    field_weights: "dict | None" = None,
     max_expansions: int = 50,
     distance_decay: "float | None" = None,
     allowed_doc_ids=None,
@@ -532,14 +589,29 @@ def serve_query_batch(
     """Serving-tier dispatch of the same compiled batch → [(query_id, rank,
     doc_id, score)] sorted by (query_id, rank) — row-identical to
     run_query_batch on the same index (pytest-pinned), because every kind
-    maps to the serving twin of the Spark operator it maps to above."""
+    maps to the serving twin of the Spark operator it maps to above.
+
+    ``field_weights``: the fielded profile — ``server`` must then be a
+    FieldedIndexServer; unqualified queries rank across its weighted
+    fields (query_batch / prefix_topk_batch / fuzzy_topk_batch), and
+    field-qualified queries default to its per-field servers when
+    ``field_servers`` is not given."""
     if len({c.qid for c in compiled}) != len(compiled):
         raise ValueError("duplicate query_ids in a DSL batch")
+    if field_weights is not None and field_servers is None:
+        field_servers = getattr(server, "servers", None)
     groups = _group(compiled)
     rows: list[tuple] = []
     for (kind, fld, mode, ordered), cs in sorted(
         groups.items(), key=lambda kv: str(kv[0])
     ):
+        if field_weights is not None and fld is None:
+            payloads = [c.payload for c in cs]
+            negs = {c.qid: list(c.must_not) for c in cs if c.must_not}
+            rows += _serve_fielded_group(
+                server, field_weights, kind, mode, payloads, negs,
+                max_expansions, distance_decay, allowed_doc_ids)
+            continue
         if fld is None:
             srv = server
         elif not field_servers or fld not in field_servers:
@@ -574,3 +646,26 @@ def serve_query_batch(
         else:  # pragma: no cover
             raise AssertionError(f"unknown compiled kind {kind!r}")
     return sorted(rows, key=lambda r: (r[0], r[1]))
+
+
+def _serve_fielded_group(server, field_weights, kind, mode, payloads, negs,
+                         max_expansions, distance_decay, allowed_doc_ids):
+    """Serving twin of _run_fielded_group over a FieldedIndexServer."""
+    kw = dict(allowed_doc_ids=allowed_doc_ids)
+    if kind == "plain":
+        return server.query_batch(payloads, field_weights, **kw)
+    if kind == "prefix":
+        return server.prefix_topk_batch(
+            payloads, field_weights, max_expansions=max_expansions,
+            must_not=negs or None, **kw)
+    if kind == "fuzzy":
+        lifted = [(q, [w], d, k) for q, w, d, k in payloads]
+        return server.fuzzy_topk_batch(
+            lifted, field_weights, max_expansions=max_expansions,
+            must_not=negs or None, **kw)
+    if kind == "fuzzy_multi":
+        return server.fuzzy_topk_batch(
+            payloads, field_weights, max_expansions=max_expansions,
+            distance_decay=distance_decay, mode=mode,
+            must_not=negs or None, **kw)
+    raise _cross_field_refusal(kind)  # phrase / near

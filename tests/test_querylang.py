@@ -288,3 +288,129 @@ def test_serving_dispatch_identical(spark, tmp_path):
            [(q, r, d_) for q, r, d_, _ in spark_rows]
     for a, b in zip(serve_rows, spark_rows):
         assert abs(a[3] - b[3]) < 1e-9
+
+
+# ---- fielded profile (unqualified queries rank ACROSS weighted fields) -------
+
+FIELD_WEIGHTS = {"title": 2.0, "body": 1.0}
+
+
+def _field_cols():
+    from pyspark.sql import functions as F
+
+    from bloqsenjin_spark.functions.text import tokens
+
+    t = tokens(F.col("text"))
+    return {
+        "title": F.concat_ws(" ", F.slice(t, 1, 5)),
+        "body": F.concat_ws(
+            " ", F.when(F.size(t) > 5, F.slice(t, 6, F.size(t) - 5))
+            .otherwise(F.array().cast("array<string>"))),
+    }
+
+
+@pytest.fixture(scope="module")
+def fidxs(spark):
+    from bloqsenjin_spark.operators import fielded
+
+    docs = corpus.load_table(spark, SF_DIR, "documents")
+    return fielded.build_fielded_index(docs, _field_cols(), CFG)
+
+
+PROFILE_BATCH = [
+    (1, "the OR fast", 10),
+    (2, "customer order", 5),            # implicit AND → document-level conj
+    (3, "join hash -merge", 10),
+    (4, "the^0.25 OR fast^2", 10),       # ^boosts multiply into field weights
+    (5, "s*", 10),                       # cross-field prefix expansion
+    (6, "spork~1", 10),                  # single fuzzy → 1-word multi identity
+    (7, "spork~1 OR quary~1", 10),       # cross-field fuzzy, disjunctive
+    (8, "spork~1 quary~1", 10),          # cross-field fuzzy, word-level AND
+    (9, "title:the title:fast", 10),     # qualified → that field's index
+]
+
+
+def test_fielded_profile_dispatch(spark, fidxs):
+    """With ``field_weights`` set, unqualified queries route to the
+    cross-field operators (bm25f_topk / bm25f_prefix_topk /
+    bm25f_fuzzy_topk) and field-qualified ones still run on their field's
+    index — the mixed batch equals the hand-written per-operator calls."""
+    from bloqsenjin_spark.operators import fielded
+
+    compiled = compile_batch(PROFILE_BATCH, default_op="and")
+    got = _rows(ql.run_query_batch(
+        None, compiled, fielded_indexes=fidxs, field_weights=FIELD_WEIGHTS,
+        max_expansions=4, distance_decay=0.5))
+
+    w = FIELD_WEIGHTS
+    want = _rows(fielded.bm25f_topk(fidxs, [
+        (1, ["the", "fast"], "disjunctive", 10),
+        (2, ["customer", "order"], "conjunctive", 5),
+        (3, ["join", "hash"], "conjunctive", 10, ("merge",)),
+        (4, ["the", "fast"], "disjunctive", 10, (),
+         {"the": 0.25, "fast": 2.0}),
+    ], w, CFG))
+    want += _rows(fielded.bm25f_prefix_topk(
+        fidxs, [(5, "s", 10)], w, CFG, max_expansions=4))
+    want += _rows(fielded.bm25f_fuzzy_topk(
+        fidxs, [(6, ["spork"], 1, 10)], w, CFG, max_expansions=4))
+    want += _rows(fielded.bm25f_fuzzy_topk(
+        fidxs, [(7, ["spork", "quary"], 1, 10)], w, CFG, max_expansions=4,
+        distance_decay=0.5, mode="disjunctive"))
+    want += _rows(fielded.bm25f_fuzzy_topk(
+        fidxs, [(8, ["spork", "quary"], 1, 10)], w, CFG, max_expansions=4,
+        distance_decay=0.5, mode="conjunctive"))
+    ti = fidxs["title"]
+    want += _rows(wand.bm25_wand_topk(
+        ti.postings, ti.doc_lens, ti.term_stats, ti.avgdl,
+        [(9, ["the", "fast"], "disjunctive", 10)], CFG))
+    assert got == sorted(want)
+    assert len(got) > 0
+
+
+def test_fielded_profile_refusals(spark, fidxs):
+    with pytest.raises(ValueError, match="fielded_indexes"):
+        ql.run_query_batch(None, compile_batch([(1, "a", 5)]),
+                           field_weights=FIELD_WEIGHTS)
+    compiled = compile_batch([(1, '"the fast"', 5)])
+    with pytest.raises(UnsupportedQueryError, match="cross-field"):
+        ql.run_query_batch(None, compiled, fielded_indexes=fidxs,
+                           field_weights=FIELD_WEIGHTS)
+
+
+def test_fielded_profile_serving_identical(spark, tmp_path):
+    """Serving router under a fielded profile (FieldedIndexServer) ==
+    Spark router on the same per-field indexes, row for row — including a
+    field-qualified query defaulting onto the profile's per-field
+    servers."""
+    from bloqsenjin_spark.operators import fielded
+    from bloqsenjin_spark.operators.serving import FieldedIndexServer
+    from bloqsenjin_spark.plans import build as B
+
+    docs = corpus.load_table(spark, SF_DIR, "documents")
+    field_cols = _field_cols()
+    dirs = {}
+    for f, expr in field_cols.items():
+        d = str(tmp_path / f"qlf_{f}")
+        B.build_index_resumable(
+            docs.select("doc_id", expr.alias("text")), d, CFG)
+        dirs[f] = d
+    fidxs = fielded.build_fielded_index(docs, field_cols, CFG)
+    fsrv = FieldedIndexServer(dirs, CFG)
+
+    compiled = compile_batch(PROFILE_BATCH, default_op="and")
+    spark_rows = sorted(
+        tuple(r) for r in ql.run_query_batch(
+            None, compiled, fielded_indexes=fidxs,
+            field_weights=FIELD_WEIGHTS, max_expansions=4,
+            distance_decay=0.5).collect())
+    serve_rows = sorted(ql.serve_query_batch(
+        fsrv, compiled, field_weights=FIELD_WEIGHTS, max_expansions=4,
+        distance_decay=0.5))
+    assert [(q, r, d_) for q, r, d_, _ in serve_rows] == \
+           [(q, r, d_) for q, r, d_, _ in spark_rows]
+    for a, b in zip(serve_rows, spark_rows):
+        assert abs(a[3] - b[3]) < 1e-9
+    with pytest.raises(UnsupportedQueryError, match="cross-field"):
+        ql.serve_query_batch(fsrv, compile_batch([(1, '"the fast"', 5)]),
+                             field_weights=FIELD_WEIGHTS)
