@@ -135,18 +135,26 @@ def write_index(idx: Index, index_dir: str,
         spark.createDataFrame([(idx.n_docs, idx.avgdl)], "n_docs long, avgdl double"),
         "corpus_stats",
     )
-    # lineage/metrics: per-shard docs/postings/bytes + completion checkpoint
-    m = (
-        idx.postings.groupBy("shard")
+    # lineage/metrics: per-shard docs/postings/bytes + completion checkpoint.
+    # Aggregate the WRITTEN tables, not idx.postings/doc_lens: the index
+    # DataFrames end in a mapInPandas/applyInPandas encode that is NOT
+    # cached (only the tf scan is), so referencing them here would re-run
+    # the whole Python encode once per metrics action — measured 3× the
+    # build's most expensive stage at 5M docs. The read-back is one
+    # column-pruned JVM scan of just-written parquet.
+    m = _timed("metrics_agg", lambda: (
+        store.read("postings").groupBy("shard")
         .agg(
             F.count_distinct("term").alias("n_terms"),
             F.count("*").alias("n_blocks"),
             F.sum("n_docs").alias("n_postings"),
             F.sum(F.length("doc_deltas") + F.length("tfs")).alias("bytes"),
         )
-    )
+        .localCheckpoint()  # tiny (one row per shard); compute ONCE for
+    ))                      # both the metrics and the checkpoint writes
     store.overwrite(m, "build_metrics")
-    ck = m.join(idx.doc_lens.select("shard", F.col("n_docs").alias("docs")), "shard").select(
+    ck = m.join(store.read("doc_lens")
+                .select("shard", F.col("n_docs").alias("docs")), "shard").select(
         "shard",
         F.lit("done").alias("status"),
         F.col("docs").cast("long").alias("n_docs"),
