@@ -744,6 +744,9 @@ DSL_PROFILE_QUERIES = [
     (15, "spork~1 OR quary~1", 10),    # cross-field fuzzy, decay × w_field
     (16, "spork~1 quary~1", 10),       # word-level AND across fields
     (17, "c*", 10),                    # cross-field prefix expansion
+    (18, '"the fast"', 10),            # cross-field phrase (weighted sum)
+    (19, '"customer order"~1', 10),    # cross-field ordered proximity
+    (20, '"fast the"~1u', 10),         # cross-field unordered proximity
 ]
 
 
@@ -762,7 +765,9 @@ def _q_query_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     compiled = ql.compile_batch(DSL_QUERIES, default_op="and")
     res = ql.run_query_batch(idx, compiled, max_expansions=_MAX_EXPANSIONS,
                              distance_decay=_FUZZY_DECAY)
-    fidxs = fielded.build_fielded_index(docs, _field_cols(), _SF_CFG)
+    # positional field builds: the profile batch includes cross-field
+    # phrase/proximity (qids 18-20, bm25f_phrase_topk)
+    fidxs = fielded.build_fielded_index(docs, _field_cols(), _SF_CFG_POS)
     prof = ql.run_query_batch(
         None, ql.compile_batch(DSL_PROFILE_QUERIES, default_op="and"),
         fielded_indexes=fidxs, field_weights=BM25F_WEIGHTS,
@@ -1023,6 +1028,12 @@ def oracle_sql() -> dict[str, str]:
                 oracle.bm25f_prefix_topk_sql(
                     [(17, "c", 10)], _BM25F_FIELD_TOKS, BM25F_WEIGHTS,
                     max_expansions=_MAX_EXPANSIONS),
+                oracle.bm25f_phrase_topk_sql(
+                    [(18, "the fast", 10), (19, "customer order", 10, 1)],
+                    _BM25F_FIELD_TOKS, BM25F_WEIGHTS),
+                oracle.bm25f_phrase_topk_sql(
+                    [(20, "fast the", 10, 1)], _BM25F_FIELD_TOKS,
+                    BM25F_WEIGHTS, ordered=False),
             )
         ),
     }

@@ -130,6 +130,92 @@ def phrase_bm25_topk_fielded(
     )
 
 
+def bm25f_phrase_topk(
+    indexes: dict[str, Index],
+    phrases: list[tuple[int, str, int]],
+    field_weights: dict[str, float],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+    ordered: bool = True,
+    offsets: "dict[int, int] | None" = None,
+) -> DataFrame:
+    """Phrase/proximity ranking ACROSS weighted fields — Lucene's
+    multi-field phrase reading as a weighted sum: a doc matches iff the
+    phrase (or the proximity window — 4-tuple slop, ``ordered=False`` for
+    the symmetric window) occurs in AT LEAST one field, scored
+
+        score(d) = Σ_{fields where it matches}  w_f · phraseBM25_f(d)
+
+    where phraseBM25_f is that field's own phrase-filtered BM25
+    (wand.phrase_bm25_topk semantics: BM25 over the phrase's deduped terms
+    with the field's df/avgdl/dl). Closes the one previously uncomposed
+    COMPOSITION.md cell (cross-field phrase).
+
+    Plan: per-field UNTRUNCATED phrase partials (truncate=False — a doc
+    outside one field's per-shard top-k can still win the combined rank,
+    so per-field truncation before the sum would be inexact; the rows stay
+    match-bounded, exactly the per-field phrase-match sets), weighted and
+    unioned, then ONE match-bounded groupBy whose sum runs in sorted-field
+    order (array_sort + aggregate ⇒ deterministic float addition), and one
+    rank window. ``offsets``: deep paging on the combined ranking — page
+    (offset, offset+k] with GLOBAL ranks."""
+    from bloqsenjin_spark.operators import wand
+
+    if len({int(q[0]) for q in phrases}) != len(phrases):
+        raise ValueError("duplicate query_ids in a fielded phrase batch")
+    fields = sorted(indexes)
+    unknown = set(field_weights) - set(fields)
+    if unknown:
+        raise ValueError(
+            f"field_weights name unknown fields {sorted(unknown)}; "
+            f"indexes have {fields}"
+        )
+    weights = {f: float(field_weights.get(f, 1.0)) for f in fields}
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"negative field weights are not rankable: {weights}")
+    parts = [
+        wand.phrase_score_partials(
+            indexes[f].postings, indexes[f].doc_lens, indexes[f].term_stats,
+            indexes[f].avgdl, phrases, cfg, tomb_map=tomb_map,
+            allow_map=allow_map, ordered=ordered, truncate=False,
+        ).select(
+            "query_id", "doc_id",
+            F.lit(f).alias("field"),
+            (F.col("score") * F.lit(weights[f])).alias("wscore"),
+        )
+        for f in fields
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    scored = (
+        u.groupBy("query_id", "doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("field", "wscore")))
+             .alias("fs"))
+        .select(
+            "query_id", "doc_id",
+            F.aggregate("fs", F.lit(0.0),
+                        lambda acc, x: acc + x["wscore"]).alias("score"),
+        )
+    )
+    kmap = F.create_map(
+        *[x for q in phrases for x in (F.lit(int(q[0])), F.lit(int(q[2])))]
+    )
+    offsets = offsets or {}
+    omap = F.create_map(
+        *[x for q in phrases
+          for x in (F.lit(int(q[0])), F.lit(int(offsets.get(int(q[0]), 0))))]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    off = omap[F.col("query_id")]
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where((F.col("rank") > off)
+               & (F.col("rank") <= off + kmap[F.col("query_id")]))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def bm25f_topk(
     indexes: dict[str, Index],
     queries: list[tuple[int, list[str], str, int]],

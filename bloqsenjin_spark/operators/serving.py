@@ -583,6 +583,35 @@ class IndexServer:
             out.extend((qid, int(d)) for d in hits)
         return sorted(out)
 
+    def _phrase_scored_hits(self, parsed, ordered, allow_masks):
+        """Yield (qid, hits, score) for every verified phrase/proximity
+        match of a parsed batch, scored with THIS index's stats (BM25 over
+        the deduped terms from the same decoded positional blocks, summed
+        in sorted-term order) — the scoring core shared by
+        phrase_topk_batch and FieldedIndexServer.phrase_topk_batch_cross.
+        Must run on a snapshot."""
+        from bloqsenjin_spark.functions import bm25
+
+        dps = self.cfg.docs_per_shard
+        k1, b = self.cfg.k1, self.cfg.b
+        idf_map = (
+            self.idf if self.idf is not None
+            else self._idf_for(sorted({t for _q, toks, _s in parsed
+                                       for t in toks}))
+        )
+        for qid, uniq, shard, hits, per_term in self._phrase_hit_blocks(
+                parsed, ordered=ordered, allow_masks=allow_masks):
+            score = np.zeros(hits.size, dtype=np.float64)
+            dl_h = self.dls[shard][hits - shard * dps]
+            for t in sorted(uniq):  # lexicographic = oracle's sum order
+                ids_t, _flat, offs_t = per_term[t]
+                tf_t = np.diff(offs_t).astype(np.float64)
+                score += idf_map[t] * bm25.tf_component_np(
+                    tf_t[np.searchsorted(ids_t, hits)], dl_h, self.avgdl,
+                    k1, b,
+                )
+            yield qid, hits, score
+
     def phrase_topk_batch(
         self, phrases: list[tuple[int, str, int]], ordered: bool = True,
         allowed_doc_ids=None, offsets=None,
@@ -593,7 +622,6 @@ class IndexServer:
         the verified matches from the SAME decoded positional blocks
         (position-segment lengths double as tf arrays), summed in sorted-term
         order for bit-identity with the distributed scorer."""
-        from bloqsenjin_spark.functions import bm25
         from bloqsenjin_spark.functions.scoring import global_topk
         from bloqsenjin_spark.operators.wand import _parse_phrases
 
@@ -614,27 +642,11 @@ class IndexServer:
             (qid, toks, slop_map[qid])
             for qid, toks in _parse_phrases([(q[0], q[1]) for q in phrases])
         ]
-        dps = self.cfg.docs_per_shard
-        k1, b = self.cfg.k1, self.cfg.b
-        idf_map = (
-            self.idf if self.idf is not None
-            else self._idf_for(sorted({t for _q, toks, _s in parsed
-                                       for t in toks}))
-        )
         q_parts: list[np.ndarray] = []
         d_parts: list[np.ndarray] = []
         s_parts: list[np.ndarray] = []
-        for qid, uniq, shard, hits, per_term in self._phrase_hit_blocks(
-                parsed, ordered=ordered,
-                allow_masks=self._allow_masks(allowed_doc_ids)):
-            score = np.zeros(hits.size, dtype=np.float64)
-            dl_h = self.dls[shard][hits - shard * dps]
-            for t in sorted(uniq):  # lexicographic = oracle's sum order
-                ids_t, _flat, offs_t = per_term[t]
-                tf_t = np.diff(offs_t).astype(np.float64)
-                score += idf_map[t] * bm25.tf_component_np(
-                    tf_t[np.searchsorted(ids_t, hits)], dl_h, self.avgdl, k1, b
-                )
+        for qid, hits, score in self._phrase_scored_hits(
+                parsed, ordered, self._allow_masks(allowed_doc_ids)):
             q_parts.append(np.full(hits.size, qid, dtype=np.int64))
             d_parts.append(hits)
             s_parts.append(score)
@@ -1659,6 +1671,68 @@ class FieldedIndexServer:
         return self._field_server(field).phrase_topk_batch(
             phrases, ordered=ordered, allowed_doc_ids=allowed_doc_ids,
             offsets=offsets)
+
+    def phrase_topk_batch_cross(self, phrases, field_weights,
+                                ordered: bool = True, allowed_doc_ids=None,
+                                offsets=None):
+        """Phrase/proximity ranking ACROSS weighted fields, rank-identical
+        to operators/fielded.bm25f_phrase_topk (pytest-pinned): a doc
+        matches iff the phrase occurs in AT LEAST one field; score =
+        Σ_{matching fields} w_f · phraseBM25_f. Per-field scored hits come
+        from each field server's shared phrase core (_phrase_scored_hits,
+        UNtruncated — match-bounded), summed per (query, doc) in sorted-
+        field order (stable lexsort + reduceat ⇒ the same deterministic
+        float addition order as the Spark side's array_sort aggregate)."""
+        from bloqsenjin_spark.functions.scoring import global_topk
+        from bloqsenjin_spark.operators.wand import _parse_phrases
+
+        weights = {f: float(field_weights.get(f, 1.0)) for f in self.fields}
+        unknown = set(field_weights) - set(self.fields)
+        if unknown:
+            raise ValueError(
+                f"field_weights name unknown fields {sorted(unknown)}; "
+                f"indexes have {self.fields}"
+            )
+        if any(w < 0 for w in weights.values()):
+            raise ValueError(
+                f"negative field weights are not rankable: {weights}")
+        if offsets:  # deep paging: rank at depth offset+k, slice the page
+            rows = self.phrase_topk_batch_cross(
+                _deepen_queries(phrases, offsets, 2), field_weights,
+                ordered=ordered, allowed_doc_ids=allowed_doc_ids)
+            return _page_slice(rows, phrases, offsets, 2)
+        slop_map = {int(q[0]): int(q[3]) if len(q) > 3 else 0
+                    for q in phrases}
+        if len(slop_map) != len(phrases):
+            raise ValueError("duplicate query_ids in a phrase/proximity "
+                             "batch")
+        parsed = [
+            (qid, toks, slop_map[qid])
+            for qid, toks in _parse_phrases([(q[0], q[1]) for q in phrases])
+        ]
+        q_parts, d_parts, s_parts = [], [], []
+        for f in self.fields:  # sorted — deterministic cross-field order
+            snap = self.servers[f]._snap()
+            for qid, hits, score in snap._phrase_scored_hits(
+                    parsed, ordered, snap._allow_masks(allowed_doc_ids)):
+                q_parts.append(np.full(hits.size, qid, dtype=np.int64))
+                d_parts.append(hits)
+                s_parts.append(score * weights[f])
+        if not q_parts:
+            return []
+        q = np.concatenate(q_parts)
+        d = np.concatenate(d_parts)
+        s = np.concatenate(s_parts)
+        # sum per (qid, doc): stable lexsort keeps equal keys in field
+        # order, reduceat adds left-to-right — deterministic
+        order = np.lexsort((d, q))
+        q, d, s = q[order], d[order], s[order]
+        starts = np.flatnonzero(
+            np.r_[True, (q[1:] != q[:-1]) | (d[1:] != d[:-1])])
+        return global_topk(
+            q[starts], d[starts], np.add.reduceat(s, starts),
+            [(int(p[0]), [], "", int(p[2])) for p in phrases],
+        )
 
 
 def merge_topk(partials, queries) -> list[tuple[int, int, int, float]]:

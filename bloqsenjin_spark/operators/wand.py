@@ -326,9 +326,17 @@ def phrase_score_partials(
     allow_map: "DataFrame | None" = None,
     ordered: bool = True,
     offsets: "dict[int, int] | None" = None,
+    truncate: bool = True,
 ) -> DataFrame:
     """Per-shard (query_id, doc_id, score) partials for phrase-filtered BM25
     top-k, in ONE pass over the phrase terms' postings.
+
+    ``truncate=False`` keeps EVERY phrase match instead of the per-(query,
+    shard) top-k — required when partials are combined ACROSS indexes
+    before ranking (fielded.bm25f_phrase_topk: a doc outside one field's
+    shard top-k can still win on the cross-field sum). Still match-bounded:
+    the output is exactly the phrase-match set, never conjunctive- or
+    corpus-scale.
 
     Verification and scoring happen in the same cogrouped Arrow group: the
     positional intersection finds the exact phrase matches of a block, and
@@ -428,7 +436,8 @@ def phrase_score_partials(
             docs = np.concatenate(q_docs)
             scs = np.concatenate(q_scores)
             k = kmap_py[qid]
-            if docs.size > k:  # exact: every global winner wins its shard
+            if truncate and docs.size > k:
+                # exact: every global winner wins its shard
                 order = np.lexsort((docs, -scs))[:k]
                 docs, scs = docs[order], scs[order]
             out_q.append(np.full(docs.size, qid, dtype=np.int64))

@@ -612,6 +612,114 @@ FROM ranked WHERE rank <= k
 """.strip()
 
 
+def bm25f_phrase_topk_sql(
+    phrase_queries: list,
+    field_toks: dict[str, str],
+    field_weights: dict[str, float],
+    ordered: bool = True,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for fielded.bm25f_phrase_topk — cross-field phrase/proximity
+    ranking: ``(query_id, phrase, k)`` (exact phrase) or ``(query_id,
+    phrase, k, slop)`` (proximity; ``ordered=False`` for the symmetric
+    window). A doc matches iff the phrase occurs in AT LEAST one field
+    (per-field positional joins over the field's own token sub-stream);
+    each matching field contributes w_field · phraseBM25_field =
+    Σ_t (idf_field · w_field) · tfc_field over the deduped terms —
+    independent SQL re-derivation (position-window joins + per-field
+    stats), not a mirror of the engine's kernel."""
+    import re
+
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
+    idf = idf_sql("ts.df", "cs.n")
+    qrows, pm_selects = [], []
+    for q in phrase_queries:
+        qid, phrase, k = int(q[0]), q[1], int(q[2])
+        slop = int(q[3]) if len(q) > 3 else 0
+        words = [t for t in re.split(TOKEN_SPLIT_REGEX, phrase.lower()) if t]
+        if not words:
+            continue
+        uniq = sorted(set(words))
+        lit = "[" + ", ".join(
+            "'" + t.replace("'", "''") + "'" for t in uniq) + "]"
+        qrows.append(f"({qid}, {lit}, {k})")
+        lits = ["'" + t.replace("'", "''") + "'" for t in words]
+        if ordered:
+            joins = []
+            for i in range(1, len(words)):
+                joins.append(
+                    f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id "
+                    f"AND p{i}.field = p0.field AND p{i}.term = {lits[i]} "
+                    f"AND p{i}.pos BETWEEN p{i - 1}.pos + 1 "
+                    f"AND p{i - 1}.pos + 1 + {slop}"
+                )
+            pm_selects.append(
+                f"SELECT DISTINCT {qid} AS query_id, p0.field, p0.doc_id\n"
+                f"FROM tokpos p0 {' '.join(joins)}\n"
+                f"WHERE p0.term = {lits[0]}"
+            )
+        else:
+            w = (len(words) - 1) * (slop + 1)
+            inlits = ", ".join(
+                "'" + t.replace("'", "''") + "'" for t in uniq)
+            pm_selects.append(
+                f"SELECT DISTINCT query_id, field, doc_id FROM (\n"
+                f"  SELECT {qid} AS query_id, a.field, a.doc_id\n"
+                f"  FROM tokpos a JOIN tokpos p ON p.doc_id = a.doc_id\n"
+                f"    AND p.field = a.field\n"
+                f"    AND p.pos BETWEEN a.pos AND a.pos + {w}\n"
+                f"  WHERE a.term IN ({inlits}) AND p.term IN ({inlits})\n"
+                f"  GROUP BY a.field, a.doc_id, a.pos\n"
+                f"  HAVING count(DISTINCT p.term) = {len(uniq)}\n"
+                f")"
+            )
+    pm_body = "\nUNION ALL\n".join(pm_selects) if pm_selects else (
+        "SELECT NULL::BIGINT AS query_id, NULL::VARCHAR AS field, "
+        "NULL::BIGINT AS doc_id WHERE FALSE"
+    )
+    return f"""
+WITH q(query_id, terms, k) AS (VALUES {', '.join(qrows)}),
+{_fielded_ctes(field_toks, field_weights, toks, id_col, doc_table)},
+tokpos AS (
+    SELECT doc_id, field, unnest(ftoks) AS term,
+           (generate_subscripts(ftoks, 1) - 1)::BIGINT AS pos
+    FROM ft
+),
+pm AS (
+{pm_body}
+),
+qt AS (SELECT query_id, k, unnest(terms) AS term FROM q),
+contrib AS (
+    SELECT qt.query_id, tf.doc_id, qt.k,
+           ({idf} * fw.w) * {tfc} AS contrib
+    FROM qt
+    JOIN tf USING (term)
+    JOIN pm ON pm.query_id = qt.query_id AND pm.doc_id = tf.doc_id
+           AND pm.field = tf.field
+    JOIN ts ON ts.field = tf.field AND ts.term = tf.term
+    JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
+    JOIN cs ON cs.field = tf.field
+    JOIN fw ON fw.field = tf.field
+),
+scored AS (
+    SELECT query_id, doc_id, k, sum(contrib) AS score
+    FROM contrib GROUP BY query_id, doc_id, k
+),
+ranked AS (
+    SELECT query_id, doc_id, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= k
+""".strip()
+
+
 def weighted_topk_sql(
     wqueries: list,
     doc_table: str = "documents",

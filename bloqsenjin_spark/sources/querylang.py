@@ -504,8 +504,9 @@ def run_query_batch(
         negs = {c.qid: list(c.must_not) for c in cs if c.must_not}
         if field_weights is not None and fld is None:
             outs.append(_run_fielded_group(
-                fielded_indexes, field_weights, kind, mode, payloads, negs,
-                max_expansions, distance_decay, tomb_map, allow_map))
+                fielded_indexes, field_weights, kind, mode, ordered,
+                payloads, negs, max_expansions, distance_decay, tomb_map,
+                allow_map))
             continue
         idx = _index_for(index, fielded_indexes, fld, kind)
         args = (idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl)
@@ -537,21 +538,14 @@ def run_query_batch(
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
-def _cross_field_refusal(kind: str):
-    return UnsupportedQueryError(
-        f"unqualified {kind} query under a fielded profile: cross-field "
-        "phrase/proximity has no composed operator — qualify the phrase "
-        "with a field (COMPOSITION.md: phrase-in-field row)"
-    )
-
-
-def _run_fielded_group(fielded_indexes, field_weights, kind, mode, payloads,
-                       negs, max_expansions, distance_decay, tomb_map,
-                       allow_map):
+def _run_fielded_group(fielded_indexes, field_weights, kind, mode, ordered,
+                       payloads, negs, max_expansions, distance_decay,
+                       tomb_map, allow_map):
     """Fielded-profile executor for ONE unqualified group — the cross-field
     operators take the SAME payload tuples the single-index forms do
     (fuzzy's single-word payload lifts to the 1-word multi form, which is
-    its exact identity)."""
+    its exact identity; phrase/near route to the cross-field weighted-sum
+    phrase ranking, bm25f_phrase_topk)."""
     from bloqsenjin_spark.operators import fielded
 
     cfg = next(iter(fielded_indexes.values())).cfg
@@ -573,7 +567,14 @@ def _run_fielded_group(fielded_indexes, field_weights, kind, mode, payloads,
             fielded_indexes, payloads, field_weights, cfg,
             max_expansions=max_expansions, distance_decay=distance_decay,
             mode=mode, must_not=negs or None, **kw)
-    raise _cross_field_refusal(kind)  # phrase / near
+    if kind == "phrase":
+        return fielded.bm25f_phrase_topk(fielded_indexes, payloads,
+                                         field_weights, cfg, **kw)
+    if kind == "near":
+        return fielded.bm25f_phrase_topk(fielded_indexes, payloads,
+                                         field_weights, cfg,
+                                         ordered=ordered, **kw)
+    raise AssertionError(f"unknown compiled kind {kind!r}")  # pragma: no cover
 
 
 def serve_query_batch(
@@ -609,7 +610,7 @@ def serve_query_batch(
             payloads = [c.payload for c in cs]
             negs = {c.qid: list(c.must_not) for c in cs if c.must_not}
             rows += _serve_fielded_group(
-                server, field_weights, kind, mode, payloads, negs,
+                server, field_weights, kind, mode, ordered, payloads, negs,
                 max_expansions, distance_decay, allowed_doc_ids)
             continue
         if fld is None:
@@ -648,8 +649,9 @@ def serve_query_batch(
     return sorted(rows, key=lambda r: (r[0], r[1]))
 
 
-def _serve_fielded_group(server, field_weights, kind, mode, payloads, negs,
-                         max_expansions, distance_decay, allowed_doc_ids):
+def _serve_fielded_group(server, field_weights, kind, mode, ordered,
+                         payloads, negs, max_expansions, distance_decay,
+                         allowed_doc_ids):
     """Serving twin of _run_fielded_group over a FieldedIndexServer."""
     kw = dict(allowed_doc_ids=allowed_doc_ids)
     if kind == "plain":
@@ -668,4 +670,9 @@ def _serve_fielded_group(server, field_weights, kind, mode, payloads, negs,
             payloads, field_weights, max_expansions=max_expansions,
             distance_decay=distance_decay, mode=mode,
             must_not=negs or None, **kw)
-    raise _cross_field_refusal(kind)  # phrase / near
+    if kind == "phrase":
+        return server.phrase_topk_batch_cross(payloads, field_weights, **kw)
+    if kind == "near":
+        return server.phrase_topk_batch_cross(payloads, field_weights,
+                                              ordered=ordered, **kw)
+    raise AssertionError(f"unknown compiled kind {kind!r}")  # pragma: no cover

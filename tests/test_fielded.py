@@ -860,3 +860,174 @@ def test_bm25f_expansion_serving_matches_spark(spark, tmp_path):
         for g, w in zip(got, want):
             assert g[:3] == w[:3]
             assert g[3] == pytest.approx(w[3], abs=1e-12)
+
+
+# ---- cross-field phrase/proximity (bm25f_phrase_topk, round 7) --------------
+
+
+def _match_ordered(toks, words, slop):
+    """Exact/sloppy ordered containment: every consecutive pair within
+    (pos_i, pos_i + 1 + slop] — full search over candidate positions."""
+    def rec(i, prev):
+        if i == len(words):
+            return True
+        return any(
+            rec(i + 1, p) for p, t in enumerate(toks)
+            if t == words[i] and prev < p <= prev + 1 + slop
+        )
+    return any(rec(1, p) for p, t in enumerate(toks) if t == words[0])
+
+
+def _match_unordered(toks, words, slop):
+    uniq = set(words)
+    w = (len(words) - 1) * (slop + 1)
+    anchors = [p for p, t in enumerate(toks) if t in uniq]
+    return any(
+        uniq <= {t for p2, t in enumerate(toks) if a <= p2 <= a + w}
+        for a in anchors
+    )
+
+
+def _bm25f_phrase_ref(docs_rows, queries, weights, ordered=True,
+                      k1=BM25_K1, b=BM25_B):
+    """Independent reference for cross-field phrase ranking: per-field
+    positional containment; each matching field adds w_f · BM25_f over the
+    phrase's deduped terms."""
+    fields = {d: _split_fields(text) for d, text in docs_rows}
+    n = len(docs_rows)
+    stats = {}
+    for f in ("title", "body"):
+        df: dict = {}
+        for fx in fields.values():
+            for t in set(fx[f]):
+                df[t] = df.get(t, 0) + 1
+        avgdl = (sum(len(fx[f]) for fx in fields.values()) / n) or 1.0
+        stats[f] = (df, avgdl)
+    out = []
+    for q in queries:
+        qid, phrase, k = int(q[0]), q[1], int(q[2])
+        slop = int(q[3]) if len(q) > 3 else 0
+        words = [t for t in re.split("[^a-z0-9]+", phrase.lower()) if t]
+        uterms = sorted(set(words))
+        match = _match_ordered if ordered else _match_unordered
+        combined: dict = {}
+        for f in ("title", "body"):
+            df, avgdl = stats[f]
+            for d, fx in fields.items():
+                toks = fx[f]
+                if not match(toks, words, slop):
+                    continue
+                s = 0.0
+                for t in uterms:
+                    tf = toks.count(t)
+                    idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                    s += idf * tf * (k1 + 1.0) / (
+                        tf + k1 * (1.0 - b + b * len(toks) / avgdl))
+                combined[d] = combined.get(d, 0.0) + weights[f] * s
+        ranked = sorted(combined.items(), key=lambda x: (-x[1], x[0]))[:k]
+        out += [(qid, r, d, s) for r, (d, s) in enumerate(ranked, 1)]
+    return sorted(out)
+
+
+def test_bm25f_phrase_topk_vs_reference(spark):
+    """Cross-field phrase/proximity ranking == the independent positional
+    reference: matches in ANY field, weighted per-field phrase-BM25 sum."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    fidxs = fielded.build_fielded_index(docs, _field_exprs(), CFG_POS)
+    weights = {"title": 2.0, "body": 1.0}
+    queries = [(1, "the fast", 10), (2, "customer order", 10, 1),
+               (3, "zebra stripes", 5)]
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    for ordered in (True, False):
+        got = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in fielded.bm25f_phrase_topk(
+                fidxs, queries, weights, CFG_POS, ordered=ordered).collect()
+        )
+        want = _bm25f_phrase_ref(rows, queries, weights, ordered=ordered)
+        assert [g[:3] for g in got] == [w[:3] for w in want]
+        assert len(got) > 0
+        for g, w in zip(got, want):
+            assert g[3] == pytest.approx(w[3], rel=1e-9)
+
+
+def test_bm25f_phrase_single_field_identity(spark):
+    """weights {all: 1.0} over one whole-doc index ≡ wand.phrase_bm25_topk
+    / near_bm25_topk — the cross-field form degenerates exactly."""
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = build_index(docs, CFG_POS)
+    queries = [(1, "the fast", 10), (2, "customer order", 8, 1)]
+    for ordered in (True, False):
+        got = sorted(
+            tuple(r) for r in fielded.bm25f_phrase_topk(
+                {"all": idx}, queries, {"all": 1.0}, CFG_POS,
+                ordered=ordered).collect()
+        )
+        want = sorted(
+            tuple(r) for r in wand.near_bm25_topk(
+                idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+                queries, CFG_POS, ordered=ordered).collect()
+        )
+        assert got == want and len(got) > 0
+
+
+def test_bm25f_phrase_guards(spark):
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    fidxs = fielded.build_fielded_index(docs, _field_exprs(), CFG_POS)
+    with pytest.raises(ValueError, match="duplicate"):
+        fielded.bm25f_phrase_topk(
+            fidxs, [(1, "a b", 5), (1, "c d", 5)], {"title": 1.0}, CFG_POS)
+    with pytest.raises(ValueError, match="unknown fields"):
+        fielded.bm25f_phrase_topk(
+            fidxs, [(1, "a b", 5)], {"abstract": 1.0}, CFG_POS)
+    with pytest.raises(ValueError, match="negative"):
+        fielded.bm25f_phrase_topk(
+            fidxs, [(1, "a b", 5)], {"title": -1.0}, CFG_POS)
+
+
+def test_bm25f_phrase_serving_and_paging(spark, tmp_path):
+    """FieldedIndexServer.phrase_topk_batch_cross == Spark
+    bm25f_phrase_topk row for row (both orderings), and offsets paging
+    slices the same global ranking."""
+    from bloqsenjin_spark.operators.serving import FieldedIndexServer
+    from bloqsenjin_spark.plans import build as B
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    fidxs = fielded.build_fielded_index(docs, _field_exprs(), CFG_POS)
+    dirs = {}
+    for f, expr in _field_exprs().items():
+        d = str(tmp_path / f"xpf_{f}")
+        B.build_index_resumable(
+            docs.select("doc_id", expr.alias("text")), d, CFG_POS)
+        dirs[f] = d
+    fsrv = FieldedIndexServer(dirs, CFG_POS)
+    weights = {"title": 2.0, "body": 1.0}
+    queries = [(1, "the fast", 10), (2, "customer order", 8, 1)]
+    for ordered in (True, False):
+        spark_rows = sorted(
+            tuple(r) for r in fielded.bm25f_phrase_topk(
+                fidxs, queries, weights, CFG_POS, ordered=ordered).collect()
+        )
+        got = sorted(fsrv.phrase_topk_batch_cross(queries, weights,
+                                                  ordered=ordered))
+        assert [g[:3] for g in got] == [s[:3] for s in spark_rows]
+        assert len(got) > 0
+        for g, s in zip(got, spark_rows):
+            assert g[3] == pytest.approx(s[3], abs=1e-9)
+    # paging: page 2 of q1 == global ranks 4..6 of the deep ranking
+    deep = fielded.bm25f_phrase_topk(
+        fidxs, [(1, "the fast", 6)], weights, CFG_POS)
+    want_page = [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in deep.collect() if r["rank"] > 3
+    ]
+    page = fielded.bm25f_phrase_topk(
+        fidxs, [(1, "the fast", 3)], weights, CFG_POS, offsets={1: 3})
+    got_page = [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in page.collect()
+    ]
+    assert got_page == sorted(want_page, key=lambda r: r[1])
+    srv_page = fsrv.phrase_topk_batch_cross(
+        [(1, "the fast", 3)], weights, offsets={1: 3})
+    assert [r[:3] for r in srv_page] == [r[:3] for r in got_page]

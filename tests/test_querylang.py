@@ -327,6 +327,9 @@ PROFILE_BATCH = [
     (7, "spork~1 OR quary~1", 10),       # cross-field fuzzy, disjunctive
     (8, "spork~1 quary~1", 10),          # cross-field fuzzy, word-level AND
     (9, "title:the title:fast", 10),     # qualified → that field's index
+    (10, '"the fast"', 10),              # cross-field phrase (weighted sum)
+    (11, '"customer order"~1', 10),      # cross-field ordered proximity
+    (12, '"fast the"~1u', 10),           # cross-field unordered proximity
 ]
 
 
@@ -364,6 +367,11 @@ def test_fielded_profile_dispatch(spark, fidxs):
     want += _rows(wand.bm25_wand_topk(
         ti.postings, ti.doc_lens, ti.term_stats, ti.avgdl,
         [(9, ["the", "fast"], "disjunctive", 10)], CFG))
+    want += _rows(fielded.bm25f_phrase_topk(
+        fidxs, [(10, "the fast", 10), (11, "customer order", 10, 1)], w,
+        CFG))
+    want += _rows(fielded.bm25f_phrase_topk(
+        fidxs, [(12, "fast the", 10, 1)], w, CFG, ordered=False))
     assert got == sorted(want)
     assert len(got) > 0
 
@@ -371,10 +379,6 @@ def test_fielded_profile_dispatch(spark, fidxs):
 def test_fielded_profile_refusals(spark, fidxs):
     with pytest.raises(ValueError, match="fielded_indexes"):
         ql.run_query_batch(None, compile_batch([(1, "a", 5)]),
-                           field_weights=FIELD_WEIGHTS)
-    compiled = compile_batch([(1, '"the fast"', 5)])
-    with pytest.raises(UnsupportedQueryError, match="cross-field"):
-        ql.run_query_batch(None, compiled, fielded_indexes=fidxs,
                            field_weights=FIELD_WEIGHTS)
 
 
@@ -411,6 +415,3 @@ def test_fielded_profile_serving_identical(spark, tmp_path):
            [(q, r, d_) for q, r, d_, _ in spark_rows]
     for a, b in zip(serve_rows, spark_rows):
         assert abs(a[3] - b[3]) < 1e-9
-    with pytest.raises(UnsupportedQueryError, match="cross-field"):
-        ql.serve_query_batch(fsrv, compile_batch([(1, '"the fast"', 5)]),
-                             field_weights=FIELD_WEIGHTS)
