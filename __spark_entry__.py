@@ -732,6 +732,10 @@ DSL_QUERIES = [
     (9, "spork~1", 10),
     (10, "spork~1 OR quary~1", 10),
     (11, "customer~1 orde~1", 10),     # implicit AND → conjunctive fuzzy
+    # grouped boolean trees — Lucene's +(a b) +(c d): kernel 7-slot groups
+    (21, "(the fast) (customer order)", 10),
+    (22, "(the customer^2) order -merge", 10),  # loose term + boost + neg
+    (23, "(the fast) OR (customer order)", 10),  # OR flattens groups
 ]
 # the same strings under a FIELDED PROFILE (field_weights set): unqualified
 # queries rank ACROSS the weighted fields — plain → bm25f_topk, fuzzy/prefix
@@ -1034,6 +1038,16 @@ def oracle_sql() -> dict[str, str]:
                 oracle.bm25f_phrase_topk_sql(
                     [(20, "fast the", 10, 1)], _BM25F_FIELD_TOKS,
                     BM25F_WEIGHTS, ordered=False),
+                # grouped boolean trees (qids 21-23): every group must hit
+                # via SOME member; OR flattens to one disjunction
+                oracle.grouped_bool_topk_sql([
+                    (21, [["the", "fast"], ["customer", "order"]], 10),
+                    (22, [["the", "customer"], ["order"]], 10, ["merge"],
+                     {"customer": 2.0}),
+                ]),
+                oracle.weighted_topk_sql(
+                    [(23, ["the", "fast", "customer", "order"],
+                      "disjunctive", 10, [], {})]),
             )
         ),
     }

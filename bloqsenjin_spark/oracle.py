@@ -791,6 +791,92 @@ FROM ranked WHERE rank <= k
 """.strip()
 
 
+def grouped_bool_topk_sql(
+    gqueries: list,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for grouped-conjunctive boolean queries (the DSL's
+    ``(a b) (c d)`` → kernel 7-slot group map): ``(qid, [[group terms],
+    ...], k, negs, {term: boost})`` — a doc matches iff EVERY group has
+    ≥ 1 member present (HAVING count(DISTINCT matched group) = n_groups
+    over a membership relation), scored as the sum over DISTINCT matched
+    terms of (idf · boost) · tfc. Independent re-derivation of the group
+    rule in SQL, not a mirror of the kernel's bitmask."""
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
+    idf = idf_sql("ts.df", "cs.n")
+    qt_rows, qg_rows, qn_rows, neg_rows = [], [], [], []
+    for q in gqueries:
+        qid, groups, k = int(q[0]), q[1], int(q[2])
+        negs = q[3] if len(q) > 3 else ()
+        boosts = q[4] if len(q) > 4 and q[4] else {}
+        uniq = sorted({t for g in groups for t in g})
+        for t in uniq:
+            w = float(boosts.get(t, 1.0))
+            qt_rows.append("({}, '{}', {!r}::DOUBLE, {})".format(
+                qid, t.replace("'", "''"), w, k))
+        for gi, g in enumerate(groups):
+            for t in sorted(set(g)):
+                qg_rows.append("({}, {}, '{}')".format(
+                    qid, gi, t.replace("'", "''")))
+        qn_rows.append(f"({qid}, {len(groups)})")
+        for t in sorted(set(negs or ())):
+            neg_rows.append("({}, '{}')".format(qid, t.replace("'", "''")))
+    neg_cte, neg_join = "", ""
+    if neg_rows:
+        neg_cte = (
+            f"qneg(query_id, term) AS (VALUES {', '.join(neg_rows)}),\n"
+            "excl AS (SELECT DISTINCT qneg.query_id, tf.doc_id "
+            "FROM qneg JOIN tf USING (term)),\n"
+        )
+        neg_join = "ANTI JOIN excl USING (query_id, doc_id)"
+    return f"""
+WITH qt(query_id, term, w, k) AS (VALUES {', '.join(qt_rows)}),
+qg(query_id, grp, term) AS (VALUES {', '.join(qg_rows)}),
+qn(query_id, n_groups) AS (VALUES {', '.join(qn_rows)}),
+dtok AS (
+    SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM dtok),
+dl AS (SELECT doc_id, len(toks) AS dl FROM dtok),
+cs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+{neg_cte}matched AS (
+    SELECT qg.query_id, tf.doc_id
+    FROM qg JOIN tf USING (term) JOIN qn USING (query_id)
+    GROUP BY qg.query_id, tf.doc_id, qn.n_groups
+    HAVING count(DISTINCT qg.grp) = qn.n_groups
+),
+contrib AS (
+    SELECT qt.query_id, tf.doc_id, qt.k,
+           ({idf} * qt.w) * {tfc} AS contrib
+    FROM qt
+    JOIN tf USING (term)
+    JOIN matched ON matched.query_id = qt.query_id
+                AND matched.doc_id = tf.doc_id
+    JOIN ts USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN cs
+),
+scored AS (
+    SELECT query_id, doc_id, k, sum(contrib) AS score
+    FROM contrib GROUP BY query_id, doc_id, k
+),
+ranked AS (
+    SELECT query_id, doc_id, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored {neg_join}
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= k
+""".strip()
+
+
 def paged_topk_sql(
     queries: list[tuple[int, list[str], str, int]],
     offsets: dict[int, int],

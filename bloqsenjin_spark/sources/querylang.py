@@ -29,6 +29,9 @@ Syntax (flat boolean, Lucene-inspired)::
     wrod~1                    fuzzy (Levenshtein ≤ 1); bare ~ defaults to 2
     helo~1 wrold~1            multi-word fuzzy (one shared distance)
     title:spark title:fast    single-field query (runs on that field's index)
+    (a b) (c d)               OR-groups, AND-combined — Lucene's +(a b) +(c d)
+                              (kernel grouped-conjunctive; OR mode flattens)
+    -(a b) spark              MUST_NOT group: ¬(a ∨ b) = ¬a ∧ ¬b
 
 Terms and phrase bodies are normalized with THE engine tokenizer regex
 (config.TOKEN_SPLIT_REGEX) — ``"The, FAST!"`` parses identically to
@@ -83,6 +86,19 @@ class Phrase:
     field: "str | None" = None
     slop: int = 0
     ordered: bool = True
+
+
+@dataclass(frozen=True)
+class Group:
+    """One parenthesized OR-group of plain terms — Lucene's nested SHOULD
+    clause: ``(a b)`` matches when ANY member does. Groups combine
+    conjunctively under AND/implicit-AND (``(a b) (c d)`` = Lucene's
+    ``+(a b) +(c d)``), flatten under OR, and a ``-`` prefix turns the
+    whole group into MUST_NOT terms (¬(a ∨ b) = ¬a ∧ ¬b)."""
+
+    members: tuple  # of Term (plain, optionally boosted)
+    required: bool = False
+    prohibited: bool = False
 
 
 @dataclass(frozen=True)
@@ -146,14 +162,16 @@ def parse(text: str, default_op: str = "or") -> ParsedQuery:
     if not clauses:
         raise QueryParseError("empty query")
     if not any(
-        not (isinstance(c, Term) and c.prohibited) for c in clauses
+        not (isinstance(c, (Term, Group)) and c.prohibited) for c in clauses
     ):
         raise QueryParseError(
             "query has no positive clause (pure MUST_NOT cannot rank)"
         )
-    required = [c for c in clauses if isinstance(c, Term) and c.required]
+    required = [c for c in clauses
+                if isinstance(c, (Term, Group)) and c.required]
     positives = [
-        c for c in clauses if not (isinstance(c, Term) and c.prohibited)
+        c for c in clauses
+        if not (isinstance(c, (Term, Group)) and c.prohibited)
     ]
     if required and len(required) != len(positives):
         raise QueryParseError(
@@ -177,6 +195,8 @@ def _parse_clause(text: str, i: int):
         i += 1
         if i >= n or text[i].isspace():
             raise QueryParseError(f"dangling {'+' if required else '-'} sign")
+    if text[i] == "(":
+        return _parse_group(text, i, required, prohibited)
     fieldname = None
     m = _FIELD_RE.match(text, i)
     if m and m.end() < n and text[m.end()] == ":":
@@ -225,6 +245,51 @@ def _parse_clause(text: str, i: int):
     )
 
 
+def _parse_group(text, i, required, prohibited):
+    """Parse ``(word[^boost] word ...)`` — a flat OR-group of plain terms.
+    No nesting, no phrases/fields/expansions inside (each would need a
+    per-member kernel the grouped form doesn't have); members may carry
+    ^boosts."""
+    n = len(text)
+    end = text.find(")", i + 1)
+    if end < 0:
+        raise QueryParseError(f"unbalanced '(' at position {i}")
+    body = text[i + 1:end]
+    if "(" in body:
+        raise QueryParseError(
+            f"nested '(' at position {i + 1 + body.index('(')} — groups "
+            "are one level deep (the kernel's group model is flat)"
+        )
+    members = []
+    for raw in body.split():
+        if raw[0] in "+-":
+            raise UnsupportedQueryError(
+                f"{raw[0]!r} inside a group: +/- apply to whole clauses — "
+                "prefix the group itself"
+            )
+        if any(ch in raw for ch in ('"', ":", "*", "~")):
+            raise UnsupportedQueryError(
+                f"group member {raw!r}: groups hold plain terms only "
+                "(phrases/fields/expansions inside a group have no "
+                "composed operator)"
+            )
+        word, boost = raw, None
+        bm = _BOOST_RE.search(raw)
+        if "^" in raw:
+            if not bm or bm.start() != raw.index("^") or bm.end() != len(raw):
+                raise QueryParseError(f"malformed boost in group member {raw!r}")
+            word, boost = raw[: bm.start()], float(bm.group(1))
+        members.append(Term(_norm_word(word, i), boost=boost))
+    if not members:
+        raise QueryParseError(f"empty group at position {i}")
+    i = end + 1
+    if i < n and not text[i].isspace():
+        raise QueryParseError(
+            f"unexpected character {text[i]!r} after group at position {i}"
+        )
+    return Group(tuple(members), required=required, prohibited=prohibited), i
+
+
 def _parse_phrase(text, i, fieldname, required, prohibited):
     n = len(text)
     end = text.find('"', i + 1)
@@ -260,7 +325,13 @@ def to_string(q: ParsedQuery) -> str:
     (property-tested)."""
     parts = []
     for c in q.clauses:
-        if isinstance(c, Phrase):
+        if isinstance(c, Group):
+            s = ("+" if c.required else "-" if c.prohibited else "") + "(" \
+                + " ".join(
+                    m.text + (f"^{m.boost:g}" if m.boost is not None else "")
+                    for m in c.members
+                ) + ")"
+        elif isinstance(c, Phrase):
             s = (f"{c.field}:" if c.field else "") + \
                 '"' + " ".join(c.tokens) + '"'
             if c.slop or not c.ordered:
@@ -304,24 +375,37 @@ def compile_query(qid: int, parsed: ParsedQuery, k: int = 10) -> Compiled:
     every Compiled.kind corresponds to a driver-verified queries() form."""
     phrases = [c for c in parsed.clauses if isinstance(c, Phrase)]
     terms = [c for c in parsed.clauses if isinstance(c, Term)]
+    grps = [c for c in parsed.clauses if isinstance(c, Group)]
     pos = [t for t in terms if not t.prohibited]
     negs = [t for t in terms if t.prohibited]
+    pos_groups = [g for g in grps if not g.prohibited]
+    neg_groups = [g for g in grps if g.prohibited]
     for t in negs:
         if t.prefix or t.fuzzy is not None or t.boost is not None:
             raise UnsupportedQueryError(
                 "MUST_NOT supports plain terms only (exclusion reads doc "
                 "ids, not expansions)"
             )
-    neg_texts = tuple(t.text for t in negs)
+    for g in neg_groups:
+        if any(m.boost is not None for m in g.members):
+            raise UnsupportedQueryError(
+                "boost inside a MUST_NOT group: exclusion reads doc ids, "
+                "not scores"
+            )
+    # ¬(a ∨ b) = ¬a ∧ ¬b: a prohibited group IS a MUST_NOT term list
+    neg_texts = tuple(dict.fromkeys(
+        [t.text for t in negs]
+        + [m.text for g in neg_groups for m in g.members]
+    ))
 
     if phrases:
-        if len(phrases) > 1 or pos:
+        if len(phrases) > 1 or pos or pos_groups:
             raise UnsupportedQueryError(
                 "a phrase clause must be the only positive clause — "
                 "phrase × loose-term composition has no operator "
                 "(COMPOSITION.md: phrase column)"
             )
-        if negs:
+        if negs or neg_groups:
             raise UnsupportedQueryError(
                 "phrase × MUST_NOT has no composed operator "
                 "(COMPOSITION.md: phrase × boolean)"
@@ -347,6 +431,10 @@ def compile_query(qid: int, parsed: ParsedQuery, k: int = 10) -> Compiled:
     prefixes = [t for t in pos if t.prefix]
     fuzzies = [t for t in pos if t.fuzzy is not None]
     plains = [t for t in pos if not t.prefix and t.fuzzy is None]
+
+    if pos_groups:
+        return _compile_grouped(qid, parsed, pos_groups, plains, prefixes,
+                                fuzzies, fld, neg_texts, k)
 
     if prefixes:
         if len(prefixes) > 1 or fuzzies or plains:
@@ -407,6 +495,64 @@ def compile_query(qid: int, parsed: ParsedQuery, k: int = 10) -> Compiled:
     else:
         payload = (qid, texts, mode, int(k))
     return Compiled(qid, "plain", payload, field=fld, mode=mode,
+                    must_not=neg_texts)
+
+
+def _compile_grouped(qid, parsed, pos_groups, plains, prefixes, fuzzies,
+                     fld, neg_texts, k):
+    """Compile a query with parenthesized OR-groups onto the kernel's
+    grouped-conjunctive form (the 7th-slot groups map the fuzzy-multi AND
+    already uses): under AND/implicit-AND, every group (and every loose
+    term, as a singleton group) must match via SOME member — Lucene's
+    ``+(a b) +(c d)``; under explicit OR, groups flatten into one
+    disjunction (``(a b) OR (c d)`` ≡ ``a b c d`` — OR of ORs). Scoring is
+    over DISTINCT terms (a term in two groups satisfies both, scored
+    once — the engine's set semantics, shared with every conjunctive
+    form)."""
+    if prefixes or fuzzies:
+        raise UnsupportedQueryError(
+            "group × expansion (prefix/fuzzy) composition has no operator "
+            "— groups hold exact terms"
+        )
+    if fld is not None:
+        raise UnsupportedQueryError(
+            "field-qualified terms beside a group: groups run on the "
+            "whole-document index (or across the fielded profile's fields)"
+        )
+    boosts: dict = {}
+    for t in [m for g in pos_groups for m in g.members] + list(plains):
+        if t.boost is None:
+            continue
+        b = float(t.boost)
+        if b < 0:
+            raise UnsupportedQueryError("negative boosts are not rankable")
+        if boosts.setdefault(t.text, b) != b:
+            raise UnsupportedQueryError(
+                f"term {t.text!r} carries conflicting boosts "
+                f"{sorted((boosts[t.text], b))} — one boost per term "
+                "(the kernel's boost map is per-term)"
+            )
+    if parsed.op == "or":
+        texts = sorted({m.text for g in pos_groups for m in g.members}
+                       | {t.text for t in plains})
+        if boosts:
+            payload = (qid, texts, "disjunctive", int(k), neg_texts, boosts)
+        elif neg_texts:
+            payload = (qid, texts, "disjunctive", int(k), neg_texts)
+        else:
+            payload = (qid, texts, "disjunctive", int(k))
+        return Compiled(qid, "plain", payload, mode="disjunctive",
+                        must_not=neg_texts)
+    group_lists = [[m.text for m in g.members] for g in pos_groups] + [
+        [t.text] for t in plains
+    ]
+    texts = sorted({t for gl in group_lists for t in gl})
+    gmap = {
+        t: tuple(gi for gi, gl in enumerate(group_lists) if t in gl)
+        for t in texts
+    }
+    payload = (qid, texts, "conjunctive", int(k), neg_texts, boosts, gmap)
+    return Compiled(qid, "plain", payload, mode="conjunctive",
                     must_not=neg_texts)
 
 

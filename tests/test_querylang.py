@@ -415,3 +415,147 @@ def test_fielded_profile_serving_identical(spark, tmp_path):
            [(q, r, d_) for q, r, d_, _ in spark_rows]
     for a, b in zip(serve_rows, spark_rows):
         assert abs(a[3] - b[3]) < 1e-9
+
+
+# ---- grouped boolean queries ((a b) (c d) → kernel group map) ---------------
+
+
+def test_parse_groups():
+    from bloqsenjin_spark.sources.querylang import Group
+
+    q = parse("(the fast) (customer order)", default_op="and")
+    assert all(isinstance(c, Group) for c in q.clauses)
+    assert [m.text for m in q.clauses[0].members] == ["the", "fast"]
+    q = parse("-(nsfw spam) spark", default_op="and")
+    assert q.clauses[0].prohibited
+    q = parse("+(a b) +(c d)")
+    assert q.op == "and" and all(g.required for g in q.clauses)
+    assert parse("(a b^2.5) OR (c d)").clauses[0].members[1].boost == 2.5
+
+
+@pytest.mark.parametrize("bad", [
+    "(a (b c))",        # nested
+    "(a",               # unbalanced
+    "()",               # empty
+    "(a b))",           # stray close → unexpected char
+    "+(a b) optional",  # mixed required/optional
+])
+def test_parse_group_errors(bad):
+    with pytest.raises(QueryParseError):
+        parse(bad, default_op="and")
+
+
+@pytest.mark.parametrize("bad", [
+    '("a phrase" b)', "(title:a b)", "(a* b)", "(a~1 b)", "(+a b)",
+    "(-a b)",
+])
+def test_parse_group_unsupported(bad):
+    with pytest.raises(UnsupportedQueryError):
+        parse(bad, default_op="and")
+
+
+@pytest.mark.parametrize("bad", [
+    '(a b) "a phrase"',   # group × phrase
+    "(a b) pre*",         # group × expansion
+    "(a b) wrod~1",
+    "(a b) title:c",      # group × fielded term
+    "(a^1 b) a^2",        # conflicting boosts on one term
+])
+def test_compile_group_unsupported(bad):
+    with pytest.raises(UnsupportedQueryError):
+        compile_query(1, parse(bad, default_op="and"))
+
+
+def test_compile_groups():
+    c = compile_query(1, parse("(the fast) (customer order)",
+                               default_op="and"), k=10)
+    assert c.kind == "plain" and c.mode == "conjunctive"
+    assert c.payload == (1, ["customer", "fast", "order", "the"],
+                         "conjunctive", 10, (), {},
+                         {"customer": (1,), "fast": (0,), "order": (1,),
+                          "the": (0,)})
+    # OR flattens groups into one disjunction
+    c = compile_query(2, parse("(a b) OR (c d^2)"), k=5)
+    assert c.payload == (2, ["a", "b", "c", "d"], "disjunctive", 5, (),
+                         {"d": 2.0})
+    # prohibited group = MUST_NOT term list
+    c = compile_query(3, parse("-(nsfw spam) spark", default_op="and"), k=5)
+    assert c.payload == (3, ["spark"], "conjunctive", 5, ("nsfw", "spam"))
+    # loose positive terms become singleton groups; shared members satisfy
+    # both groups
+    c = compile_query(4, parse("(a b) c", default_op="and"), k=5)
+    assert c.payload[6] == {"a": (0,), "b": (0,), "c": (1,)}
+    c = compile_query(5, parse("(a b) (a c)", default_op="and"), k=5)
+    assert c.payload[6] == {"a": (0, 1), "b": (0,), "c": (1,)}
+
+
+GROUP_ROUND_TRIP = ["(a b) (c d)", "-(nsfw spam) spark", "+(a b) +(c d)",
+                    "(a b^2.5) OR (c d)"]
+
+
+@pytest.mark.parametrize("s", GROUP_ROUND_TRIP)
+def test_group_round_trip(s):
+    q = parse(s, default_op="and")
+    assert parse(to_string(q), default_op=q.op) == q
+
+
+def test_grouped_dispatch_and_serving(spark, tmp_path):
+    """Grouped queries dispatch through the plain kernel's 7-slot form on
+    BOTH tiers: Spark == hand-built bm25_wand_topk call; serving ==
+    Spark; a singleton-group query == the ungrouped conjunctive."""
+    from bloqsenjin_spark.operators.serving import IndexServer
+    from bloqsenjin_spark.plans.build import build_index_resumable, read_index
+
+    docs = corpus.load_table(spark, SF_DIR, "documents")
+    d = str(tmp_path / "grp_idx")
+    build_index_resumable(docs, d, CFG)
+    idx = read_index(spark, d, CFG)
+    compiled = compile_batch([
+        (1, "(the fast) (customer order)", 10),
+        (2, "(the customer) order -merge", 10),
+        (3, "(the fast^2) OR (customer order)", 10),
+    ], default_op="and")
+    got = _rows(ql.run_query_batch(idx, compiled))
+    want = _rows(wand.bm25_wand_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, [
+            (1, ["customer", "fast", "order", "the"], "conjunctive", 10, (),
+             {}, {"customer": (1,), "fast": (0,), "order": (1,),
+                  "the": (0,)}),
+            (2, ["customer", "order", "the"], "conjunctive", 10, ("merge",),
+             {}, {"customer": (0,), "order": (1,), "the": (0,)}),
+            (3, ["customer", "fast", "order", "the"], "disjunctive", 10, (),
+             {"fast": 2.0}),
+        ], CFG))
+    assert got == sorted(want) and len(got) > 0
+
+    srv = IndexServer(d, CFG)
+    serve_rows = sorted(ql.serve_query_batch(srv, compiled))
+    spark_rows = sorted(tuple(r) for r in ql.run_query_batch(
+        idx, compiled).collect())
+    assert [(q, r, d_) for q, r, d_, _ in serve_rows] == \
+           [(q, r, d_) for q, r, d_, _ in spark_rows]
+    for a, b in zip(serve_rows, spark_rows):
+        assert abs(a[3] - b[3]) < 1e-9
+
+    # singleton groups ≡ ungrouped document-level conjunctive
+    g = _rows(ql.run_query_batch(idx, compile_batch(
+        [(1, "(customer) (order)", 10)], default_op="and")))
+    u = _rows(ql.run_query_batch(idx, compile_batch(
+        [(1, "customer order", 10)], default_op="and")))
+    assert g == u and len(g) > 0
+
+
+def test_grouped_fielded_profile(spark, fidxs):
+    """Grouped queries under a fielded profile ride bm25f_topk's 7-slot
+    group-map tuples: every group must match in SOME field."""
+    from bloqsenjin_spark.operators import fielded
+
+    compiled = compile_batch([(1, "(the fast) (customer order)", 10)],
+                             default_op="and")
+    got = _rows(ql.run_query_batch(
+        None, compiled, fielded_indexes=fidxs, field_weights=FIELD_WEIGHTS))
+    want = _rows(fielded.bm25f_topk(fidxs, [
+        (1, ["customer", "fast", "order", "the"], "conjunctive", 10, (), {},
+         {"customer": (1,), "fast": (0,), "order": (1,), "the": (0,)}),
+    ], FIELD_WEIGHTS, CFG))
+    assert got == sorted(want) and len(got) > 0
