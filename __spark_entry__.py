@@ -736,6 +736,9 @@ DSL_QUERIES = [
     (21, "(the fast) (customer order)", 10),
     (22, "(the customer^2) order -merge", 10),  # loose term + boost + neg
     (23, "(the fast) OR (customer order)", 10),  # OR flattens groups
+    # wildcard terms — Lucene WildcardQuery (? = one char, * = any run)
+    (24, "or?er", 10),
+    (25, "c*tom*", 10),
 ]
 # the same strings under a FIELDED PROFILE (field_weights set): unqualified
 # queries rank ACROSS the weighted fields — plain → bm25f_topk, fuzzy/prefix
@@ -751,6 +754,7 @@ DSL_PROFILE_QUERIES = [
     (18, '"the fast"', 10),            # cross-field phrase (weighted sum)
     (19, '"customer order"~1', 10),    # cross-field ordered proximity
     (20, '"fast the"~1u', 10),         # cross-field unordered proximity
+    (26, "f?st*", 10),                 # cross-field wildcard expansion
 ]
 
 
@@ -1048,6 +1052,12 @@ def oracle_sql() -> dict[str, str]:
                 oracle.weighted_topk_sql(
                     [(23, ["the", "fast", "customer", "order"],
                       "disjunctive", 10, [], {})]),
+                oracle.wildcard_topk_sql(
+                    [(24, "or?er", 10), (25, "c*tom*", 10)],
+                    max_expansions=_MAX_EXPANSIONS),
+                oracle.bm25f_wildcard_topk_sql(
+                    [(26, "f?st*", 10)], _BM25F_FIELD_TOKS, BM25F_WEIGHTS,
+                    max_expansions=_MAX_EXPANSIONS),
             )
         ),
     }

@@ -559,6 +559,46 @@ def bm25f_prefix_topk(
                       offsets=offsets)
 
 
+def bm25f_wildcard_topk(
+    indexes: dict[str, Index],
+    wc_queries: list[tuple[int, str, int]],
+    field_weights: dict[str, float],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    max_expansions: int = 100,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+    offsets: "dict[int, int] | None" = None,
+    must_not: "dict[int, list[str]] | None" = None,
+) -> DataFrame:
+    """Wildcard search ACROSS weighted fields — wildcard expansion × BM25F:
+    each ``(query_id, pattern, k)`` expands against the cross-field
+    vocabulary (df summed; prefix-pruned + regex, leading wildcards
+    refused — wand.expand_wildcard_terms), then ranks as ONE disjunctive
+    fielded query. With weights {field: 1.0} over a single-field index ≡
+    wildcard_bm25_topk (property-tested)."""
+    from bloqsenjin_spark.operators import wand
+
+    if len({q[0] for q in wc_queries}) != len(wc_queries):
+        raise ValueError("duplicate query_ids in wc_queries")
+    exp = wand.expand_wildcard_terms(
+        cross_field_term_stats(indexes), wc_queries, max_expansions)
+    negs = must_not or {}
+    queries = [
+        (int(qid), exp[int(qid)], "disjunctive", int(k),
+         tuple(negs.get(int(qid), ())))
+        for qid, _p, k in wc_queries
+        if exp.get(int(qid))
+    ]
+    if not queries:
+        spark = next(iter(indexes.values())).postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return bm25f_topk(indexes, queries, field_weights, cfg,
+                      tomb_map=tomb_map, allow_map=allow_map,
+                      offsets=offsets)
+
+
 def bm25f_merged_topk(
     indexes: dict[str, Index],
     queries: list[tuple[int, list[str], str, int]],

@@ -490,6 +490,60 @@ class IndexServer:
                                     allowed_doc_ids=allowed_doc_ids)
         return self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
 
+    def _wildcard_candidates(self, pattern: str) -> list:
+        """→ [(term, df)] matching a wildcard pattern: the literal prefix
+        prunes the dictionary (eager dict scan / lazy row-group-pruned
+        range read — the SAME _prefix_candidates machinery), the anchored
+        regex is the exact filter. Leading wildcards refuse loudly in both
+        stats modes (a full-vocabulary scan per query is never the latency
+        tier's job — Lucene's allowLeadingWildcard=false default)."""
+        import re as _re
+
+        from bloqsenjin_spark.operators.wand import wildcard_parts
+
+        prefix, rx = wildcard_parts(pattern)
+        if not prefix:
+            raise ValueError(
+                f"leading wildcard in pattern {pattern!r} forces a "
+                "full-vocabulary scan — anchor the pattern with at least "
+                "one literal character"
+            )
+        crx = _re.compile(rx)
+        return [(t, d) for t, d in self._prefix_candidates(prefix)
+                if crx.match(t)]
+
+    def wildcard_topk_batch(
+        self, wc_queries: list[tuple[int, str, int]],
+        max_expansions: int = 100, allowed_doc_ids=None, offsets=None,
+        must_not=None,
+    ) -> list[tuple[int, int, int, float]]:
+        """→ [(query_id, rank, doc_id, score)] — wildcard-expanded top-k,
+        rank-identical to operators/wand.wildcard_bm25_topk on the same
+        index (pytest-pinned): prefix-pruned candidates, regex filter,
+        df DESC / term ASC cap, one disjunctive ranking batch."""
+        if len({q[0] for q in wc_queries}) != len(wc_queries):
+            raise ValueError("duplicate query_ids in wc_queries")
+        if not self._is_snap:
+            return self._snap().wildcard_topk_batch(
+                wc_queries, max_expansions=max_expansions,
+                allowed_doc_ids=allowed_doc_ids, offsets=offsets,
+                must_not=must_not)
+        negs = must_not or {}
+        queries = []
+        for qid, pattern, k in wc_queries:
+            cands = self._wildcard_candidates(str(pattern))
+            cands.sort(key=lambda td: (-td[1], td[0]))
+            terms = [t for t, _d in cands[:max_expansions]]
+            if terms:
+                queries.append((int(qid), terms, "disjunctive", int(k),
+                                tuple(negs.get(int(qid), ()))))
+        if not queries:
+            return []
+        if offsets:
+            return self.paged_batch(queries, offsets,
+                                    allowed_doc_ids=allowed_doc_ids)
+        return self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
+
     def _phrase_hit_blocks(self, parsed, ordered: bool = True,
                            allow_masks=None):
         """Shared phrase/proximity machinery over (qid, toks, slop) triples:
@@ -1555,6 +1609,37 @@ class FieldedIndexServer:
             dfs: dict[str, int] = {}
             for f in self.fields:
                 for t, d in snaps[f]._prefix_candidates(str(prefix)):
+                    dfs[t] = dfs.get(t, 0) + int(d)
+            cands = sorted(dfs.items(), key=lambda td: (-td[1], td[0]))
+            terms = [t for t, _d in cands[:max_expansions]]
+            if terms:
+                queries.append((int(qid), terms, "disjunctive", int(k),
+                                tuple(negs.get(int(qid), ()))))
+        if not queries:
+            return []
+        return self.query_batch(queries, field_weights,
+                                allowed_doc_ids=allowed_doc_ids,
+                                offsets=offsets)
+
+    def wildcard_topk_batch(
+        self, wc_queries: list, field_weights: dict[str, float],
+        max_expansions: int = 100, allowed_doc_ids=None, offsets=None,
+        must_not=None,
+    ) -> list[tuple[int, int, int, float]]:
+        """Wildcard search across weighted fields, rank-identical to
+        operators/fielded.bm25f_wildcard_topk: each pattern expands
+        against the union of the fields' dictionaries with df summed
+        (prefix-pruned + regex per field, leading wildcards refused),
+        then ranks as ONE disjunctive fielded batch."""
+        if len({q[0] for q in wc_queries}) != len(wc_queries):
+            raise ValueError("duplicate query_ids in wc_queries")
+        snaps = {f: s._snap() for f, s in self.servers.items()}
+        negs = must_not or {}
+        queries = []
+        for qid, pattern, k in wc_queries:
+            dfs: dict[str, int] = {}
+            for f in self.fields:
+                for t, d in snaps[f]._wildcard_candidates(str(pattern)):
                     dfs[t] = dfs.get(t, 0) + int(d)
             cands = sorted(dfs.items(), key=lambda td: (-td[1], td[0]))
             terms = [t for t, _d in cands[:max_expansions]]

@@ -842,6 +842,109 @@ def prefix_bm25_topk(
                           cfg, offsets, tomb_map, allow_map)
 
 
+def wildcard_parts(pattern: str) -> tuple[str, str]:
+    """→ (literal_prefix, anchored_regex) for a wildcard pattern
+    (``*`` = any run, ``?`` = exactly one char). The literal prefix (up to
+    the first wildcard) drives index pruning — dictionary range scans on
+    both tiers; the regex is the exact match predicate. Normalized tokens
+    are [a-z0-9]+, so the regex body needs no escaping and is portable
+    verbatim across Python re, Spark regexp_like, and DuckDB RE2."""
+    import re as _re
+
+    p = str(pattern)
+    prefix = _re.match(r"[^*?]*", p).group(0)
+    body = "".join(
+        ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+        for ch in p
+    )
+    return prefix, "^" + body + "$"
+
+
+def expand_wildcard_terms(
+    term_stats: DataFrame,
+    wc_queries: list[tuple[int, str, int]],
+    max_expansions: int = 100,
+) -> dict[int, list[str]]:
+    """Expand EVERY wildcard pattern in ONE Spark job → {query_id: [terms]}
+    (capped at ``max_expansions`` by df DESC, term ASC — the shared
+    head-biased expansion rule). Same broadcast-join shape as
+    expand_prefix_terms, with the dictionary scan pruned by the pattern's
+    literal prefix (pushdown-able startswith) before the regex test.
+    Leading-wildcard patterns (empty literal prefix) are REFUSED — they
+    force a full vocabulary scan per query (Lucene's
+    allowLeadingWildcard=false default)."""
+    for qid, p, _k in wc_queries:
+        pre, _rx = wildcard_parts(p)
+        if not pre:
+            raise ValueError(
+                f"leading wildcard in pattern {p!r} (query_id={qid}) forces "
+                "a full-vocabulary scan — anchor the pattern with at least "
+                "one literal character"
+            )
+    spark = term_stats.sparkSession
+    q = spark.createDataFrame(
+        [(int(qid), *wildcard_parts(p)) for qid, p, _k in wc_queries],
+        "query_id long, prefix string, rx string",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    rows = (
+        term_stats.select("term", "df")
+        .join(
+            F.broadcast(q),
+            F.col("term").startswith(F.col("prefix"))
+            & F.regexp_like(F.col("term"), F.col("rx")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_expansions)
+        .select("query_id", "term", "rn")
+        .collect()
+    )
+    exp: dict[int, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rn"])):
+        exp.setdefault(int(r["query_id"]), []).append(r["term"])
+    return exp
+
+
+def wildcard_bm25_topk(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    wc_queries: list[tuple[int, str, int]],
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    max_expansions: int = 100,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+    offsets: "dict[int, int] | None" = None,
+    must_not: "dict[int, list[str]] | None" = None,
+) -> DataFrame:
+    """Wildcard-expanded disjunctive top-k — Lucene's WildcardQuery:
+    ``(query_id, pattern, k)`` where ``*`` matches any run and ``?``
+    exactly one character. Expansion = ONE prefix-pruned dictionary job
+    (expand_wildcard_terms; leading wildcards refused loudly); ranking =
+    the ordinary disjunctive pass over the expansion set, so
+    paging/tombstones/allow-sets/MUST_NOT compose exactly as on prefix
+    search. A pattern with no wildcard degenerates to its exact term;
+    ``pre*`` ≡ prefix_bm25_topk(pre) (property-tested)."""
+    if len({q[0] for q in wc_queries}) != len(wc_queries):
+        raise ValueError("duplicate query_ids in wc_queries")
+    exp = expand_wildcard_terms(term_stats, wc_queries, max_expansions)
+    negs = must_not or {}
+    queries = [
+        (int(qid), exp[int(qid)], "disjunctive", int(k),
+         tuple(negs.get(int(qid), ())))
+        for qid, _p, k in wc_queries
+        if exp.get(int(qid))
+    ]
+    if not queries:
+        spark = postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    return _topk_or_paged(postings, doc_lens, term_stats, avgdl, queries,
+                          cfg, offsets, tomb_map, allow_map)
+
+
 def _topk_or_paged(postings, doc_lens, term_stats, avgdl, queries, cfg,
                    offsets, tomb_map, allow_map):
     """Dispatch an expanded query batch to the plain or deep-paged ranking

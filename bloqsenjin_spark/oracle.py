@@ -263,6 +263,132 @@ FROM ranked WHERE rank <= k
 """.strip()
 
 
+def wildcard_topk_sql(
+    wc_queries: list[tuple[int, str, int]],
+    max_expansions: int = 100,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for wildcard_bm25_topk: the SAME expansion rule in SQL —
+    vocabulary terms matching the pattern's anchored regex (* = .*,
+    ? = .; literal prefix as a LIKE prune mirrors the engine's dictionary
+    range scan), capped at max_expansions by df DESC / term ASC — then
+    disjunctive BM25 with full-corpus stats. The regex translation is
+    shared verbatim with the engine (wand.wildcard_parts): normalized
+    tokens are [a-z0-9]+, so the pattern body is dialect-portable."""
+    from bloqsenjin_spark.operators.wand import wildcard_parts
+
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
+    idf = idf_sql("ts.df", "cs.n")
+    rows = []
+    for qid, p, k in wc_queries:
+        pre, rx = wildcard_parts(p)
+        rows.append("({}, '{}', '{}', {})".format(
+            int(qid), pre.replace("'", "''"), rx.replace("'", "''"), int(k)))
+    return f"""
+WITH q(query_id, prefix, rx, k) AS (VALUES {', '.join(rows)}),
+dtok AS (
+    SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM dtok),
+dl AS (SELECT doc_id, len(toks) AS dl FROM dtok),
+cs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+exp AS (
+    SELECT q.query_id, q.k, ts.term,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY ts.df DESC, ts.term ASC) AS rn
+    FROM q JOIN ts ON ts.term LIKE q.prefix || '%'
+                  AND regexp_matches(ts.term, q.rx)
+),
+qt AS (SELECT query_id, k, term FROM exp WHERE rn <= {max_expansions}),
+contrib AS (
+    SELECT qt.query_id, tf.doc_id, qt.k, {idf} * {tfc} AS contrib
+    FROM qt
+    JOIN tf USING (term)
+    JOIN ts USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN cs
+),
+scored AS (
+    SELECT query_id, doc_id, k, sum(contrib) AS score
+    FROM contrib GROUP BY query_id, doc_id, k
+),
+ranked AS (
+    SELECT query_id, doc_id, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= k
+""".strip()
+
+
+def bm25f_wildcard_topk_sql(
+    wc_queries: list[tuple[int, str, int]],
+    field_toks: dict[str, str],
+    field_weights: dict[str, float],
+    max_expansions: int = 100,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for fielded.bm25f_wildcard_topk — wildcard expansion × BM25F:
+    patterns expand against the cross-field vocabulary (df summed, regex
+    over tsx), then each term contributes (idf_field · w_field) · tfc per
+    field it occurs in."""
+    from bloqsenjin_spark.operators.wand import wildcard_parts
+
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
+    idf = idf_sql("ts.df", "cs.n")
+    rows = []
+    for qid, p, k in wc_queries:
+        pre, rx = wildcard_parts(p)
+        rows.append("({}, '{}', '{}', {})".format(
+            int(qid), pre.replace("'", "''"), rx.replace("'", "''"), int(k)))
+    return f"""
+WITH q(query_id, prefix, rx, k) AS (VALUES {', '.join(rows)}),
+{_fielded_ctes(field_toks, field_weights, toks, id_col, doc_table)},
+exp AS (
+    SELECT q.query_id, q.k, tsx.term,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY tsx.df DESC, tsx.term ASC) AS rn
+    FROM q JOIN tsx ON tsx.term LIKE q.prefix || '%'
+                   AND regexp_matches(tsx.term, q.rx)
+),
+qt AS (SELECT query_id, k, term FROM exp WHERE rn <= {max_expansions}),
+contrib AS (
+    SELECT qt.query_id, tf.doc_id, qt.k,
+           ({idf} * fw.w) * {tfc} AS contrib
+    FROM qt
+    JOIN tf USING (term)
+    JOIN ts ON ts.field = tf.field AND ts.term = tf.term
+    JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
+    JOIN cs ON cs.field = tf.field
+    JOIN fw ON fw.field = tf.field
+),
+scored AS (
+    SELECT query_id, doc_id, k, sum(contrib) AS score
+    FROM contrib GROUP BY query_id, doc_id, k
+),
+ranked AS (
+    SELECT query_id, doc_id, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= k
+""".strip()
+
+
 def bm25f_topk_sql(
     queries: list[tuple[int, list[str], str, int]],
     field_toks: dict[str, str],

@@ -26,6 +26,8 @@ Syntax (flat boolean, Lucene-inspired)::
     "data engine"~2           ordered proximity, slop 2
     "engine data"~2u          unordered proximity (symmetric window)
     pre*                      prefix expansion
+    or?er  c*tom*            wildcard term (? = one char, * = any run;
+                              leading wildcards refuse)
     wrod~1                    fuzzy (Levenshtein ≤ 1); bare ~ defaults to 2
     helo~1 wrold~1            multi-word fuzzy (one shared distance)
     title:spark title:fast    single-field query (runs on that field's index)
@@ -76,6 +78,7 @@ class Term:
     boost: "float | None" = None
     prefix: bool = False
     fuzzy: "int | None" = None
+    wild: bool = False  # text is a wildcard pattern (* = run, ? = one char)
     required: bool = False
     prohibited: bool = False
 
@@ -118,7 +121,29 @@ def _norm_word(raw: str, pos: int) -> str:
     return toks[0]
 
 
-_WORD_RE = re.compile(r'[^\s"^~*]+')
+def _norm_wildcard(raw: str, pos: int) -> str:
+    """Normalize a wildcard pattern: literal segments must each be ONE
+    clean token under the engine tokenizer (no silently-dropped
+    punctuation inside a pattern); runs of '*' collapse."""
+    out = []
+    for seg in re.split(r"([*?])", raw.lower()):
+        if seg in ("*", "?"):
+            out.append(seg)
+            continue
+        if not seg:
+            continue
+        toks = [t for t in _SPLIT.split(seg) if t]
+        if toks != [seg]:
+            raise QueryParseError(
+                f"wildcard pattern {raw!r} at position {pos}: literal "
+                f"segment {seg!r} is not a single clean token under the "
+                "engine tokenizer"
+            )
+        out.append(seg)
+    return re.sub(r"\*{2,}", "*", "".join(out))
+
+
+_WORD_RE = re.compile(r'[^\s"^~]+')
 _SLOP_RE = re.compile(r"~(\d+)(u?)")
 _FUZZ_RE = re.compile(r"~(\d*)")
 _BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)")
@@ -217,13 +242,17 @@ def _parse_clause(text: str, i: int):
             f"stray ':' in {raw!r} — fields are lowercase identifiers "
             f"(field:term)"
         )
-    word = _norm_word(raw, m.start())
-    prefix = False
+    prefix = wild = False
     fuzzy = None
-    if i < n and text[i] == "*":
+    if raw.endswith("*") and "*" not in raw[:-1] and "?" not in raw:
+        word = _norm_word(raw[:-1], m.start())
         prefix = True
-        i += 1
-    elif i < n and text[i] == "~":
+    elif "*" in raw or "?" in raw:
+        word = _norm_wildcard(raw, m.start())
+        wild = True
+    else:
+        word = _norm_word(raw, m.start())
+    if not (prefix or wild) and i < n and text[i] == "~":
         fm = _FUZZ_RE.match(text, i)
         fuzzy = int(fm.group(1)) if fm.group(1) else _DEFAULT_FUZZY_DIST
         i = fm.end()
@@ -240,7 +269,7 @@ def _parse_clause(text: str, i: int):
         )
     return (
         Term(word, field=fieldname, boost=boost, prefix=prefix, fuzzy=fuzzy,
-             required=required, prohibited=prohibited),
+             wild=wild, required=required, prohibited=prohibited),
         i,
     )
 
@@ -267,7 +296,7 @@ def _parse_group(text, i, required, prohibited):
                 f"{raw[0]!r} inside a group: +/- apply to whole clauses — "
                 "prefix the group itself"
             )
-        if any(ch in raw for ch in ('"', ":", "*", "~")):
+        if any(ch in raw for ch in ('"', ":", "*", "?", "~")):
             raise UnsupportedQueryError(
                 f"group member {raw!r}: groups hold plain terms only "
                 "(phrases/fields/expansions inside a group have no "
@@ -342,6 +371,7 @@ def to_string(q: ParsedQuery) -> str:
             ) + c.text
             if c.prefix:
                 s += "*"
+            # (wild: c.text already is the pattern)
             if c.fuzzy is not None:
                 s += f"~{c.fuzzy}"
             if c.boost is not None:
@@ -381,7 +411,7 @@ def compile_query(qid: int, parsed: ParsedQuery, k: int = 10) -> Compiled:
     pos_groups = [g for g in grps if not g.prohibited]
     neg_groups = [g for g in grps if g.prohibited]
     for t in negs:
-        if t.prefix or t.fuzzy is not None or t.boost is not None:
+        if t.prefix or t.wild or t.fuzzy is not None or t.boost is not None:
             raise UnsupportedQueryError(
                 "MUST_NOT supports plain terms only (exclusion reads doc "
                 "ids, not expansions)"
@@ -429,12 +459,36 @@ def compile_query(qid: int, parsed: ParsedQuery, k: int = 10) -> Compiled:
     fld = next(iter(fields)) if fields else None
 
     prefixes = [t for t in pos if t.prefix]
+    wilds = [t for t in pos if t.wild]
     fuzzies = [t for t in pos if t.fuzzy is not None]
-    plains = [t for t in pos if not t.prefix and t.fuzzy is None]
+    plains = [t for t in pos
+              if not t.prefix and not t.wild and t.fuzzy is None]
 
     if pos_groups:
         return _compile_grouped(qid, parsed, pos_groups, plains, prefixes,
-                                fuzzies, fld, neg_texts, k)
+                                wilds, fuzzies, fld, neg_texts, k)
+
+    if wilds:
+        if len(wilds) > 1 or prefixes or fuzzies or plains:
+            raise UnsupportedQueryError(
+                "a wildcard term must be the only positive clause "
+                "(multi-wildcard / wildcard × term composition has no "
+                "operator)"
+            )
+        t = wilds[0]
+        if t.boost is not None:
+            raise UnsupportedQueryError(
+                "boost on a wildcard term: expansion forms rank with the "
+                "expansion's own df order, not user boosts"
+            )
+        if t.text[0] in "*?":
+            raise UnsupportedQueryError(
+                f"leading wildcard in {t.text!r} forces a full-vocabulary "
+                "scan — anchor the pattern with at least one literal "
+                "character (Lucene's allowLeadingWildcard=false default)"
+            )
+        return Compiled(qid, "wildcard", (qid, t.text, int(k)), field=fld,
+                        must_not=neg_texts)
 
     if prefixes:
         if len(prefixes) > 1 or fuzzies or plains:
@@ -498,8 +552,8 @@ def compile_query(qid: int, parsed: ParsedQuery, k: int = 10) -> Compiled:
                     must_not=neg_texts)
 
 
-def _compile_grouped(qid, parsed, pos_groups, plains, prefixes, fuzzies,
-                     fld, neg_texts, k):
+def _compile_grouped(qid, parsed, pos_groups, plains, prefixes, wilds,
+                     fuzzies, fld, neg_texts, k):
     """Compile a query with parenthesized OR-groups onto the kernel's
     grouped-conjunctive form (the 7th-slot groups map the fuzzy-multi AND
     already uses): under AND/implicit-AND, every group (and every loose
@@ -509,10 +563,10 @@ def _compile_grouped(qid, parsed, pos_groups, plains, prefixes, fuzzies,
     over DISTINCT terms (a term in two groups satisfies both, scored
     once — the engine's set semantics, shared with every conjunctive
     form)."""
-    if prefixes or fuzzies:
+    if prefixes or wilds or fuzzies:
         raise UnsupportedQueryError(
-            "group × expansion (prefix/fuzzy) composition has no operator "
-            "— groups hold exact terms"
+            "group × expansion (prefix/wildcard/fuzzy) composition has no "
+            "operator — groups hold exact terms"
         )
     if fld is not None:
         raise UnsupportedQueryError(
@@ -669,6 +723,10 @@ def run_query_batch(
             df = wand.prefix_bm25_topk(*args, payloads, idx.cfg,
                                        max_expansions=max_expansions,
                                        must_not=negs or None, **kw)
+        elif kind == "wildcard":
+            df = wand.wildcard_bm25_topk(*args, payloads, idx.cfg,
+                                         max_expansions=max_expansions,
+                                         must_not=negs or None, **kw)
         elif kind == "fuzzy":
             df = wand.fuzzy_bm25_topk(*args, payloads, idx.cfg,
                                       max_expansions=max_expansions,
@@ -701,6 +759,10 @@ def _run_fielded_group(fielded_indexes, field_weights, kind, mode, ordered,
                                   cfg, **kw)
     if kind == "prefix":
         return fielded.bm25f_prefix_topk(
+            fielded_indexes, payloads, field_weights, cfg,
+            max_expansions=max_expansions, must_not=negs or None, **kw)
+    if kind == "wildcard":
+        return fielded.bm25f_wildcard_topk(
             fielded_indexes, payloads, field_weights, cfg,
             max_expansions=max_expansions, must_not=negs or None, **kw)
     if kind == "fuzzy":
@@ -781,6 +843,10 @@ def serve_query_batch(
             rows += srv.prefix_topk_batch(payloads,
                                           max_expansions=max_expansions,
                                           must_not=negs or None, **kw)
+        elif kind == "wildcard":
+            rows += srv.wildcard_topk_batch(payloads,
+                                            max_expansions=max_expansions,
+                                            must_not=negs or None, **kw)
         elif kind == "fuzzy":
             rows += srv.fuzzy_topk_batch(payloads,
                                          max_expansions=max_expansions,
@@ -804,6 +870,10 @@ def _serve_fielded_group(server, field_weights, kind, mode, ordered,
         return server.query_batch(payloads, field_weights, **kw)
     if kind == "prefix":
         return server.prefix_topk_batch(
+            payloads, field_weights, max_expansions=max_expansions,
+            must_not=negs or None, **kw)
+    if kind == "wildcard":
+        return server.wildcard_topk_batch(
             payloads, field_weights, max_expansions=max_expansions,
             must_not=negs or None, **kw)
     if kind == "fuzzy":

@@ -559,3 +559,118 @@ def test_grouped_fielded_profile(spark, fidxs):
          {"customer": (1,), "fast": (0,), "order": (1,), "the": (0,)}),
     ], FIELD_WEIGHTS, CFG))
     assert got == sorted(want) and len(got) > 0
+
+
+# ---- wildcard terms (Lucene WildcardQuery: ? = one char, * = any run) -------
+
+
+def test_parse_wildcards():
+    c = parse("or?er", default_op="and").clauses[0]
+    assert c.wild and c.text == "or?er"
+    c = parse("c**tom*", default_op="and").clauses[0]
+    assert c.wild and c.text == "c*tom*"   # '*' runs collapse
+    c = parse("pre*", default_op="and").clauses[0]
+    assert c.prefix and not c.wild         # trailing-only '*' stays prefix
+    c = parse("title:or?er", default_op="and").clauses[0]
+    assert c.wild and c.field == "title"
+    with pytest.raises(QueryParseError):
+        parse("a.b*c")                     # dirty literal segment
+    with pytest.raises(QueryParseError):
+        parse("pre*~1")                    # expansion × fuzzy stays refused
+
+
+@pytest.mark.parametrize("bad", [
+    "*rder", "?rder",                      # leading wildcard
+    "or?er extra",                         # wildcard × loose term
+    "or?er pre*",                          # wildcard × prefix
+    "or?er^2",                             # boost on expansion
+    "-or?er spark",                        # MUST_NOT expansion
+    "(or?er b)",                           # wildcard inside a group
+    "(a b) or?er",                         # group × wildcard
+])
+def test_compile_wildcard_unsupported(bad):
+    with pytest.raises(UnsupportedQueryError):
+        compile_query(1, parse(bad, default_op="and"))
+
+
+def test_wildcard_round_trip():
+    for s in ["or?er", "c*tom*", "t?e*r?s"]:
+        q = parse(s, default_op="and")
+        assert parse(to_string(q), default_op="and") == q
+
+
+def test_wildcard_dispatch_and_serving(spark, tmp_path):
+    """Wildcard queries == hand-written wildcard_bm25_topk; serving twin
+    row-identical; 'pre*'-equivalent patterns match prefix results; the
+    engine refuses leading wildcards on both tiers."""
+    from bloqsenjin_spark.operators.serving import IndexServer
+    from bloqsenjin_spark.plans.build import build_index_resumable, read_index
+
+    docs = corpus.load_table(spark, SF_DIR, "documents")
+    d = str(tmp_path / "wc_idx")
+    build_index_resumable(docs, d, CFG)
+    idx = read_index(spark, d, CFG)
+    args = (idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl)
+    compiled = compile_batch([
+        (1, "or?er", 10),
+        (2, "c*tom*", 10),
+        (3, "t?e", 10),
+    ], default_op="and")
+    got = _rows(ql.run_query_batch(idx, compiled, max_expansions=8))
+    want = _rows(wand.wildcard_bm25_topk(
+        *args, [(1, "or?er", 10), (2, "c*tom*", 10), (3, "t?e", 10)],
+        CFG, max_expansions=8))
+    assert got == sorted(want) and len(got) > 0
+
+    # a trailing-* pattern with an inner wildcard ranks like the matching
+    # prefix expansion when the regex accepts the same term set
+    wc = _rows(wand.wildcard_bm25_topk(*args, [(9, "custome*", 10)], CFG,
+                                       max_expansions=8))
+    pf = _rows(wand.prefix_bm25_topk(*args, [(9, "custome", 10)], CFG,
+                                     max_expansions=8))
+    assert wc == pf and len(wc) > 0
+
+    srv = IndexServer(d, CFG)
+    serve_rows = sorted(ql.serve_query_batch(srv, compiled,
+                                             max_expansions=8))
+    spark_rows = sorted(tuple(r) for r in ql.run_query_batch(
+        idx, compiled, max_expansions=8).collect())
+    assert [(q, r, d_) for q, r, d_, _ in serve_rows] == \
+           [(q, r, d_) for q, r, d_, _ in spark_rows]
+    for a, b in zip(serve_rows, spark_rows):
+        assert abs(a[3] - b[3]) < 1e-9
+
+    with pytest.raises(ValueError, match="leading wildcard"):
+        wand.wildcard_bm25_topk(*args, [(1, "*rder", 5)], CFG)
+    with pytest.raises(ValueError, match="leading wildcard"):
+        srv.wildcard_topk_batch([(1, "*rder", 5)])
+    # lazy stats mode: same pruned-read machinery, identical rows
+    lazy = IndexServer(d, CFG, stats_mode="lazy")
+    assert sorted(lazy.wildcard_topk_batch(
+        [(1, "or?er", 10), (2, "c*tom*", 10)], max_expansions=8)) == \
+        sorted(srv.wildcard_topk_batch(
+            [(1, "or?er", 10), (2, "c*tom*", 10)], max_expansions=8))
+
+
+def test_wildcard_fielded_profile(spark, fidxs):
+    """Unqualified wildcards under a fielded profile expand on the
+    cross-field vocabulary and rank with bm25f; single-field identity."""
+    from bloqsenjin_spark.operators import fielded
+
+    compiled = compile_batch([(1, "f?st*", 10)], default_op="and")
+    got = _rows(ql.run_query_batch(
+        None, compiled, fielded_indexes=fidxs, field_weights=FIELD_WEIGHTS,
+        max_expansions=8))
+    want = _rows(fielded.bm25f_wildcard_topk(
+        fidxs, [(1, "f?st*", 10)], FIELD_WEIGHTS, CFG, max_expansions=8))
+    assert got == sorted(want) and len(got) > 0
+    # weights {all: 1} over one whole index ≡ the single-index operator
+    docs = corpus.load_table(spark, SF_DIR, "documents")
+    idx = build_index(docs, CFG)
+    one = _rows(fielded.bm25f_wildcard_topk(
+        {"all": idx}, [(2, "or?er", 10)], {"all": 1.0}, CFG,
+        max_expansions=8))
+    single = _rows(wand.wildcard_bm25_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl,
+        [(2, "or?er", 10)], CFG, max_expansions=8))
+    assert one == single and len(one) > 0
