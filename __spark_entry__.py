@@ -53,20 +53,52 @@ def _q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("score", F.round("score", _R))
 
 
-def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index statistics suite — the former term_stats / corpus_stats /
+    doc_lengths entries UNION-tagged onto one (variant, key, v1, v2, v3)
+    schema (round-7 consolidation freeing driver slots for mlt_topk;
+    same operators, same oracles, wrapped identically in SQL):
+    term → (df, cf, idf); corpus → (n_docs, avgdl, n_tokens);
+    dl → (doc_id, dl)."""
     tok = topk.tokenized(_docs(spark, sf_dir))
     n_docs = tok.count()
-    ts = topk.term_stats_df(topk.term_freqs(tok), n_docs)
-    return ts.withColumn("idf", F.round("idf", _R))
+    ts = topk.term_stats_df(topk.term_freqs(tok), n_docs).withColumn(
+        "idf", F.round("idf", _R))
+    a = ts.select(
+        F.lit("term").alias("variant"), F.col("term").alias("key"),
+        F.col("df").cast("double").alias("v1"),
+        F.col("cf").cast("double").alias("v2"),
+        F.col("idf").cast("double").alias("v3"))
+    cs = topk.corpus_stats_df(tok).withColumn("avgdl", F.round("avgdl", _R))
+    b = cs.select(
+        F.lit("corpus").alias("variant"), F.lit("corpus").alias("key"),
+        F.col("n_docs").cast("double").alias("v1"),
+        F.col("avgdl").cast("double").alias("v2"),
+        F.col("n_tokens").cast("double").alias("v3"))
+    c = tok.select(
+        F.lit("dl").alias("variant"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("dl").cast("double").alias("v1"),
+        F.lit(0.0).alias("v2"), F.lit(0.0).alias("v3"))
+    return a.unionByName(b).unionByName(c)
 
 
-def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cs = topk.corpus_stats_df(topk.tokenized(_docs(spark, sf_dir)))
-    return cs.withColumn("avgdl", F.round("avgdl", _R))
+MLT_QUERIES = [(1, 3, 10), (2, 57, 10), (3, 120, 10)]
 
 
-def _q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk.tokenized(_docs(spark, sf_dir)).select("doc_id", "dl")
+def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-Like-This: each seed doc's representative terms (integer-exact
+    selection: tf DESC, df ASC, term ASC — engine-portable, so the oracle
+    re-derives selection AND ranking) run as one disjunctive batch at
+    depth k+1 with the seed excluded and ranks renumbered."""
+    from bloqsenjin_spark.operators import mlt
+
+    docs = _docs(spark, sf_dir)
+    idx = build_index(docs, _SF_CFG)
+    res = mlt.more_like_this_topk(
+        idx.postings, idx.doc_lens, idx.term_stats, idx.avgdl, docs,
+        MLT_QUERIES, _SF_CFG, max_query_terms=10)
+    return res.withColumn("score", F.round("score", _R))
 
 
 def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -815,9 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_near_unordered_topk": _q_near_unordered_topk,
         "phrase_topk": _q_phrase_topk,
         "postings_roundtrip": _q_postings_roundtrip,
-        "term_stats": _q_term_stats,
-        "corpus_stats": _q_corpus_stats,
-        "doc_lengths": _q_doc_lengths,
+        "index_stats_suite": _q_index_stats,
+        "mlt_topk": _q_mlt,
         # training-data pipeline: dedup
         "dedup_exact": _q_exact_dedup,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -961,9 +992,19 @@ def oracle_sql() -> dict[str, str]:
             "WITH tok AS (SELECT doc_id, unnest(" + toks + ") AS term FROM documents) "
             "SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id"
         ),
-        "term_stats": oracle.term_stats_sql(),
-        "corpus_stats": oracle.corpus_stats_sql(),
-        "doc_lengths": oracle.doc_lengths_sql(),
+        "index_stats_suite": "\nUNION ALL\n".join([
+            "SELECT 'term' AS variant, term AS key, df::DOUBLE AS v1, "
+            "cf::DOUBLE AS v2, idf::DOUBLE AS v3 FROM (\n"
+            + oracle.term_stats_sql() + "\n)",
+            "SELECT 'corpus' AS variant, 'corpus' AS key, "
+            "n_docs::DOUBLE AS v1, avgdl::DOUBLE AS v2, "
+            "n_tokens::DOUBLE AS v3 FROM (\n"
+            + oracle.corpus_stats_sql() + "\n)",
+            "SELECT 'dl' AS variant, doc_id::VARCHAR AS key, "
+            "dl::DOUBLE AS v1, 0.0 AS v2, 0.0 AS v3 FROM (\n"
+            + oracle.doc_lengths_sql() + "\n)",
+        ]),
+        "mlt_topk": oracle.mlt_topk_sql(MLT_QUERIES, max_query_terms=10),
         "dedup_exact": oracle.exact_dedup_sql(),
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(0.8),
         "dedup_minhash_lsh": oracle.ngram_jaccard_sql(0.9),

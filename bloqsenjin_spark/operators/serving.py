@@ -490,6 +490,69 @@ class IndexServer:
                                     allowed_doc_ids=allowed_doc_ids)
         return self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
 
+    def mlt_topk_batch(
+        self, mlt_queries: list[tuple[int, int, int]],
+        max_query_terms: int = 25, min_term_freq: int = 1,
+        min_doc_freq: int = 1, allowed_doc_ids=None,
+    ) -> list[tuple[int, int, int, float]]:
+        """→ [(query_id, rank, doc_id, score)] — More-Like-This, result-
+        identical to operators/mlt.more_like_this_topk on the same index
+        (pytest-pinned): seed tokens come from the DOC-STORE replica (one
+        shard-pruned pyarrow read for the whole batch), representative
+        terms are selected by the shared integer-exact rule (tf DESC,
+        df ASC, term ASC; df from _stats_for — LRU-bounded in lazy mode),
+        ranking is one ordinary disjunctive batch at depth k+1 with the
+        seed dropped and ranks renumbered."""
+        from collections import Counter
+
+        if len({q[0] for q in mlt_queries}) != len(mlt_queries):
+            raise ValueError("duplicate query_ids in mlt_queries")
+        if not self._is_snap:
+            return self._snap().mlt_topk_batch(
+                mlt_queries, max_query_terms=max_query_terms,
+                min_term_freq=min_term_freq, min_doc_freq=min_doc_freq,
+                allowed_doc_ids=allowed_doc_ids)
+        dps = self.cfg.docs_per_shard
+        need = sorted({int(s) for _q, s, _k in mlt_queries})
+        store = self._doc_store_ds()
+        filt = self._ds.field("shard").isin(
+            sorted({d // dps for d in need})
+        ) & self._ds.field("doc_id").isin(need)
+        t = store.to_table(columns=["doc_id", "toks"], filter=filt)
+        toks_by_doc = dict(zip(t["doc_id"].to_pylist(),
+                               t["toks"].to_pylist()))
+        all_terms = sorted({tt for toks in toks_by_doc.values()
+                            for tt in toks})
+        dfs = {tt: v[0] for tt, v in self._stats_for(all_terms).items()}
+        queries = []
+        for qid, seed, k in mlt_queries:
+            tf = Counter(toks_by_doc.get(int(seed), ()))
+            cands = sorted(
+                ((tt, n) for tt, n in tf.items()
+                 if n >= int(min_term_freq)
+                 and dfs.get(tt, 0) >= int(min_doc_freq)),
+                key=lambda tn: (-tn[1], dfs[tn[0]], tn[0]),
+            )
+            terms = [tt for tt, _n in cands[:int(max_query_terms)]]
+            if terms:
+                queries.append((int(qid), terms, "disjunctive", int(k) + 1))
+        if not queries:
+            return []
+        rows = self.query_batch(queries, allowed_doc_ids=allowed_doc_ids)
+        seed_map = {int(q[0]): int(q[1]) for q in mlt_queries}
+        kmap = {int(q[0]): int(q[2]) for q in mlt_queries}
+        out: list[tuple[int, int, int, float]] = []
+        nxt: dict[int, int] = {}
+        for qid, _rank, doc, score in sorted(rows,
+                                             key=lambda r: (r[0], r[1])):
+            if doc == seed_map[qid]:
+                continue
+            r = nxt.get(qid, 0) + 1
+            nxt[qid] = r
+            if r <= kmap[qid]:
+                out.append((qid, r, doc, score))
+        return out
+
     def _wildcard_candidates(self, pattern: str) -> list:
         """→ [(term, df)] matching a wildcard pattern: the literal prefix
         prunes the dictionary (eager dict scan / lazy row-group-pruned

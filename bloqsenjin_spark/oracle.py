@@ -389,6 +389,74 @@ FROM ranked WHERE rank <= k
 """.strip()
 
 
+def mlt_topk_sql(
+    mlt_queries: list[tuple[int, int, int]],
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for operators/mlt.more_like_this_topk: the seed's
+    representative terms re-derived in SQL under the SAME integer-exact
+    selection rule (tf in seed DESC, df ASC, term ASC; tf ≥ min_term_freq,
+    df ≥ min_doc_freq, capped), then standard disjunctive BM25 with the
+    seed excluded and ranks renumbered (rank over the seed-free set)."""
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
+    idf = idf_sql("ts.df", "cs.n")
+    rows = ", ".join(
+        f"({int(qid)}, {int(seed)}, {int(k)})"
+        for qid, seed, k in mlt_queries
+    )
+    return f"""
+WITH s(query_id, seed, k) AS (VALUES {rows}),
+dtok AS (
+    SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM dtok),
+dl AS (SELECT doc_id, len(toks) AS dl FROM dtok),
+cs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sel AS (
+    SELECT s.query_id, s.k, tf.term,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY tf.tf DESC, ts.df ASC,
+                                       tf.term ASC) AS rn
+    FROM s
+    JOIN tf ON tf.doc_id = s.seed
+    JOIN ts USING (term)
+    WHERE tf.tf >= {int(min_term_freq)} AND ts.df >= {int(min_doc_freq)}
+),
+qt AS (SELECT query_id, k, term FROM sel WHERE rn <= {int(max_query_terms)}),
+contrib AS (
+    SELECT qt.query_id, tf.doc_id, qt.k, {idf} * {tfc} AS contrib
+    FROM qt
+    JOIN tf USING (term)
+    JOIN ts USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN cs
+),
+scored AS (
+    SELECT query_id, doc_id, k, sum(contrib) AS score
+    FROM contrib GROUP BY query_id, doc_id, k
+),
+ranked AS (
+    SELECT sc.query_id, sc.doc_id, sc.score, sc.k,
+           row_number() OVER (PARTITION BY sc.query_id
+                              ORDER BY sc.score DESC, sc.doc_id ASC) AS rank
+    FROM scored sc
+    JOIN s ON s.query_id = sc.query_id
+    WHERE sc.doc_id != s.seed
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= k
+""".strip()
+
+
 def bm25f_topk_sql(
     queries: list[tuple[int, list[str], str, int]],
     field_toks: dict[str, str],

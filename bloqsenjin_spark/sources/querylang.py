@@ -1,6 +1,7 @@
 """Lucene-style query-language front end.
 
-The engine's 19 ranked forms are all driven by positional tuple protocols
+The engine's ranked forms (24+ variants) are all driven by positional tuple
+protocols
 ((qid, terms, mode, k, negs, boosts, groups), (qid, phrase, k, slop), …).
 This module is the user-facing string syntax that compiles onto those
 EXISTING forms — it adds no new execution path, so every kernel property
@@ -26,7 +27,7 @@ Syntax (flat boolean, Lucene-inspired)::
     "data engine"~2           ordered proximity, slop 2
     "engine data"~2u          unordered proximity (symmetric window)
     pre*                      prefix expansion
-    or?er  c*tom*            wildcard term (? = one char, * = any run;
+    or?er c*tom*              wildcard term (? = one char, * = any run;
                               leading wildcards refuse)
     wrod~1                    fuzzy (Levenshtein ≤ 1); bare ~ defaults to 2
     helo~1 wrold~1            multi-word fuzzy (one shared distance)
