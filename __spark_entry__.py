@@ -85,6 +85,25 @@ def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MLT_QUERIES = [(1, 3, 10), (2, 57, 10), (3, 120, 10)]
 
+FACET_QUERIES = [
+    (1, ["the", "fast"], "disjunctive", 10),
+    (2, ["customer", "order"], "conjunctive", 10),
+    (3, ["join", "hash"], "conjunctive", 10, ("merge",)),
+]
+
+
+def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted hit counts (Solr field faceting): exact matches per query
+    per lang bucket — bucketing happens INSIDE the counting kernel via a
+    per-shard uint8 code array (the bitmap-carrier pattern), so the plan
+    is bounded by queries × shards × buckets and the match set never
+    crosses the Arrow boundary."""
+    docs = _docs(spark, sf_dir)
+    idx = build_index(docs, _SF_CFG)
+    return wand.facet_counts(
+        idx.postings, idx.doc_lens, FACET_QUERIES,
+        docs.select("doc_id", F.col("lang").alias("facet")), _SF_CFG)
+
 
 def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """More-Like-This: each seed doc's representative terms (integer-exact
@@ -849,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_roundtrip": _q_postings_roundtrip,
         "index_stats_suite": _q_index_stats,
         "mlt_topk": _q_mlt,
+        "facet_counts": _q_facet_counts,
         # training-data pipeline: dedup
         "dedup_exact": _q_exact_dedup,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1005,6 +1025,10 @@ def oracle_sql() -> dict[str, str]:
             + oracle.doc_lengths_sql() + "\n)",
         ]),
         "mlt_topk": oracle.mlt_topk_sql(MLT_QUERIES, max_query_terms=10),
+        "facet_counts": oracle.facet_counts_sql(
+            [q[:4] for q in FACET_QUERIES], "lang",
+            must_not={q[0]: list(q[4]) for q in FACET_QUERIES
+                      if len(q) > 4 and q[4]}),
         "dedup_exact": oracle.exact_dedup_sql(),
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(0.8),
         "dedup_minhash_lsh": oracle.ngram_jaccard_sql(0.9),

@@ -427,7 +427,7 @@ def score_shard_blocks_bm25f(
     return out_q, out_d, out_s
 
 
-def count_shard_matches(
+def _iter_shard_matches(
     shard: int,
     terms_col: np.ndarray,
     bids: np.ndarray,
@@ -435,14 +435,12 @@ def count_shard_matches(
     queries: list,
     cfg: IndexConfig,
     tomb_mask: np.ndarray | None = None,
-) -> dict[int, int]:
-    """Exact per-query MATCH COUNTS for one shard's (query-term-filtered)
-    block rows — the counting twin of score_shard_blocks: identical
-    conjunctive/disjunctive/MUST_NOT/tombstone semantics, but no scores, no
-    top-k state and no per-match output rows. Reads ONLY doc_deltas (counts
-    need neither tfs nor doc lengths nor block-max metadata), so the caller
-    can prune the postings scan to 4 columns. Queries with zero matches are
-    simply absent from the returned dict."""
+):
+    """Yield (query_id, matched_doc_ids) per block for one shard's
+    (query-term-filtered) block rows — the match core shared by the
+    counting and faceting kernels: identical conjunctive/disjunctive/
+    MUST_NOT/tombstone semantics to score_shard_blocks, no scores, no
+    top-k state. Reads ONLY doc_deltas."""
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
     shard_base = shard * dps
 
@@ -460,7 +458,6 @@ def count_shard_matches(
             )
         return got
 
-    out: dict[int, int] = {}
     for q in queries:
         qid, terms, mode, _k = q[:4]
         negs = sorted(set(q[4])) if len(q) > 4 and q[4] else ()
@@ -477,7 +474,6 @@ def count_shard_matches(
             cand = set()
             for t in present:
                 cand.update(term_blocks[t])
-        n = 0
         for bi in sorted(cand):
             block_base = shard_base + bi * bdocs
             if conj:  # a doc's postings all live in its one block
@@ -504,9 +500,57 @@ def count_shard_matches(
                                        assume_unique=True)
             if tomb_mask is not None and ids.size:
                 ids = ids[~tomb_mask[ids - shard_base]]
-            n += int(ids.size)
-        if n:
-            out[int(qid)] = n
+            if ids.size:
+                yield int(qid), ids
+
+
+def count_shard_matches(
+    shard: int,
+    terms_col: np.ndarray,
+    bids: np.ndarray,
+    deltas_col: np.ndarray,
+    queries: list,
+    cfg: IndexConfig,
+    tomb_mask: np.ndarray | None = None,
+) -> dict[int, int]:
+    """Exact per-query MATCH COUNTS for one shard's (query-term-filtered)
+    block rows — the counting twin of score_shard_blocks (match core:
+    _iter_shard_matches), but no per-match output rows. Queries with zero
+    matches are simply absent from the returned dict."""
+    out: dict[int, int] = {}
+    for qid, ids in _iter_shard_matches(
+            shard, terms_col, bids, deltas_col, queries, cfg,
+            tomb_mask=tomb_mask):
+        out[qid] = out.get(qid, 0) + int(ids.size)
+    return out
+
+
+def facet_shard_counts(
+    shard: int,
+    terms_col: np.ndarray,
+    bids: np.ndarray,
+    deltas_col: np.ndarray,
+    queries: list,
+    cfg: IndexConfig,
+    facet_codes: np.ndarray,
+    n_buckets: int,
+    tomb_mask: np.ndarray | None = None,
+) -> dict[int, np.ndarray]:
+    """Per-query FACET histograms for one shard — the faceting twin of
+    count_shard_matches (same match core): matched doc ids bucket through
+    ``facet_codes`` (the shard's doc-range-aligned code array, one uint
+    code per local doc; code n_buckets−1 conventionally = 'missing') into
+    an np.bincount per query. Output is bounded by queries × n_buckets
+    regardless of match count — the match set never leaves the kernel."""
+    base = shard * cfg.docs_per_shard
+    out: dict[int, np.ndarray] = {}
+    for qid, ids in _iter_shard_matches(
+            shard, terms_col, bids, deltas_col, queries, cfg,
+            tomb_mask=tomb_mask):
+        acc = out.get(qid)
+        if acc is None:
+            acc = out[qid] = np.zeros(n_buckets, dtype=np.int64)
+        acc += np.bincount(facet_codes[ids - base], minlength=n_buckets)
     return out
 
 

@@ -917,6 +917,105 @@ class IndexServer:
                 ) from None
         return self._replica_handles["doc_store"]
 
+    def _facet_ds(self, name: str):
+        """Lazy handle on a facet replica (plans.build.write_facet_index):
+        → (codes dataset, bucket value list). Same staleness contract as
+        the doc store — a facet table built before the last content
+        mutation refuses loudly with the remedy."""
+        key = f"facet_{name}"
+        if self._replica_handles.get(key) is None:
+            from bloqsenjin_spark.plans.build import replica_built_generation
+
+            bg = replica_built_generation(self.index_dir, f"{key}_meta")
+            if bg is not None and bg < self.content_generation:
+                raise ValueError(
+                    f"facet replica {name!r} is STALE (built at generation "
+                    f"{bg}, index content at {self.content_generation}) — "
+                    "re-run plans.build.write_facet_index after content "
+                    "mutations"
+                )
+            try:
+                fds = self._ds.dataset(f"{self.index_dir}/{key}",
+                                       format="parquet")
+                dtab = self._ds.dataset(
+                    f"{self.index_dir}/{key}_dict", format="parquet"
+                ).to_table().to_pydict()
+            except FileNotFoundError:
+                raise ValueError(
+                    f"no facet replica {name!r} in this index — faceted "
+                    "serving needs the opt-in replica "
+                    "(plans.build.write_facet_index)"
+                ) from None
+            buckets = [v for _c, v in sorted(zip(dtab["code"],
+                                                 dtab["value"]))]
+            self._replica_handles[key] = (fds, buckets)
+        return self._replica_handles[key]
+
+    def facet_count_batch(
+        self, queries: list, facet: str, allowed_doc_ids=None,
+    ) -> list[tuple[int, str, int]]:
+        """→ [(query_id, facet_value, n_hits)] — faceted hit counts,
+        identical to operators/wand.facet_counts on the same index + facet
+        relation (pytest-pinned): the match core buckets matched doc ids
+        through the facet replica's per-shard uint8 code arrays (ONE
+        shard-pruned pyarrow read for the batch's touched shards), so the
+        output is bounded by queries × buckets and the match set never
+        materializes. Zero buckets omitted; sorted (query_id, value)."""
+        from bloqsenjin_spark.functions.scoring import facet_shard_counts
+
+        if not self._is_snap:
+            return self._snap().facet_count_batch(
+                queries, facet, allowed_doc_ids=allowed_doc_ids)
+        fds, buckets = self._facet_ds(facet)
+        n_buckets = len(buckets)
+        all_terms = sorted(
+            {t for q in queries for t in q[1]}
+            | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
+        )
+        allow_masks = self._allow_masks(allowed_doc_ids)
+        totals: dict[int, np.ndarray] = {}
+        tbl = self._load_terms(all_terms)
+        if tbl["term"]:
+            shards = np.asarray(tbl["shard"], dtype=np.int64)
+            terms = np.asarray(tbl["term"], dtype=object)
+            bids = np.asarray(tbl["block_id"], dtype=np.int64)
+            deltas = np.asarray(tbl["doc_deltas"], dtype=object)
+            touched = np.unique(shards)
+            ct = fds.to_table(
+                filter=self._ds.field("shard").isin(
+                    [int(s) for s in touched]),
+                columns=["shard", "codes"],
+            ).to_pydict()
+            codes_by_shard = {
+                int(s): np.frombuffer(c, dtype=np.uint8)
+                for s, c in zip(ct["shard"], ct["codes"])
+            }
+            missing_arr = np.full(self.cfg.docs_per_shard, n_buckets - 1,
+                                  dtype=np.uint8)
+            for shard in touched:
+                tm, skip = self._excl_mask(int(shard), allow_masks)
+                if skip:
+                    continue
+                m = shards == shard
+                per = facet_shard_counts(
+                    int(shard), terms[m], bids[m], deltas[m],
+                    queries, self.cfg,
+                    codes_by_shard.get(int(shard), missing_arr),
+                    n_buckets, tomb_mask=tm,
+                )
+                for qid, hist in per.items():
+                    acc = totals.get(qid)
+                    if acc is None:
+                        acc = totals[qid] = np.zeros(n_buckets,
+                                                     dtype=np.int64)
+                    acc += hist
+        out: list[tuple[int, str, int]] = []
+        for qid in sorted(totals):
+            hist = totals[qid]
+            for c in np.flatnonzero(hist):
+                out.append((qid, buckets[int(c)], int(hist[c])))
+        return out
+
     @staticmethod
     def _levenshtein(a: str, b: str, cap: int) -> int:
         """Standard Levenshtein distance (same semantics as Spark's and

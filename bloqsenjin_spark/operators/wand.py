@@ -1470,3 +1470,147 @@ def match_counts(
     return qdf.join(counts, "query_id", "left").select(
         "query_id", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits")
     )
+
+
+FACET_MISSING = "(missing)"
+_FACET_MAX_BUCKETS = 255  # codes are uint8; the 256th code is the missing bucket
+
+
+def facet_code_arrays(
+    facet_df: DataFrame,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    facet_col: str = "facet",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, list[str]]:
+    """→ ((shard, codes binary), bucket values): the doc-range-aligned
+    facet side-input — one uint8 code per local doc per shard (same
+    carrier pattern as the tombstone/allow bitmaps: ≤ dps bytes per shard
+    row, built distributively with one groupBy(shard)). NULL / absent
+    docs take the reserved missing code (= len(buckets)). Facet
+    cardinality is capped at 255 distinct values — faceting is a
+    bounded-histogram primitive; high-cardinality grouping belongs to the
+    relational layer, and the cap is loud."""
+    vals = sorted(
+        r[0] for r in facet_df.select(facet_col).distinct().collect()
+        if r[0] is not None
+    )
+    if len(vals) > _FACET_MAX_BUCKETS:
+        raise ValueError(
+            f"facet column {facet_col!r} has {len(vals)} distinct values "
+            f"(cap {_FACET_MAX_BUCKETS}) — faceting is a bounded-histogram "
+            "primitive; use the relational layer for high-cardinality "
+            "grouping"
+        )
+    code_map = F.create_map(
+        *[x for i, v in enumerate(vals) for x in (F.lit(v), F.lit(i))]
+    )
+    missing = len(vals)
+    dps = cfg.docs_per_shard
+    rows = facet_df.select(
+        (F.col(id_col) / dps).cast("int").alias("shard"),
+        (F.col(id_col) % dps).cast("int").alias("local"),
+        F.coalesce(code_map[F.col(facet_col)], F.lit(missing))
+        .cast("int").alias("code"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.full(dps, missing, dtype=np.uint8)
+        arr[pdf["local"].to_numpy()] = pdf["code"].to_numpy().astype(np.uint8)
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "codes": [arr.tobytes()]}
+        )
+
+    codes = rows.groupBy("shard").applyInPandas(
+        pack, schema="shard int, codes binary")
+    return codes, vals
+
+
+def facet_counts(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    queries: list,
+    facet_df: DataFrame,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    facet_col: str = "facet",
+    id_col: str = "doc_id",
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+) -> DataFrame:
+    """Faceted hit counts → (query_id, facet, n_hits): for each query, the
+    exact number of matching docs per facet bucket (Solr/Lucene field
+    faceting) — ``facet_df`` is any (doc_id, value) relation, e.g.
+    ``docs.select("doc_id", "lang")``. Zero-count buckets are omitted;
+    docs with no/NULL facet value count under FACET_MISSING.
+
+    Plan shape: the facet values ride as ONE uint8 code array per shard
+    beside doc_lens (facet_code_arrays — the bitmap carrier pattern), and
+    bucketing happens INSIDE the counting kernel
+    (functions.scoring.facet_shard_counts), so the Arrow boundary carries
+    ≤ queries × shards × buckets rows and the match set never leaves the
+    kernel — same scale contract as match_counts, with
+    conjunctive/disjunctive/MUST_NOT/tombstone/allow semantics shared via
+    the one match core."""
+    from bloqsenjin_spark.functions.scoring import facet_shard_counts
+
+    codes_df, vals = facet_code_arrays(facet_df, cfg, facet_col=facet_col,
+                                       id_col=id_col)
+    buckets = vals + [FACET_MISSING]
+    n_buckets = len(buckets)
+    missing = len(vals)
+    dps = cfg.docs_per_shard
+    all_terms = sorted(
+        {t for q in queries for t in q[1]}
+        | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
+    )
+    pq = postings.select("term", "shard", "block_id", "doc_deltas").where(
+        F.col("term").isin(all_terms)
+    )
+    has_allow = allow_map is not None
+
+    def cnt(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "code": [], "n": []}).astype(
+            {"query_id": "int64", "code": "int64", "n": "int64"}
+        )
+        if pl.empty or dl_pdf.empty:
+            return empty
+        tomb_mask, skip = _effective_mask(dl_pdf, has_allow)
+        if skip:
+            return empty
+        raw = dl_pdf["codes"].iloc[0]
+        codes = (
+            np.frombuffer(raw, dtype=np.uint8) if raw is not None
+            else np.full(dps, missing, dtype=np.uint8)
+        )
+        per = facet_shard_counts(
+            int(pl["shard"].iloc[0]),
+            pl["term"].to_numpy(),
+            pl["block_id"].to_numpy(),
+            pl["doc_deltas"].to_numpy(),
+            queries, cfg, codes, n_buckets, tomb_mask=tomb_mask,
+        )
+        if not per:
+            return empty
+        q_out, c_out, n_out = [], [], []
+        for qid, hist in per.items():
+            nz = np.flatnonzero(hist)
+            q_out.extend([qid] * nz.size)
+            c_out.extend(nz.tolist())
+            n_out.extend(hist[nz].tolist())
+        return pd.DataFrame(
+            {"query_id": q_out, "code": c_out, "n": n_out}
+        ).astype({"query_id": "int64", "code": "int64", "n": "int64"})
+
+    dl = _with_tomb(doc_lens, tomb_map, allow_map).join(
+        codes_df, "shard", "left")
+    partial = pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
+        cnt, schema="query_id long, code long, n long"
+    )
+    bucket_map = F.create_map(
+        *[x for i, v in enumerate(buckets) for x in (F.lit(i), F.lit(v))]
+    )
+    return (
+        partial.groupBy("query_id", "code")
+        .agg(F.sum("n").alias("n_hits"))
+        .select("query_id", bucket_map[F.col("code")].alias("facet"),
+                "n_hits")
+    )

@@ -130,6 +130,32 @@ GROUP BY qs.query_id
 """.strip()
 
 
+def facet_counts_sql(
+    queries: list[tuple[int, list[str], str, int]],
+    facet_col: str,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    must_not: "dict[int, list[str]] | None" = None,
+) -> str:
+    """Oracle for wand.facet_counts: each query's match set (same
+    conjunctive/disjunctive/MUST_NOT semantics as the ranking oracle,
+    unbounded k) grouped by the docs' facet column — NULL values under the
+    '(missing)' bucket, zero buckets omitted."""
+    unb = [(qid, terms, mode, 1 << 30) for qid, terms, mode, _k in queries]
+    base = bm25_topk_sql(unb, doc_table, text_col, id_col,
+                         must_not=must_not)
+    return f"""
+WITH hits AS ({base}),
+fx AS (SELECT {id_col} AS doc_id,
+              coalesce({facet_col}, '(missing)') AS facet
+       FROM {doc_table})
+SELECT hits.query_id, fx.facet, count(*)::BIGINT AS n_hits
+FROM hits JOIN fx USING (doc_id)
+GROUP BY hits.query_id, fx.facet
+""".strip()
+
+
 def topk_highlights_sql(
     queries: list[tuple[int, list[str], str, int]],
     doc_table: str = "documents",

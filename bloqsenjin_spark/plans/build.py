@@ -306,6 +306,44 @@ def read_index_content_generation(index_dir: str) -> int:
     return int(gens[0]) if gens else 0
 
 
+def write_facet_index(
+    facet_df: "DataFrame",
+    index_dir: str,
+    name: str,
+    cfg: "IndexConfig | None" = None,
+    facet_col: "str | None" = None,
+    id_col: str = "doc_id",
+) -> None:
+    """OPT-IN facet replica for serving-side faceted counts
+    (IndexServer.facet_count_batch): ``facet_{name}`` holds ONE uint8 code
+    array per shard (doc-range-aligned, shard-sorted parquet so serving
+    reads prune to the touched shards' row groups) plus
+    ``facet_{name}_dict`` (code → value; the last code is the missing
+    bucket). Same cardinality cap (255) and code layout as the Spark
+    operator (wand.facet_code_arrays — ONE shared builder, so the tiers
+    can't drift). Bumps the index generation and stamps
+    ``facet_{name}_meta`` like every other replica, so serving refuses a
+    stale facet table after content mutations."""
+    from bloqsenjin_spark.operators.wand import FACET_MISSING, facet_code_arrays
+
+    spark = facet_df.sparkSession
+    cfg = check_index_meta(index_dir, cfg)
+    codes, vals = facet_code_arrays(facet_df, cfg,
+                                    facet_col=facet_col or name,
+                                    id_col=id_col)
+    store = S.for_index(spark, index_dir)
+    store.overwrite_sorted(codes, f"facet_{name}", "shard")
+    store.overwrite(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)]
+            + [(len(vals), FACET_MISSING)],
+            "code long, value string",
+        ),
+        f"facet_{name}_dict", coalesce=1,
+    )
+    _stamp_replica(spark, index_dir, f"facet_{name}_meta", cfg)
+
+
 def replica_built_generation(index_dir: str, meta_table: str) -> "int | None":
     """built_generation stamp of an opt-in replica (``doc_store_meta`` /
     ``fuzzy_meta``); None = no stamp (legacy replica or absent table)."""
@@ -340,9 +378,13 @@ def stale_replicas(index_dir: str) -> list[str]:
             "coherence is catalog-side (snapshot-isolated reads)"
         )
     content = read_index_content_generation(index_dir)
+    pairs = [("doc_store", "doc_store_meta"), ("fuzzy_index", "fuzzy_meta")]
+    # facet replicas are discovered dynamically (facet_{name} + its _meta)
+    for d in sorted(os.listdir(index_dir)) if os.path.isdir(index_dir) else []:
+        if d.startswith("facet_") and not d.endswith(("_meta", "_dict")):
+            pairs.append((d, f"{d}_meta"))
     out = []
-    for table, meta in (("doc_store", "doc_store_meta"),
-                        ("fuzzy_index", "fuzzy_meta")):
+    for table, meta in pairs:
         if not os.path.exists(f"{index_dir}/{table}"):
             continue
         bg = replica_built_generation(index_dir, meta)
@@ -358,6 +400,7 @@ def refresh_replicas(
     cfg: "IndexConfig | None" = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    facet_sources: "dict[str, tuple] | None" = None,
 ) -> list[str]:
     """ONE-CALL replica maintenance: rebuild EXACTLY what stale_replicas()
     lists — nothing when everything is fresh — and return the rebuilt table
@@ -384,6 +427,18 @@ def refresh_replicas(
             meta = S.for_index(spark, index_dir).read("fuzzy_meta").first()
             write_fuzzy_index(spark, index_dir,
                               max_dist=int(meta["max_dist"]))
+        elif table.startswith("facet_"):
+            if facet_sources is None or table[6:] not in facet_sources:
+                raise ValueError(
+                    f"facet replica {table!r} is stale but refresh_replicas "
+                    f"got no facet_sources[{table[6:]!r}] — facet codes "
+                    "project a source relation the index layout does not "
+                    "hold; pass {name: (facet_df, facet_col)} or call "
+                    "write_facet_index directly"
+                )
+            fdf, fcol = facet_sources[table[6:]]
+            write_facet_index(fdf, index_dir, table[6:], got_cfg,
+                              facet_col=fcol, id_col=id_col)
         else:  # doc_store
             if docs is None:
                 raise ValueError(
