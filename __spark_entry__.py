@@ -790,6 +790,14 @@ DSL_QUERIES = [
     # wildcard terms — Lucene WildcardQuery (? = one char, * = any run)
     (24, "or?er", 10),
     (25, "c*tom*", 10),
+    # round 8: phrase × loose terms (Lucene's BooleanQuery with a phrase
+    # clause — wand.phrase_terms_bm25_topk), phrase × MUST_NOT, and nested
+    # boolean depth (CNF onto the kernel's grouped-conjunctive form)
+    (27, '"the fast" customer', 10),          # implicit AND: phrase ∧ term
+    (28, '"customer order"~1u fast', 10),     # unordered proximity × term
+    (29, '"customer order" -merge', 10),      # phrase × MUST_NOT
+    (30, "the AND (customer OR (order AND fast))", 10),  # nested boolean
+    (33, 'the OR fast -"customer order"', 10),  # MUST_NOT phrase (bitmap)
 ]
 # the same strings under a FIELDED PROFILE (field_weights set): unqualified
 # queries rank ACROSS the weighted fields — plain → bm25f_topk, fuzzy/prefix
@@ -806,6 +814,10 @@ DSL_PROFILE_QUERIES = [
     (19, '"customer order"~1', 10),    # cross-field ordered proximity
     (20, '"fast the"~1u', 10),         # cross-field unordered proximity
     (26, "f?st*", 10),                 # cross-field wildcard expansion
+    # round 8: per-term field routing (Lucene's 'title:a body:b' — each
+    # clause ranks on ITS field's index, fielded.bm25f_routed_topk)
+    (31, "title:the body:customer", 10),
+    (32, "title:fast^2 OR body:order -merge", 10),
 ]
 
 
@@ -1120,9 +1132,35 @@ def oracle_sql() -> dict[str, str]:
                 oracle.wildcard_topk_sql(
                     [(24, "or?er", 10), (25, "c*tom*", 10)],
                     max_expansions=_MAX_EXPANSIONS),
+                # phrase × loose-terms / phrase × MUST_NOT (qids 27-29) and
+                # nested boolean → CNF groups (qid 30)
+                oracle.phrase_terms_topk_sql(
+                    [(27, "the fast", ["customer"], "conjunctive", 10),
+                     (29, "customer order", [], "disjunctive", 10,
+                      ("merge",))]),
+                oracle.phrase_terms_topk_sql(
+                    [(28, "customer order", ["fast"], "conjunctive", 10,
+                      (), {}, 1)], ordered=False),
+                oracle.grouped_bool_topk_sql([
+                    (30, [["customer", "fast"], ["customer", "order"],
+                          ["the"]], 10),
+                ]),
+                # MUST_NOT phrase (qid 33): exclusion-bitmap composition
+                oracle.must_not_phrase_topk_sql(
+                    [(33, ["the", "fast"], "disjunctive", 10)],
+                    {33: [("customer order", 0, True)]}),
                 oracle.bm25f_wildcard_topk_sql(
                     [(26, "f?st*", 10)], _BM25F_FIELD_TOKS, BM25F_WEIGHTS,
                     max_expansions=_MAX_EXPANSIONS),
+                # per-term field routing (qids 31-32): each clause on its
+                # named field's stats; (None, term) negs exclude any-field
+                oracle.bm25f_routed_topk_sql(
+                    [(31, [("title", "the"), ("body", "customer")],
+                      "conjunctive", 10),
+                     (32, [("title", "fast"), ("body", "order")],
+                      "disjunctive", 10, [(None, "merge")],
+                      {("title", "fast"): 2.0})],
+                    _BM25F_FIELD_TOKS),
             )
         ),
     }

@@ -51,3 +51,36 @@ def unpack_bitmap(blob) -> "np.ndarray | None":
     return np.unpackbits(
         np.frombuffer(bytes(blob), dtype=np.uint8), bitorder="little"
     ).astype(bool)
+
+
+def or_bitmap_maps(a: DataFrame, b: DataFrame,
+                   bitmap_col: str = "tomb") -> DataFrame:
+    """Set-union of two per-shard bitmap tables → (shard, <bitmap_col>):
+    full outer join on shard, byte-wise OR where both sides hold the shard
+    (both are docs_per_shard-bit carriers, so lengths agree). Used to
+    compose independent exclusion sets — e.g. a MUST_NOT-phrase match
+    bitmap OR-merged into the tombstone side-input — without either set
+    crossing the driver."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _or(x: pd.Series, y: pd.Series) -> pd.Series:
+        out = []
+        for xb, yb in zip(x, y):
+            if xb is None:
+                out.append(yb)
+            elif yb is None:
+                out.append(xb)
+            else:
+                out.append(
+                    (np.frombuffer(bytes(xb), np.uint8)
+                     | np.frombuffer(bytes(yb), np.uint8)).tobytes()
+                )
+        return pd.Series(out)
+
+    ar = a.select("shard", F.col(bitmap_col).alias("_a"))
+    br = b.select("shard", F.col(bitmap_col).alias("_b"))
+    return ar.join(br, "shard", "full_outer").select(
+        "shard", _or("_a", "_b").alias(bitmap_col)
+    )

@@ -263,21 +263,6 @@ def bm25f_topk(
     if any(w < 0 for w in weights.values()):
         raise ValueError(f"negative field weights are not rankable: {weights}")
     all_terms = sorted({t for q in queries for t in q[1]})
-    # ONE driver job for every field's query-term idf (union tagged by field)
-    ts_rows = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            indexes[f].term_stats.select("term", "idf")
-            .where(F.col("term").isin(all_terms))
-            .withColumn("field", F.lit(f))
-            for f in fields
-        ],
-    ).collect()
-    idf_map = {
-        f"{r['field']}{_SEP}{r['term']}": float(r["idf"]) for r in ts_rows
-    }
-    avgdls = {f: float(indexes[f].avgdl) for f in fields}
-
     # composite-key query tuples over every (field, term), with the field
     # weight riding as the kernel's per-term boost. Conjunctive queries are
     # the DOCUMENT-level reading ("every term in SOME field" — Lucene's
@@ -327,7 +312,47 @@ def bm25f_topk(
             },)
         comp_queries.append(comp)
     conj_groups = {f"{f}{_SEP}{t}": t for f in fields for t in scan_terms}
+    kmap_py = {int(q[0]): int(q[3]) for q in queries}
+    return _composite_pass(indexes, comp_queries, scan_terms, all_terms,
+                           conj_groups, cfg, tomb_map, allow_map, kmap_py,
+                           _off)
 
+
+def _composite_pass(
+    indexes: dict[str, Index],
+    comp_queries: list,
+    scan_terms: list,
+    idf_terms: list,
+    conj_groups: "dict | None",
+    cfg: IndexConfig,
+    tomb_map: "DataFrame | None",
+    allow_map: "DataFrame | None",
+    kmap_py: dict,
+    offsets: dict,
+) -> DataFrame:
+    """The shared composite-key scoring pass: every multi-field ranked form
+    (field-fan-out bm25f_topk, per-term-routed bm25f_routed_topk, and the
+    expansion forms through them) reduces to query tuples over
+    ``field⟂term`` composite keys executed by THE one kernel
+    (functions.scoring.score_shard_blocks keyed-dls mode) inside one
+    cogrouped pass over the tagged union of the fields' postings.
+    ``comp_queries`` carry deepened k (offset folded in); ``kmap_py`` /
+    ``offsets`` drive the global page window."""
+    fields = sorted(indexes)
+    # ONE driver job for every field's query-term idf (union tagged by field)
+    ts_rows = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            indexes[f].term_stats.select("term", "idf")
+            .where(F.col("term").isin(list(idf_terms)))
+            .withColumn("field", F.lit(f))
+            for f in fields
+        ],
+    ).collect()
+    idf_map = {
+        f"{r['field']}{_SEP}{r['term']}": float(r["idf"]) for r in ts_rows
+    }
+    avgdls = {f: float(indexes[f].avgdl) for f in fields}
     pq = reduce(
         lambda a, b: a.unionByName(b),
         [
@@ -335,7 +360,7 @@ def bm25f_topk(
                 "term", "shard", "block_id", "block_max_score",
                 "doc_deltas", "tfs",
             )
-            .where(F.col("term").isin(scan_terms))
+            .where(F.col("term").isin(list(scan_terms)))
             .withColumn("field", F.lit(f))
             for f in fields
         ],
@@ -400,11 +425,11 @@ def bm25f_topk(
         combine, schema="query_id long, doc_id long, score double"
     )
     kmap = F.create_map(
-        *[x for q in queries for x in (F.lit(int(q[0])), F.lit(int(q[3])))]
+        *[x for qid, k in kmap_py.items() for x in (F.lit(qid), F.lit(int(k)))]
     )
     omap = F.create_map(
-        *[x for q in queries
-          for x in (F.lit(int(q[0])), F.lit(int(_off.get(int(q[0]), 0))))]
+        *[x for qid in kmap_py
+          for x in (F.lit(qid), F.lit(int(offsets.get(qid, 0))))]
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     off = omap[F.col("query_id")]
@@ -414,6 +439,82 @@ def bm25f_topk(
                & (F.col("rank") <= off + kmap[F.col("query_id")]))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def bm25f_routed_topk(
+    indexes: dict[str, Index],
+    queries: list,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+    offsets: "dict[int, int] | None" = None,
+) -> DataFrame:
+    """PER-TERM field routing — Lucene's ``title:spark body:fast``: each
+    clause ranks on ITS named field's index, score = Σ matched clauses
+    idf_field(term) · w_clause · tfc_field (field stats per clause; no
+    profile weights — routing replaces the fielded profile, clause boosts
+    are the only weights). → (query_id, rank, doc_id, score).
+
+    ``queries``: ``(qid, [(field, term), ...], mode, k[, negs[, boosts]])``
+    where ``negs`` is an iterable of (field | None, term) — a None field
+    excludes docs containing the term in ANY field — and ``boosts`` maps
+    (field, term) clauses to weights ≥ 0. ``mode='conjunctive'`` = every
+    clause matches (its term occurs in its named field); ``'disjunctive'``
+    = any clause.
+
+    Plan: clauses become composite ``field⟂term`` keys with per-key boosts
+    — the SAME keyed-kernel machinery as bm25f_topk (_composite_pass), so
+    combined block-max pruning, tomb/allow masking and paging compose
+    unchanged; all-keys conjunctive IS the per-clause AND (no group map
+    needed). Single-field identity: all clauses on one field f ≡
+    bm25_wand_topk on f's index (property-tested)."""
+    fields = sorted(indexes)
+    qids = {int(q[0]) for q in queries}
+    if len(qids) != len(queries):
+        raise ValueError("duplicate query_ids in a routed batch")
+    _off = offsets or {}
+    comp_queries = []
+    scan_terms: set = set()
+    idf_terms: set = set()
+    for q in queries:
+        qid, clauses, mode, k = int(q[0]), list(q[1]), q[2], int(q[3])
+        if mode not in ("disjunctive", "conjunctive"):
+            raise ValueError(f"unknown query mode {mode!r}")
+        if not clauses:
+            raise ValueError(f"query_id={qid}: no (field, term) clauses")
+        negs = list(q[4]) if len(q) > 4 and q[4] else []
+        boosts = dict(q[5]) if len(q) > 5 and q[5] else {}
+        bad_f = ({f for f, _t in clauses}
+                 | {f for f, _t in negs if f is not None}
+                 | {f for f, _t in boosts if f is not None}) - set(fields)
+        if bad_f:
+            raise ValueError(
+                f"query_id={qid} routes to unknown fields {sorted(bad_f)}; "
+                f"indexes have {fields}"
+            )
+        badw = {c: w for c, w in boosts.items() if float(w) < 0}
+        if badw:
+            raise ValueError(
+                f"negative clause boosts break exact pruning: {badw} "
+                f"(query_id={qid})"
+            )
+        keys = sorted({f"{f}{_SEP}{t}" for f, t in clauses})
+        negkeys: set = set()
+        for nf, nt in negs:
+            if nf is None:
+                negkeys.update(f"{f}{_SEP}{nt}" for f in fields)
+            else:
+                negkeys.add(f"{nf}{_SEP}{nt}")
+        wmap = {f"{f}{_SEP}{t}": float(w) for (f, t), w in boosts.items()}
+        comp = (qid, keys, mode, k + int(_off.get(qid, 0)),
+                tuple(sorted(negkeys)), wmap)
+        comp_queries.append(comp)
+        scan_terms |= {t for _f, t in clauses} | {t for _f, t in negs}
+        idf_terms |= {t for _f, t in clauses}
+    kmap_py = {int(q[0]): int(q[3]) for q in queries}
+    return _composite_pass(indexes, comp_queries, sorted(scan_terms),
+                           sorted(idf_terms), None, cfg, tomb_map,
+                           allow_map, kmap_py, _off)
 
 
 def cross_field_term_stats(indexes: dict[str, Index]) -> DataFrame:

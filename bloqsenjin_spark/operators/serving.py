@@ -391,23 +391,29 @@ class IndexServer:
 
     def query_batch(
         self, queries: list[tuple[int, list[str], str, int]],
-        allowed_doc_ids=None,
+        allowed_doc_ids=None, excluded_doc_ids=None,
     ) -> list[tuple[int, int, int, float]]:
         """→ [(query_id, rank, doc_id, score)] — rank-identical to
         operators/wand.bm25_wand_topk on the same index. Queries may carry a
         5th element (MUST_NOT terms) and a 6th (per-term boost dict — shared
         kernel, pruning stays exact). ``allowed_doc_ids`` (any int iterable)
         restricts ranking to those docs — the serving-side form of
-        bm25_topk_filtered's allow bitmaps, e.g. an ACL set."""
+        bm25_topk_filtered's allow bitmaps, e.g. an ACL set.
+        ``excluded_doc_ids``: a batch-wide exclusion set masked like
+        tombstones BEFORE top-k (exact) — the serving twin of
+        wand.bm25_topk_must_not_phrase's exclusion bitmap (callers derive
+        it from phrase_batch/near_batch for MUST_NOT-phrase queries)."""
         if not self._is_snap:
-            return self._snap().query_batch(queries,
-                                            allowed_doc_ids=allowed_doc_ids)
+            return self._snap().query_batch(
+                queries, allowed_doc_ids=allowed_doc_ids,
+                excluded_doc_ids=excluded_doc_ids)
         _check_boosts(queries)
         all_terms = sorted(
             {t for q in queries for t in q[1]}
             | {t for q in queries if len(q) > 4 and q[4] for t in q[4]}
         )
         allow_masks = self._allow_masks(allowed_doc_ids)
+        excl_masks = self._allow_masks(excluded_doc_ids)
         # eager: the whole-dict replica IS the idf map; lazy: one pruned
         # stats read for this batch's terms
         idf_map = self.idf if self.idf is not None else self._idf_for(all_terms)
@@ -429,6 +435,10 @@ class IndexServer:
             tm, skip = self._excl_mask(int(shard), allow_masks)
             if skip:
                 continue  # no eligible docs in this shard
+            if excl_masks is not None:
+                em = excl_masks.get(int(shard))
+                if em is not None:
+                    tm = em.copy() if tm is None else (tm | em)
             oq, od, os_ = score_shard_blocks(
                 int(shard), terms[m], bids[m], bmax[m], deltas[m], tfs[m],
                 self.dls[int(shard)], queries, idf_map, self.avgdl, self.cfg,
@@ -786,6 +796,162 @@ class IndexServer:
         return self.phrase_topk_batch(near_queries, ordered=ordered,
                                       allowed_doc_ids=allowed_doc_ids,
                                       offsets=offsets)
+
+    def _neg_doc_sets(self, neg_terms: list[str]) -> dict:
+        """→ {term: set(doc_id)} occurrence sets for MUST_NOT terms — one
+        pruned postings read, bounded by the neg terms' posting sizes (the
+        serving-side analog of the kernel's neg-term block scan)."""
+        from bloqsenjin_spark.functions.codec import delta_decode
+
+        out: dict[str, set] = {t: set() for t in neg_terms}
+        if not neg_terms:
+            return out
+        tbl = self._load_terms(sorted(neg_terms))
+        dps, bdocs = self.cfg.docs_per_shard, self.cfg.block_docs
+        for i, t in enumerate(tbl["term"]):
+            base = int(tbl["shard"][i]) * dps + int(tbl["block_id"][i]) * bdocs
+            ids = delta_decode(bytes(tbl["doc_deltas"][i]), base=base)
+            out[t].update(int(d) for d in ids)
+        return out
+
+    def phrase_terms_topk_batch(
+        self, queries: list, ordered: bool = True, allowed_doc_ids=None,
+        offsets=None,
+    ) -> list[tuple[int, int, int, float]]:
+        """→ [(query_id, rank, doc_id, score)] — PHRASE × LOOSE-TERM boolean
+        queries, rank-identical to operators/wand.phrase_terms_bm25_topk on
+        the same index (pytest-pinned). Tuples ``(qid, phrase, terms, mode,
+        k[, negs[, boosts[, slop]]])`` with the kernel's semantics: the
+        phrase clause gates phrase-only-term contributions; loose terms
+        contribute by presence; conjunctive = phrase AND all loose terms,
+        disjunctive = phrase OR any loose term; MUST_NOT excludes either way.
+
+        Composition of the two verified serving paths: the positional
+        phrase machinery (_phrase_hit_blocks — tomb/allow-masked) scores
+        the phrase-only terms of matched docs, the shared block-max kernel
+        scores the loose terms UNTRUNCATED (exact: the combined rank needs
+        every loose match, so this path is match-bounded like count_batch —
+        head-term batches are the Spark tier's job), and the two maps merge
+        per (query, doc) with the kernel's float order (loose-sum +
+        phrase-only-sum)."""
+        from bloqsenjin_spark.functions import bm25
+        from bloqsenjin_spark.functions.scoring import global_topk
+        from bloqsenjin_spark.operators.wand import (
+            _parse_phrase_terms_queries,
+        )
+
+        if offsets:  # deep paging: rank at depth offset+k, slice the page
+            rows = self.phrase_terms_topk_batch(
+                _deepen_queries(queries, offsets, 4), ordered=ordered,
+                allowed_doc_ids=allowed_doc_ids)
+            return _page_slice(rows, queries, offsets, 4)
+        if not self._is_snap:
+            return self._snap().phrase_terms_topk_batch(
+                queries, ordered=ordered, allowed_doc_ids=allowed_doc_ids)
+        parsed = _parse_phrase_terms_queries(queries)
+        allow_masks = self._allow_masks(allowed_doc_ids)
+        dps = self.cfg.docs_per_shard
+        k1, b = self.cfg.k1, self.cfg.b
+        score_terms = sorted(
+            {t for _q, ptoks, loose, *_ in parsed for t in ptoks}
+            | {t for _q, _p, loose, *_ in parsed for t in loose}
+        )
+        idf_map = (self.idf if self.idf is not None
+                   else self._idf_for(score_terms))
+        phrase_only = {
+            qid: sorted(set(ptoks) - set(loose))
+            for qid, ptoks, loose, *_ in parsed
+        }
+        wmaps = {qid: wmap for qid, _p, _l, _m, _k, _n, wmap, _s in parsed}
+        # 1. phrase pass: matched docs + phrase-only-term contributions
+        ph: dict[int, dict[int, float]] = {qid: {} for qid, *_ in parsed}
+        ph_parsed = [(qid, ptoks, slop)
+                     for qid, ptoks, _l, _m, _k, _n, _w, slop in parsed]
+        for qid, _uniq, shard, hits, per_term in self._phrase_hit_blocks(
+                ph_parsed, ordered=ordered, allow_masks=allow_masks):
+            score = np.zeros(hits.size, dtype=np.float64)
+            dl_h = self.dls[shard][hits - shard * dps]
+            wmap = wmaps[qid]
+            for t in phrase_only[qid]:  # sorted = the kernel's acc_p order
+                ids_t, _flat, offs_t = per_term[t]
+                tf_t = np.diff(offs_t).astype(np.float64)
+                score += (idf_map[t] * float(wmap.get(t, 1.0))) * \
+                    bm25.tf_component_np(
+                        tf_t[np.searchsorted(ids_t, hits)], dl_h,
+                        self.avgdl, k1, b,
+                )
+            d = ph[qid]
+            for doc, s in zip(hits, score):
+                d[int(doc)] = d.get(int(doc), 0.0) + float(s)
+        # MUST_NOT excludes phrase-only matches too (the loose pass handles
+        # its own negs via the shared kernel)
+        all_negs = sorted({t for *_f, negs, _w, _s in parsed for t in negs})
+        negsets = self._neg_doc_sets(all_negs)
+        for qid, _p, _l, _m, _k, negs, _w, _s in parsed:
+            if negs and ph[qid]:
+                excl = set().union(*[negsets[t] for t in negs])
+                ph[qid] = {d: s for d, s in ph[qid].items() if d not in excl}
+        # 2. loose pass: untruncated shared-kernel scoring (exact combine)
+        loose_q = [
+            (qid, sorted(set(loose)), mode, 1 << 30, negs, wmap)
+            for qid, _p, loose, mode, _k, negs, wmap, _s in parsed
+            if loose
+        ]
+        lo: dict[int, dict[int, float]] = {qid: {} for qid, *_ in parsed}
+        if loose_q:
+            scan_terms = sorted(
+                {t for q in loose_q for t in q[1]}
+                | {t for q in loose_q if q[4] for t in q[4]}
+            )
+            tbl = self._load_terms(scan_terms)
+            if tbl["term"]:
+                shards = np.asarray(tbl["shard"], dtype=np.int64)
+                terms = np.asarray(tbl["term"], dtype=object)
+                bids = np.asarray(tbl["block_id"], dtype=np.int64)
+                bmax = np.asarray(tbl["block_max_score"], dtype=np.float64)
+                deltas = np.asarray(tbl["doc_deltas"], dtype=object)
+                tfs = np.asarray(tbl["tfs"], dtype=object)
+                for shard in np.unique(shards):
+                    m = shards == shard
+                    tm, skip = self._excl_mask(int(shard), allow_masks)
+                    if skip:
+                        continue
+                    oq, od, os_ = score_shard_blocks(
+                        int(shard), terms[m], bids[m], bmax[m], deltas[m],
+                        tfs[m], self.dls[int(shard)], loose_q, idf_map,
+                        self.avgdl, self.cfg, tomb_mask=tm,
+                    )
+                    for qa, da, sa in zip(oq, od, os_):
+                        d = lo[int(qa[0])]
+                        for doc, s in zip(da, sa):
+                            d[int(doc)] = float(s)
+        # 3. combine with the kernel's eligibility + float order
+        q_parts: list[np.ndarray] = []
+        d_parts: list[np.ndarray] = []
+        s_parts: list[np.ndarray] = []
+        for qid, _p, loose, mode, _k, _n, _w, _s in parsed:
+            p, l_ = ph[qid], lo[qid]
+            if mode == "conjunctive" and loose:
+                docs = sorted(set(l_) & set(p))
+            elif mode == "conjunctive":
+                docs = sorted(p)
+            else:
+                docs = sorted(set(l_) | set(p))
+            if not docs:
+                continue
+            q_parts.append(np.full(len(docs), qid, dtype=np.int64))
+            d_parts.append(np.asarray(docs, dtype=np.int64))
+            s_parts.append(np.asarray(
+                [l_.get(d, 0.0) + p.get(d, 0.0) for d in docs],
+                dtype=np.float64,
+            ))
+        if not q_parts:
+            return []
+        return global_topk(
+            np.concatenate(q_parts), np.concatenate(d_parts),
+            np.concatenate(s_parts),
+            [(int(q[0]), [], "", int(q[4])) for q in queries],
+        )
 
     def highlight_batch(
         self, queries: list, allowed_doc_ids=None, offsets=None,
@@ -1681,6 +1847,101 @@ class FieldedIndexServer:
         return global_topk(
             np.concatenate(q_parts), np.concatenate(d_parts),
             np.concatenate(s_parts), queries,
+        )
+
+    def routed_batch(
+        self, queries: list, allowed_doc_ids=None, offsets=None,
+    ) -> list[tuple[int, int, int, float]]:
+        """PER-TERM field routing ≡ operators/fielded.bm25f_routed_topk
+        (rank-identical, pytest-pinned): ``(qid, [(field, term), ...],
+        mode, k[, negs[, boosts]])`` — each clause ranks on ITS named
+        field's statistics with its own boost; ``negs`` rows are
+        (field | None, term), None = any-field exclusion; no profile
+        weights (routing replaces the fielded profile). Same keyed kernel
+        and shard loop as query_batch, with per-clause composite keys
+        instead of the all-fields fan-out."""
+        if len({int(q[0]) for q in queries}) != len(queries):
+            raise ValueError("duplicate query_ids in a routed batch")
+        if offsets:
+            rows = self.routed_batch(_deepen_queries(queries, offsets, 3),
+                                     allowed_doc_ids=allowed_doc_ids)
+            return _page_slice(rows, queries, offsets, 3)
+        snaps = {f: s._snap() for f, s in self.servers.items()}
+        allow_masks = snaps[self.fields[0]]._allow_masks(allowed_doc_ids)
+        comp_queries = []
+        scan_terms: set = set()
+        idf_terms: set = set()
+        for q in queries:
+            qid, clauses, mode, k = int(q[0]), list(q[1]), q[2], int(q[3])
+            if mode not in ("disjunctive", "conjunctive"):
+                raise ValueError(f"unknown query mode {mode!r}")
+            if not clauses:
+                raise ValueError(f"query_id={qid}: no (field, term) clauses")
+            negs = list(q[4]) if len(q) > 4 and q[4] else []
+            boosts = dict(q[5]) if len(q) > 5 and q[5] else {}
+            bad_f = ({f for f, _t in clauses}
+                     | {f for f, _t in negs if f is not None}) \
+                - set(self.fields)
+            if bad_f:
+                raise ValueError(
+                    f"query_id={qid} routes to unknown fields "
+                    f"{sorted(bad_f)}; indexes have {self.fields}"
+                )
+            badw = {c: w for c, w in boosts.items() if float(w) < 0}
+            if badw:
+                raise ValueError(
+                    f"negative clause boosts break exact pruning: {badw} "
+                    f"(query_id={qid})"
+                )
+            keys = sorted({f"{f}{self._SEP}{t}" for f, t in clauses})
+            negkeys: set = set()
+            for nf, nt in negs:
+                if nf is None:
+                    negkeys.update(f"{f}{self._SEP}{nt}"
+                                   for f in self.fields)
+                else:
+                    negkeys.add(f"{nf}{self._SEP}{nt}")
+            wmap = {f"{f}{self._SEP}{t}": float(w)
+                    for (f, t), w in boosts.items()}
+            comp_queries.append((qid, keys, mode, k,
+                                 tuple(sorted(negkeys)), wmap))
+            scan_terms |= {t for _f, t in clauses} | {t for _f, t in negs}
+            idf_terms |= {t for _f, t in clauses}
+        comp, shards, bids, bmax, deltas, tfs = self._field_rows(
+            snaps, sorted(scan_terms))
+        if comp.size == 0:
+            return []
+        idf_map = {
+            f"{f}{self._SEP}{t}": v
+            for f in self.fields
+            for t, v in snaps[f]._idf_for(sorted(idf_terms)).items()
+        }
+        avgdls = {f: snaps[f].avgdl for f in self.fields}
+        q_parts, d_parts, s_parts = [], [], []
+        for shard in np.unique(shards):
+            m = shards == int(shard)
+            dls_by_field, tomb, skip = self._shard_ctx(
+                snaps, int(shard), allow_masks)
+            if skip:
+                continue
+            keys = set(comp[m])
+            dls_map = {k: dls_by_field[k.split(self._SEP, 1)[0]]
+                       for k in keys}
+            avgdl_map = {k: avgdls[k.split(self._SEP, 1)[0]] for k in keys}
+            oq, od, os_ = score_shard_blocks(
+                int(shard), comp[m], bids[m], bmax[m], deltas[m], tfs[m],
+                dls_map, comp_queries, idf_map, avgdl_map, self.cfg,
+                tomb_mask=tomb,
+            )
+            q_parts.extend(oq)
+            d_parts.extend(od)
+            s_parts.extend(os_)
+        if not q_parts:
+            return []
+        return global_topk(
+            np.concatenate(q_parts), np.concatenate(d_parts),
+            np.concatenate(s_parts),
+            [(int(q[0]), [], "", int(q[3])) for q in queries],
         )
 
     def _fuzzy_expansion_cross(self, snaps, word: str, max_dist: int,

@@ -84,22 +84,54 @@ def cosine_topk(
 
 
 def ivf_centroids(
-    embeddings: DataFrame, n_centroids: int = 16, iters: int = 8,
+    embeddings: DataFrame, n_centroids: "int | None" = None, iters: int = 8,
     sample: int = 2048, id_col: str = "vec_id", vec_col: str = "embedding",
+    salt: str = "ivf-train",
 ) -> np.ndarray:
-    """Deterministic k-means (cosine space: L2-normalized) trained driver-side
-    on a deterministic sample — first `sample` vectors by vec_id. Train-on-
-    sample is the standard IVF recipe: the sample is tiny relative to the
-    corpus; assignment (the expensive part) stays distributed."""
+    """Deterministic k-means (cosine space: L2-normalized) trained
+    driver-side on a DETERMINISTIC HASH SAMPLE of the corpus. Train-on-
+    sample is the standard IVF recipe — the sample is bounded (``sample``
+    rows collected), assignment (the expensive part) stays distributed.
+
+    Round 8 (verdict #4): the sample is the per-partition md5-coordinate
+    rule shared with operators/sampling (keep ⇔ md5(salt‖id) below the
+    rate threshold) — no global sort, and none of the first-ids bias of
+    the previous orderBy(id).limit(sample) recipe, which at 10⁹ vectors
+    trained on whatever the earliest ingest batch happened to contain.
+    The over-provisioned sample is cut to ``sample`` rows by
+    (hash-coordinate, vec_id) order, so the same corpus + salt always
+    trains the SAME centroids (the serving/Spark pruned-probe
+    rank-identity depends on that determinism).
+
+    ``n_centroids=None`` (the default) picks ≈√N — the standard IVF cell
+    rule, so probe cost √N·n_probe and cell size √N both stay sub-linear —
+    capped at 4096 and at sample//4 (every cell sees ≥ 4 training
+    points); pass an explicit value to override."""
+    from bloqsenjin_spark.operators.sampling import (
+        _coord,
+        rate_to_hex_threshold,
+    )
+
+    n = embeddings.count()
+    if n == 0:
+        raise ValueError("cannot train IVF centroids on an empty relation")
+    # 1.3× over-provision: the binomial draw then almost surely covers
+    # `sample` rows; the deterministic (coord, id) cut trims the excess
+    rate = min(1.0, (1.3 * sample) / n) if n > sample else 1.0
     rows = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(sample)
+        embeddings.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+            _coord(id_col, salt).alias("_c"),
+        )
+        .where(F.col("_c") < rate_to_hex_threshold(rate))
         .collect()
     )
-    x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    rows = sorted(rows, key=lambda r: (r["_c"], r["_id"]))[:sample]
+    x = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
     x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
-    c = x[:n_centroids].copy()  # deterministic init: first vectors by id
+    if n_centroids is None:
+        n_centroids = int(max(1, min(4096, round(n ** 0.5), len(x) // 4 or 1)))
+    c = x[:n_centroids].copy()  # deterministic init: first sampled vectors
     for _ in range(iters):
         sims = x @ c.T
         assign = sims.argmax(axis=1)
@@ -136,7 +168,7 @@ def ann_cosine_ivf(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -190,7 +222,7 @@ def ann_cosine_ivf(
 def write_ivf(
     embeddings: DataFrame,
     index_dir: str,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:

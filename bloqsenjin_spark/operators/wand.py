@@ -532,6 +532,325 @@ def near_bm25_topk(
     )
 
 
+def _parse_phrase_terms_queries(queries: list) -> list:
+    """Normalize/validate a phrase×terms batch → [(qid, ptoks, loose,
+    mode, k, negs, wmap, slop)]. Tuples are (qid, phrase, terms, mode, k
+    [, negs [, boosts [, slop]]]) — trailing slots optional, mirroring the
+    plain kernel's 4/5/6-tuple convention."""
+    out = []
+    seen = set()
+    for q in queries:
+        qid, phrase, loose, mode, k = int(q[0]), q[1], list(q[2]), q[3], int(q[4])
+        if qid in seen:
+            raise ValueError("duplicate query_ids in a phrase×terms batch")
+        seen.add(qid)
+        if mode not in ("disjunctive", "conjunctive"):
+            raise ValueError(f"unknown query mode {mode!r}")
+        negs = tuple(sorted(set(q[5]))) if len(q) > 5 and q[5] else ()
+        wmap = dict(q[6]) if len(q) > 6 and q[6] else {}
+        bad = {t: w for t, w in wmap.items() if float(w) < 0}
+        if bad:
+            raise ValueError(
+                f"negative term boosts break exact pruning: {bad} "
+                f"(query_id={qid})"
+            )
+        slop = int(q[7]) if len(q) > 7 else 0
+        ptoks = [t for t in _re.split(TOKEN_SPLIT_REGEX, phrase.lower()) if t]
+        if not ptoks:
+            raise ValueError(
+                f"query_id={qid}: empty phrase — use bm25_wand_topk for "
+                "term-only queries"
+            )
+        out.append((qid, ptoks, loose, mode, k, negs, wmap, slop))
+    return out
+
+
+def phrase_terms_score_partials(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    queries: list,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+    ordered: bool = True,
+    offsets: "dict[int, int] | None" = None,
+) -> DataFrame:
+    """Per-shard (query_id, doc_id, score) partials for PHRASE × LOOSE-TERM
+    boolean queries — Lucene's most common mixed shape, ``"data engine"
+    spark -nsfw``: a BooleanQuery holding one phrase clause plus loose term
+    clauses (reference parity: the reference's form/query ingestion layer,
+    /root/reference/pkg/rest/server.go:256-266, exposes exactly this
+    user-facing query shape; the engine composes it from the verified
+    phrase and term kernels).
+
+    Tuples: ``(qid, phrase, terms, mode, k[, negs[, boosts[, slop]]])``.
+    Semantics (both oracle-reproduced in SQL):
+
+    - eligibility — ``mode='conjunctive'``: the phrase matches AND every
+      loose term occurs; ``'disjunctive'``: the phrase matches OR any
+      loose term occurs. MUST_NOT terms exclude on occurrence either way.
+    - score — the engine's distinct-term set semantics: Σ contributions of
+      loose terms PRESENT in the doc, plus Σ contributions of phrase-only
+      terms iff the PHRASE matched (a term in both sets scores once, by
+      presence). Scored as loose-sum + phrase-only-sum (each in sorted-term
+      order) so the serving twin is float-order-identical.
+
+    ONE cogrouped pass over the union of the phrase terms' and loose
+    terms' postings: positions ride ONLY on phrase-term rows (the loose
+    rows' positional payload is nulled before the exchange), phrase blocks
+    verify with the shared positional kernel, loose blocks score with the
+    shared BM25 closed form, and block-max pruning stays exact because a
+    block's bound is Σ loose bmax·w (present terms) + Σ phrase-term bmax·w
+    (phrase-candidate blocks only — a phrase can only match where every
+    phrase term has postings). Per-(query, shard) partials are k-truncated
+    (every global winner wins its shard), so the global rank window reads
+    O(shards · Σk) rows."""
+    parsed = _parse_phrase_terms_queries(queries)
+    if "positions" not in postings.columns:
+        raise ValueError(
+            "phrase×terms queries need a positional index — build with "
+            "IndexConfig(positions=True)"
+        )
+    kmap_py = {qid: k for qid, _p, _l, _m, k, _n, _w, _s in parsed}
+    if offsets:
+        kmap_py = {qid: k + int(offsets.get(qid, 0))
+                   for qid, k in kmap_py.items()}
+    phrase_terms = sorted({t for _, ptoks, *_ in parsed for t in ptoks})
+    score_terms = sorted(
+        set(phrase_terms)
+        | {t for _, _p, loose, *_ in parsed for t in loose}
+    )
+    neg_terms = sorted({t for *_front, negs, _w, _s in parsed for t in negs})
+    all_terms = sorted(set(score_terms) | set(neg_terms))
+    idf_map = {
+        r["term"]: float(r["idf"])
+        for r in term_stats.where(F.col("term").isin(score_terms)).collect()
+    }
+    # positions ride only on phrase-term rows — loose/neg rows carry NULL so
+    # the cogroup exchange never ships positional payloads the scorer
+    # doesn't read (the same projection discipline as wand_score_partials)
+    pq = postings.where(F.col("term").isin(all_terms)).select(
+        "term", "shard", "block_id", "block_max_score", "doc_deltas", "tfs",
+        F.when(F.col("term").isin(phrase_terms), F.col("positions"))
+        .alias("positions"),
+    )
+    dps, bdocs = cfg.docs_per_shard, cfg.block_docs
+    k1, b = cfg.k1, cfg.b
+    avgdl = float(avgdl)
+    has_allow = allow_map is not None
+    _ordered = ordered
+
+    def score_verify(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+            {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+        )
+        if pl.empty or dl_pdf.empty:
+            return empty
+        from bloqsenjin_spark.functions.scoring import (
+            near_verify_block_unordered,
+            phrase_verify_block,
+        )
+
+        verify_fn = (phrase_verify_block if _ordered
+                     else near_verify_block_unordered)
+        shard = int(pl["shard"].iloc[0])
+        shard_base = shard * dps
+        dls = varint_decode(bytes(dl_pdf["dls"].iloc[0])).astype(np.float64)
+        tomb_mask, skip = _effective_mask(dl_pdf, has_allow)
+        if skip:
+            return empty
+        by_term, decode_pos = _positional_ctx(pl, shard, dps, bdocs)
+        bmax_by: dict = {}
+        for i, (t, bi, bm) in enumerate(zip(pl["term"], pl["block_id"],
+                                            pl["block_max_score"])):
+            bmax_by.setdefault(t, {})[int(bi)] = float(bm)
+        dd = pl["doc_deltas"].to_numpy()
+        tfb = pl["tfs"].to_numpy()
+        plain_cache: dict[int, tuple] = {}
+
+        def decode_plain(i: int, block_base: int):
+            got = plain_cache.get(i)
+            if got is None:
+                ids = delta_decode(bytes(dd[i]), base=block_base)
+                tfs_ = varint_decode(bytes(tfb[i])).astype(np.float64)
+                got = plain_cache[i] = (ids, tfs_)
+            return got
+
+        out_q: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for qid, ptoks, loose, mode, _k, negs, wmap, slop in parsed:
+            p_uniq = list(dict.fromkeys(ptoks))
+            loose_set = sorted(set(loose))
+            phrase_only = sorted(set(p_uniq) - set(loose_set))
+            conj = mode == "conjunctive"
+            pmaps = [by_term.get(t) for t in p_uniq]
+            if any(m is None for m in pmaps):
+                pblocks: set = set()
+            else:
+                pblocks = set(pmaps[0])
+                for m in pmaps[1:]:
+                    pblocks &= set(m)
+            loose_present = [t for t in loose_set if t in by_term]
+            if conj:
+                if not pblocks or len(loose_present) != len(loose_set):
+                    continue
+                cand = set(pblocks)
+                for t in loose_set:
+                    cand &= set(by_term[t])
+            else:
+                cand = set(pblocks)
+                for t in loose_present:
+                    cand.update(by_term[t])
+            if not cand:
+                continue
+
+            def wt(t):
+                return float(wmap.get(t, 1.0)) if wmap else 1.0
+
+            ubs = {}
+            for bi in cand:
+                ub = sum(
+                    bmax_by[t].get(bi, 0.0) * wt(t) for t in loose_present
+                )
+                if bi in pblocks:
+                    ub += sum(bmax_by[t][bi] * wt(t) for t in phrase_only)
+                ubs[bi] = ub
+            ordered_blocks = sorted(cand, key=lambda bi: (-ubs[bi], bi))
+
+            docs_acc: list[np.ndarray] = []
+            scores_acc: list[np.ndarray] = []
+            n_found = 0
+            threshold = -np.inf
+            kq = kmap_py[qid]
+            for bi in ordered_blocks:
+                if n_found >= kq and ubs[bi] < threshold - 1e-12:
+                    break
+                block_base = shard_base + bi * bdocs
+                phrase_mask = np.zeros(bdocs, dtype=bool)
+                if bi in pblocks:
+                    per_term = {
+                        t: decode_pos(m[bi], bi)
+                        for t, m in zip(p_uniq, pmaps)
+                    }
+                    hits = verify_fn(per_term, ptoks, block_base, slop)
+                    if hits.size:
+                        phrase_mask[hits - block_base] = True
+                acc_l = np.zeros(bdocs, dtype=np.float64)
+                acc_p = np.zeros(bdocs, dtype=np.float64)
+                loose_cnt = np.zeros(bdocs, dtype=np.int32)
+                for t in loose_set:  # sorted order = serving's sum order
+                    ri = by_term.get(t, {}).get(bi)
+                    if ri is None:
+                        continue
+                    ids, tfs_ = decode_plain(ri, block_base)
+                    off = ids - block_base
+                    contrib = (idf_map[t] * wt(t)) * bm25.tf_component_np(
+                        tfs_, dls[ids - shard_base], avgdl, k1, b
+                    )
+                    acc_l[off] += contrib
+                    loose_cnt[off] += 1
+                if phrase_mask.any():
+                    for t in phrase_only:  # sorted order
+                        ri = by_term[t].get(bi)
+                        if ri is None:  # pragma: no cover — pblocks ⊆ blocks
+                            continue
+                        ids, tfs_ = decode_plain(ri, block_base)
+                        off = ids - block_base
+                        contrib = (idf_map[t] * wt(t)) * bm25.tf_component_np(
+                            tfs_, dls[ids - shard_base], avgdl, k1, b
+                        )
+                        sel = phrase_mask[off]
+                        acc_p[off[sel]] += contrib[sel]
+                if conj:
+                    elig = phrase_mask & (loose_cnt == len(loose_set))
+                else:
+                    elig = phrase_mask | (loose_cnt > 0)
+                for nt in negs:  # MUST_NOT: block-local, complete
+                    ri = by_term.get(nt, {}).get(bi)
+                    if ri is not None:
+                        nids, _ = decode_plain(ri, block_base)
+                        elig[nids - block_base] = False
+                offs = np.flatnonzero(elig)
+                if offs.size and tomb_mask is not None:
+                    offs = offs[~tomb_mask[offs + (block_base - shard_base)]]
+                if offs.size == 0:
+                    continue
+                docs_acc.append(offs + block_base)
+                scores_acc.append(acc_l[offs] + acc_p[offs])
+                n_found += offs.size
+                if n_found >= kq:
+                    allx = np.concatenate(scores_acc)
+                    threshold = np.partition(
+                        allx, allx.size - kq)[allx.size - kq]
+            if not docs_acc:
+                continue
+            docs = np.concatenate(docs_acc)
+            scs = np.concatenate(scores_acc)
+            if docs.size > kq:
+                order = np.lexsort((docs, -scs))[:kq]
+                docs, scs = docs[order], scs[order]
+            out_q.append(np.full(docs.size, qid, dtype=np.int64))
+            out_d.append(docs)
+            out_s.append(scs)
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    dl = _with_tomb(doc_lens, tomb_map, allow_map)
+    return pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
+        score_verify, schema=_PARTIAL_SCHEMA
+    )
+
+
+def phrase_terms_bm25_topk(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    queries: list,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+    ordered: bool = True,
+    offsets: "dict[int, int] | None" = None,
+) -> DataFrame:
+    """Phrase × loose-terms top-k → (query_id, rank, doc_id, score) —
+    Lucene's BooleanQuery with a phrase clause plus term clauses (see
+    phrase_terms_score_partials for tuples and semantics). ``loose=[]``
+    degenerates to phrase_bm25_topk exactly (property-tested);
+    ``offsets``: deep paging with GLOBAL ranks (the family contract)."""
+    partial = phrase_terms_score_partials(
+        postings, doc_lens, term_stats, avgdl, queries, cfg,
+        tomb_map=tomb_map, allow_map=allow_map, ordered=ordered,
+        offsets=offsets,
+    )
+    kmap = F.create_map(
+        *[x for q in queries for x in (F.lit(int(q[0])), F.lit(int(q[4])))]
+    )
+    offsets = offsets or {}
+    omap = F.create_map(
+        *[x for q in queries
+          for x in (F.lit(int(q[0])), F.lit(int(offsets.get(int(q[0]), 0))))]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    off = omap[F.col("query_id")]
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where((F.col("rank") > off)
+               & (F.col("rank") <= off + kmap[F.col("query_id")]))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def phrase_match_twostage(
     docs: DataFrame,
     postings: DataFrame,
@@ -577,6 +896,62 @@ def phrase_match_twostage(
         .where(F.col("_norm").contains(pmap[F.col("query_id")]))
         .select("query_id", "doc_id")
     )
+
+
+def neg_phrase_exclusion_map(
+    postings: DataFrame,
+    neg_phrases: list,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    ordered: bool = True,
+) -> DataFrame:
+    """MUST_NOT-phrase side-input → (shard, tomb binary): the union of the
+    phrases' match sets as per-shard exclusion bitmaps (the tombstone
+    carrier), built distributively from the positional matcher — the
+    composition layer for ``spark -"data engine"`` (COMPOSITION.md note 4).
+    ``neg_phrases``: strings, or (phrase, slop) pairs for proximity
+    exclusion. OR-merge with an existing tombstone map via
+    operators.bitmaps.or_bitmap_maps; exclusion composes EXACTLY with every
+    ranked form because the bitmap masks before per-shard k-truncation."""
+    from bloqsenjin_spark.operators.bitmaps import shard_bitmap_df
+
+    qs = []
+    for i, p in enumerate(neg_phrases):
+        if isinstance(p, (tuple, list)):
+            qs.append((i, str(p[0]), int(p[1])))
+        else:
+            qs.append((i, str(p), 0))
+    matches = near_match_positional(postings, qs, cfg, ordered=ordered)
+    return shard_bitmap_df(matches.select("doc_id").distinct(), cfg,
+                           bitmap_col="tomb")
+
+
+def bm25_topk_must_not_phrase(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    queries: list,
+    neg_phrases: list,
+    cfg: IndexConfig = DEFAULT_CONFIG,
+    tomb_map: "DataFrame | None" = None,
+    allow_map: "DataFrame | None" = None,
+    ordered: bool = True,
+) -> DataFrame:
+    """Ranked boolean queries with MUST_NOT **phrase** clauses —
+    ``spark -"data engine"``: docs containing any of ``neg_phrases`` (as an
+    exact phrase / proximity window) are excluded from EVERY query's
+    ranking. Composition of two verified pieces: the positional matcher
+    builds a per-shard exclusion bitmap (neg_phrase_exclusion_map), which
+    rides the tombstone side-input into the unchanged scoring kernel —
+    exclusion before per-shard top-k, so k stays exact; no post-filtering.
+    Needs a positions=True index (the positive scoring itself does not)."""
+    from bloqsenjin_spark.operators.bitmaps import or_bitmap_maps
+
+    excl = neg_phrase_exclusion_map(postings, neg_phrases, cfg,
+                                    ordered=ordered)
+    tomb = excl if tomb_map is None else or_bitmap_maps(tomb_map, excl)
+    return bm25_wand_topk(postings, doc_lens, term_stats, avgdl, queries,
+                          cfg, tomb_map=tomb, allow_map=allow_map)
 
 
 def decorate_topk(topk_results: DataFrame, docs: DataFrame,
@@ -1514,8 +1889,23 @@ def facet_code_arrays(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        local = pdf["local"].to_numpy()
+        # one facet value per doc: last-write-wins over a nondeterministic
+        # pandas row order would desync engine counts from the oracle's
+        # join-every-row semantics — refuse loudly (shard-local check inside
+        # the existing Arrow pass; duplicates of one doc_id always land in
+        # the same shard group, so coverage is complete)
+        if np.unique(local).size != local.size:
+            dup_local = int(pd.Series(local)[pd.Series(local).duplicated()].iloc[0])
+            sh = int(pdf["shard"].iloc[0])
+            raise ValueError(
+                f"facet relation has multiple rows for doc_id "
+                f"{sh * dps + dup_local} — facet_code_arrays needs one "
+                "value per doc; dedupe the relation first (e.g. "
+                "groupBy(doc_id).agg(min(value)))"
+            )
         arr = np.full(dps, missing, dtype=np.uint8)
-        arr[pdf["local"].to_numpy()] = pdf["code"].to_numpy().astype(np.uint8)
+        arr[local] = pdf["code"].to_numpy().astype(np.uint8)
         return pd.DataFrame(
             {"shard": [int(pdf["shard"].iloc[0])], "codes": [arr.tobytes()]}
         )

@@ -567,6 +567,92 @@ FROM ranked WHERE rank <= k
 """.strip()
 
 
+def bm25f_routed_topk_sql(
+    rqueries: list,
+    field_toks: dict[str, str],
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for per-term field routing (operators/fielded.
+    bm25f_routed_topk): ``(qid, [(field, term), ...], mode, k[, negs
+    [, boosts]])`` — each clause scores idf_field(term) · w · tfc_field on
+    its named field's statistics; conjunctive = every clause matched
+    (HAVING count(DISTINCT field ⟂ term) = n_clauses); ``negs`` rows are
+    (field | None, term) with None meaning any-field exclusion.
+    Independent SQL re-derivation over the per-field CTE block."""
+    toks = DUCKDB_TOKENS_SQL.format(col=text_col)
+    tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
+    idf = idf_sql("ts.df", "cs.n")
+    qrows, neg_rows = [], []
+    for q in rqueries:
+        qid, clauses, mode, k = int(q[0]), q[1], q[2], int(q[3])
+        assert mode in ("disjunctive", "conjunctive"), mode
+        negs = q[4] if len(q) > 4 and q[4] else ()
+        boosts = dict(q[5]) if len(q) > 5 and q[5] else {}
+        uniq = sorted({(f, t) for f, t in clauses})
+        for f, t in uniq:
+            w = float(boosts.get((f, t), 1.0))
+            qrows.append(
+                f"({qid}, '{f}', '" + t.replace("'", "''")
+                + f"', {w!r}::DOUBLE, {k}, '{mode}', {len(uniq)})"
+            )
+        for nf, nt in negs:
+            neg_rows.append(
+                f"({qid}, '{nf or ''}', '" + nt.replace("'", "''") + "')"
+            )
+    neg_cte, neg_join = "", ""
+    if neg_rows:
+        neg_cte = (
+            f"qn(query_id, field, term) AS (VALUES {', '.join(neg_rows)}),\n"
+            "excl AS (SELECT DISTINCT qn.query_id, tf.doc_id FROM qn "
+            "JOIN tf ON tf.term = qn.term "
+            "AND (qn.field = '' OR qn.field = tf.field)),\n"
+        )
+        neg_join = "ANTI JOIN excl USING (query_id, doc_id)"
+    ft_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{f}' AS field, {expr} AS ftoks FROM dtok"
+        for f, expr in sorted(field_toks.items())
+    )
+    return f"""
+WITH qt(query_id, field, term, w, k, mode, n_clauses) AS (VALUES
+        {(',' + chr(10) + '        ').join(qrows)}),
+dtok AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {doc_table}),
+ft AS (
+{ft_selects}
+),
+tok AS (SELECT doc_id, field, unnest(ftoks) AS term FROM ft),
+dl AS (SELECT doc_id, field, len(ftoks) AS dl FROM ft),
+cs AS (SELECT field, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY field),
+tf AS (SELECT field, term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+ts AS (SELECT field, term, count(*) AS df FROM tf GROUP BY 1, 2),
+{neg_cte}contrib AS (
+    SELECT qt.query_id, tf.doc_id, qt.k, qt.mode, qt.n_clauses,
+           qt.field || chr(0) || qt.term AS clause,
+           ({idf} * qt.w) * {tfc} AS contrib
+    FROM qt
+    JOIN tf ON tf.field = qt.field AND tf.term = qt.term
+    JOIN ts ON ts.field = qt.field AND ts.term = qt.term
+    JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = qt.field
+    JOIN cs ON cs.field = qt.field
+),
+scored AS (
+    SELECT query_id, doc_id, k, sum(contrib) AS score
+    FROM contrib GROUP BY query_id, doc_id, k, mode, n_clauses
+    HAVING (mode = 'disjunctive' OR count(DISTINCT clause) = n_clauses)
+),
+ranked AS (
+    SELECT query_id, doc_id, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored {neg_join}
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= k
+""".strip()
+
+
 def bm25f_merged_topk_sql(
     queries: list[tuple[int, list[str], str, int]],
     field_toks: dict[str, str],
@@ -1991,6 +2077,144 @@ SELECT r.query_id, r.rank::INT AS rank, r.doc_id,
        round(r.score, {round_to}) AS score
 FROM r JOIN ks ON r.query_id = ks.query_id
 WHERE r.rank <= ks.k
+""".strip()
+
+
+def must_not_phrase_topk_sql(queries: list, neg_map: dict,
+                             round_to: int = SCORE_ROUND_DECIMALS) -> str:
+    """Oracle for wand.bm25_topk_must_not_phrase: plain ranked queries
+    (4/5/6-tuples — the bm25_topk_sql shapes) with MUST_NOT **phrase**
+    clauses. ``neg_map``: qid → [(phrase, slop, ordered), ...]. Independent
+    re-derivation: the unbounded positive ranking ANTI-JOINs each query's
+    phrase match set (position-window joins), then re-ranks — exclusion
+    before ranks, exactly the engine's pre-top-k bitmap masking."""
+    unb = [(q[0], q[1], q[2], 1 << 30) for q in queries]
+    must_not = {q[0]: list(q[4]) for q in queries if len(q) > 4 and q[4]}
+    base = bm25_topk_sql(unb, round_score=False,
+                         must_not=must_not or None)
+    pm_parts = []
+    ordered_in = [(qid, p, s) for qid, lst in neg_map.items()
+                  for p, s, o in lst if o]
+    unordered_in = [(qid, p, s) for qid, lst in neg_map.items()
+                    for p, s, o in lst if not o]
+    if ordered_in:
+        pm_parts.append(near_match_sql(ordered_in))
+    if unordered_in:
+        pm_parts.append(near_unordered_match_sql(unordered_in))
+    pm = "\nUNION ALL\n".join(f"SELECT * FROM (\n{p}\n)" for p in pm_parts)
+    kvals = ", ".join(f"({int(q[0])}, {int(q[3])})" for q in queries)
+    return f"""
+WITH base AS ({base}),
+pm AS ({pm}),
+ks(query_id, k) AS (VALUES {kvals}),
+kept AS (
+    SELECT query_id, doc_id, score FROM base
+    ANTI JOIN pm USING (query_id, doc_id)
+),
+r AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM kept
+)
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id,
+       round(r.score, {round_to}) AS score
+FROM r JOIN ks ON r.query_id = ks.query_id
+WHERE r.rank <= ks.k
+""".strip()
+
+
+def phrase_terms_topk_sql(queries: list, ordered: bool = True,
+                          round_to: int = SCORE_ROUND_DECIMALS) -> str:
+    """Oracle for wand.phrase_terms_bm25_topk — phrase × loose-term boolean
+    queries ``(qid, phrase, terms, mode, k[, negs[, boosts[, slop]]])``.
+    Independent SQL re-derivation: the phrase match set comes from the
+    chained position-window joins (near_match_sql / the unordered anchor
+    variant), per-(query, doc, term) contributions from the shared BM25
+    closed form, and the eligibility/score rules are the operator's —
+    loose terms contribute by presence, phrase-only terms iff the phrase
+    matched; conjunctive = phrase AND all loose, disjunctive = phrase OR
+    any loose; MUST_NOT anti-joins before ranking."""
+    import re
+
+    toks = DUCKDB_TOKENS_SQL.format(col="text")
+    tfc = tf_component_sql("tf.tf", "dl.dl", "cs.avgdl")
+    idf = idf_sql("ts.df", "cs.n")
+    qt_rows: list[str] = []
+    pm_inputs: list[tuple[int, str, int]] = []
+    neg_rows: list[str] = []
+    for q in queries:
+        qid, phrase, terms, mode, k = int(q[0]), q[1], q[2], q[3], int(q[4])
+        negs = sorted(set(q[5])) if len(q) > 5 and q[5] else []
+        boosts = dict(q[6]) if len(q) > 6 and q[6] else {}
+        slop = int(q[7]) if len(q) > 7 else 0
+        ptoks = [t for t in re.split(TOKEN_SPLIT_REGEX, phrase.lower()) if t]
+        loose = sorted(set(terms))
+        union = sorted(set(ptoks) | set(loose))
+        for t in union:
+            lit = "'" + t.replace("'", "''") + "'"
+            qt_rows.append(
+                f"({qid}, {lit}, {float(boosts.get(t, 1.0))!r}, "
+                f"{str(t in set(loose)).upper()}, '{mode}', {k}, "
+                f"{len(loose)})"
+            )
+        pm_inputs.append((qid, phrase, slop))
+        for t in negs:
+            neg_rows.append(f"({qid}, '" + t.replace("'", "''") + "')")
+    pm = (near_match_sql(pm_inputs) if ordered
+          else near_unordered_match_sql(pm_inputs))
+    neg_cte, neg_join = "", ""
+    if neg_rows:
+        neg_cte = (
+            f"qn(query_id, term) AS (VALUES {', '.join(neg_rows)}),\n"
+            "excl AS (SELECT DISTINCT qn.query_id, tf.doc_id "
+            "FROM qn JOIN tf USING (term)),\n"
+        )
+        neg_join = "ANTI JOIN excl USING (query_id, doc_id)"
+    return f"""
+WITH dtok AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM dtok),
+dl AS (SELECT doc_id, len(toks) AS dl FROM dtok),
+cs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+{neg_cte}qt(query_id, term, w, is_loose, mode, k, n_loose) AS (VALUES
+        {(',' + chr(10) + '        ').join(qt_rows)}),
+pm AS ({pm}),
+j AS (
+    SELECT qt.query_id, tf.doc_id, qt.mode, qt.k, qt.n_loose, qt.is_loose,
+           ({idf} * qt.w) * {tfc} AS contrib,
+           (pm.doc_id IS NOT NULL) AS phrase_hit
+    FROM qt
+    JOIN tf USING (term)
+    JOIN ts USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN cs
+    LEFT JOIN pm ON pm.query_id = qt.query_id AND pm.doc_id = tf.doc_id
+),
+scored AS (
+    SELECT query_id, doc_id, k, mode, n_loose,
+           sum(CASE WHEN is_loose OR phrase_hit THEN contrib END) AS score,
+           count(*) FILTER (WHERE is_loose) AS nl,
+           bool_or(phrase_hit) AS hp
+    FROM j GROUP BY query_id, doc_id, k, mode, n_loose
+),
+elig AS (
+    SELECT query_id, doc_id, k, score FROM scored
+    WHERE CASE WHEN mode = 'conjunctive' THEN hp AND nl = n_loose
+               ELSE hp OR nl > 0 END
+),
+ranked AS (
+    SELECT query_id, doc_id, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM elig {neg_join}
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, {round_to}) AS score
+FROM ranked WHERE rank <= k
 """.strip()
 
 

@@ -116,6 +116,7 @@ def compact_to(
     cfg: IndexConfig = DEFAULT_CONFIG,
     refresh: bool = False,
     docs: "DataFrame | None" = None,
+    facet_sources: "dict[str, tuple] | None" = None,
 ) -> None:
     """Persist the merged segments as the serving index (plans.build.
     write_index) — a CONTENT mutation: both ``generation`` and
@@ -131,12 +132,16 @@ def compact_to(
     compact: plans.build.refresh_replicas rebuilds exactly the replicas
     the mutation staled (the fuzzy buckets from the new term_stats at
     their previous build distance; the doc store from ``docs`` — required
-    then, since segments hold index tables, not corpus rows)."""
+    then, since segments hold index tables, not corpus rows; facet code
+    replicas from ``facet_sources`` — {name: (facet_df, facet_col)},
+    required then for any index with faceted serving enabled, since facet
+    codes project a source relation the index layout does not hold)."""
     from bloqsenjin_spark.plans.build import refresh_replicas, write_index
 
     write_index(compact(spark, segments_dir, cfg), index_dir)
     if refresh:
-        refresh_replicas(spark, index_dir, docs=docs, cfg=cfg)
+        refresh_replicas(spark, index_dir, docs=docs, cfg=cfg,
+                         facet_sources=facet_sources)
 
 
 def windowed_event_metrics(

@@ -89,11 +89,22 @@ def test_parse_errors(bad):
 
 
 @pytest.mark.parametrize("bad", [
-    '-"a phrase"', '+"a phrase"',
+    '+"a phrase"',
 ])
 def test_parse_unsupported(bad):
     with pytest.raises(UnsupportedQueryError):
         parse(bad)
+
+
+def test_parse_neg_phrase():
+    """-"a b" parses as a MUST_NOT phrase clause (round 8); pure MUST_NOT
+    still cannot rank."""
+    q = parse('spark -"data engine"')
+    assert q.clauses[1] == Phrase(("data", "engine"), prohibited=True)
+    q2 = parse(to_string(q), default_op=q.op)
+    assert q2 == q
+    with pytest.raises(QueryParseError):
+        parse('-"a phrase"')
 
 
 ROUND_TRIP = [
@@ -155,9 +166,8 @@ def test_compile_field_routing():
 
 
 @pytest.mark.parametrize("bad", [
-    '"a phrase" loose',           # phrase × loose terms
     '"one phrase" "two phrase"',
-    "title:spark body:fast",      # cross-field terms
+    "title:spark body:fast*",     # expansion × per-term routing
     "a* b*",                      # multi-prefix
     "pre* loose",
     "pre*^2",                     # boost on expansion (scanner allows, compiler refuses)
@@ -434,15 +444,113 @@ def test_parse_groups():
 
 
 @pytest.mark.parametrize("bad", [
-    "(a (b c))",        # nested
     "(a",               # unbalanced
     "()",               # empty
     "(a b))",           # stray close → unexpected char
     "+(a b) optional",  # mixed required/optional
+    "(a OR)",           # dangling operator inside a group
 ])
 def test_parse_group_errors(bad):
     with pytest.raises(QueryParseError):
         parse(bad, default_op="and")
+
+
+# ---- nested boolean expressions (round 8) ------------------------------------
+
+def test_parse_nested_boolean():
+    from bloqsenjin_spark.sources.querylang import BoolNode, Group
+
+    q = parse("a AND (b OR (c AND d))")
+    assert q.op == "and" and isinstance(q.clauses[1], BoolNode)
+    inner = q.clauses[1]
+    assert inner.op == "or" and isinstance(inner.children[1], BoolNode)
+    assert inner.children[1].op == "and"
+    # same-op nesting flattens by associativity: (a (b c)) IS the flat
+    # OR-group a ∨ b ∨ c (implicit op inside parens is OR)
+    q = parse("(a (b c)) spark", default_op="and")
+    assert isinstance(q.clauses[0], Group)
+    assert [m.text for m in q.clauses[0].members] == ["a", "b", "c"]
+    # single-term parens collapse to the term
+    assert parse("(a) b", default_op="and").clauses[0] == Term("a")
+    # explicit AND inside parens
+    q = parse("(a AND b) OR c")
+    assert isinstance(q.clauses[0], BoolNode) and q.clauses[0].op == "and"
+
+
+def test_parse_hardening():
+    """Dangling/consecutive operators and sign-eating normalization refuse
+    loudly (round-7 ADVICE)."""
+    for bad in ["a OR", "a AND", "a OR OR b", "a OR AND b", "OR a",
+                "c)", "a)", "title:-x", "title:+x"]:
+        with pytest.raises(QueryParseError):
+            parse(bad)
+
+
+def test_parse_nested_unsupported():
+    # MUST_NOT over an AND sub-expression is an OR of exclusions — refused
+    with pytest.raises(UnsupportedQueryError):
+        parse("-(a AND b) spark")
+    # leaves must be plain terms at any depth
+    for bad in ["(a AND b*)", "(a AND (b~1 c))", '(a AND "p q")',
+                "(a AND title:b)"]:
+        with pytest.raises(UnsupportedQueryError):
+            parse(bad)
+
+
+def _group_sets(payload):
+    """Normalize a grouped-conjunctive payload's gmap to a set of term-set
+    groups (group ids are arbitrary labels)."""
+    gmap = payload[6]
+    groups: dict = {}
+    for t, gids in gmap.items():
+        for g in gids:
+            groups.setdefault(g, set()).add(t)
+    return frozenset(frozenset(v) for v in groups.values())
+
+
+def test_compile_nested_cnf():
+    # a AND (b OR (c AND d))  ≡  a (b c) (b d)  by distributivity
+    c = compile_query(1, parse("a AND (b OR (c AND d))"), k=7)
+    assert c.kind == "plain" and c.mode == "conjunctive"
+    assert c.payload[1] == ["a", "b", "c", "d"]
+    flat = compile_query(1, parse("a (b c) (b d)", default_op="and"), k=7)
+    assert _group_sets(c.payload) == _group_sets(flat.payload)
+    # (a AND b) OR c  ≡  (a c) (b c)
+    c = compile_query(2, parse("(a AND b) OR c"), k=5)
+    flat = compile_query(2, parse("(a c) (b c)", default_op="and"), k=5)
+    assert _group_sets(c.payload) == _group_sets(flat.payload)
+    # degenerate shapes collapse to the plain forms
+    c = compile_query(3, parse("(a AND b)"), k=5)
+    assert c.payload == (3, ["a", "b"], "conjunctive", 5)
+    c = compile_query(4, parse("((a b) OR c)"), k=5)
+    assert c.payload == (4, ["a", "b", "c"], "disjunctive", 5)
+    # negs and boosts ride through
+    c = compile_query(5, parse("a^2 AND (b OR (c AND d)) -nsfw"), k=5)
+    assert c.payload[4] == ("nsfw",) and c.payload[5] == {"a": 2.0}
+
+
+def test_compile_nested_cap():
+    # 2^7 = 128 CNF groups > 63 — loud refusal naming the cap
+    q = " AND ".join(f"(t{i}a AND t{i}b)" for i in range(2))
+    # build an OR of ANDs that distributes past the cap: OR over 7
+    # two-term AND-nodes → 2^7 = 128 groups
+    q = " OR ".join(f"(x{i} AND y{i})" for i in range(7))
+    with pytest.raises(UnsupportedQueryError, match="63"):
+        compile_query(1, parse(f"({q})", default_op="and"))
+
+
+NESTED_ROUND_TRIP = [
+    "a AND (b OR (c AND d))",
+    "(a AND b) OR c",
+    "spark (a (b c))",
+    "+(a AND b) +c",
+]
+
+
+@pytest.mark.parametrize("s", NESTED_ROUND_TRIP)
+def test_nested_round_trip(s):
+    q = parse(s, default_op="and")
+    assert parse(to_string(q), default_op=q.op) == q
 
 
 @pytest.mark.parametrize("bad", [

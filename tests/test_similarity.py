@@ -106,6 +106,43 @@ def test_ivf_deterministic(spark, emb):
     assert (a == b).all()
 
 
+def test_ivf_auto_cells_and_sampled_training(spark, emb):
+    """Round-8 training-scale rules: n_centroids=None picks ≈√N (capped at
+    sample//4), the sample is the deterministic hash-coordinate rule (not
+    first-ids), and full probe stays exact brute force regardless."""
+    n = emb.count()
+    cents = similarity.ivf_centroids(emb)  # auto cells
+    assert len(cents) == round(n ** 0.5)
+    # deterministic across invocations, and a different salt trains on a
+    # DIFFERENT sample (so the old first-ids bias cannot be back)
+    again = similarity.ivf_centroids(emb)
+    assert (cents == again).all()
+    other = similarity.ivf_centroids(emb, salt="ivf-train-b")
+    assert not (np.asarray(other).shape == cents.shape
+                and (other == cents).all())
+    # small sample caps the cell count at sample//4
+    few = similarity.ivf_centroids(emb, sample=32)
+    assert len(few) == 8
+    # full probe ≡ brute even under auto cells
+    brute = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in similarity.cosine_topk(emb, QIDS, k=K).collect()
+    )
+    ivf = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in similarity.ann_cosine_ivf(
+            emb, QIDS, k=K, n_probe=len(cents)).collect()
+    )
+    assert ivf == brute
+    # pruned-probe recall floor holds under auto cells too
+    ivf_p = similarity.ann_cosine_ivf(
+        emb, QIDS, k=K, n_probe=max(2, len(cents) // 4)).collect()
+    bset = {(r["query_id"], r["vec_id"]) for r in
+            similarity.cosine_topk(emb, QIDS, k=K).collect()}
+    iset = {(r["query_id"], r["vec_id"]) for r in ivf_p}
+    assert len(bset & iset) / len(bset) >= 0.4
+
+
 def test_lsh_buckets_deterministic(spark, emb):
     a = {(r["vec_id"], r["band"]): r["key"] for r in similarity.lsh_signatures(emb).collect()}
     b = {(r["vec_id"], r["band"]): r["key"] for r in similarity.lsh_signatures(emb).collect()}
