@@ -415,7 +415,10 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
             pidx.postings.persist(StorageLevel.MEMORY_AND_DISK).count()
             pidx.doc_lens.persist(StorageLevel.MEMORY_AND_DISK).count()
             phrases = [(1, "the fast", 10), (2, "customer order", 10)]
-            pm_ts, pt_ts = [], []
+            # round-8 composed forms: phrase × loose terms + MUST_NOT phrase
+            pt_queries = [(1, "the fast", ["customer"], "disjunctive", 10),
+                          (2, "customer order", ["the"], "conjunctive", 10)]
+            pm_ts, pt_ts, ptc_ts, mnp_ts = [], [], [], []
             topk_rows = 0
             for _ in range(3):  # min-of-3 interleaved, as everywhere
                 t0 = time.perf_counter()
@@ -429,14 +432,33 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
                     pidx.avgdl, phrases, pcfg,
                 ).count()
                 pt_ts.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                wand.phrase_terms_bm25_topk(
+                    pidx.postings, pidx.doc_lens, pidx.term_stats,
+                    pidx.avgdl, pt_queries, pcfg,
+                ).count()
+                ptc_ts.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                wand.bm25_topk_must_not_phrase(
+                    pidx.postings, pidx.doc_lens, pidx.term_stats,
+                    pidx.avgdl, [(1, ["the", "fast"], "disjunctive", 10)],
+                    ["customer order"], pcfg,
+                ).count()
+                mnp_ts.append(time.perf_counter() - t0)
             # positional serving forms (no Spark job), min-of-3 interleaved
             psrv = IndexServer(pidx_dir, pcfg)
             hl_qs = [(1, ["the", "fast"], "disjunctive", 10),
                      (2, ["customer"], "disjunctive", 5)]
+            neg_excl = {d for _q, d in psrv.near_batch(
+                [(0, "customer order", 0)])}
             ps_runs = {
                 "phrase": lambda: psrv.phrase_batch(
                     [(q, p) for q, p, _ in phrases]),
                 "phrase_topk": lambda: psrv.phrase_topk_batch(phrases),
+                "phrase_terms": lambda: psrv.phrase_terms_topk_batch(
+                    pt_queries),
+                "neg_phrase": lambda: psrv.query_batch(
+                    hl_qs, excluded_doc_ids=neg_excl),
                 "near": lambda: psrv.near_batch(
                     [(q, p, 2) for q, p, _ in phrases]),
                 "near_unordered": lambda: psrv.near_batch(
@@ -458,6 +480,8 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
                 "doc_store_build_sec": round(doc_store_build, 3),
                 "match_sec": round(min(pm_ts), 4),
                 "topk_sec": round(min(pt_ts), 4),
+                "phrase_terms_sec": round(min(ptc_ts), 4),
+                "neg_phrase_sec": round(min(mnp_ts), 4),
                 "topk_rows": topk_rows,
                 "serving": {k: round(min(v), 5) for k, v in ps_ts.items()},
             }
@@ -496,7 +520,13 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
             fidxs = {f: B.read_index(spark, fdirs[f], cfg) for f in fdirs}
             fq = [q for q in corpus.REFERENCE_QUERIES if q[2] == "disjunctive"]
             fw = {"title": 2.0, "body": 1.0}
-            fld_ts: dict[str, list[float]] = {"per_field_sum": [], "merged": []}
+            # round-8 per-term routing: each clause on ITS field's index
+            rq = [(1, [("title", "the"), ("body", "customer")],
+                   "disjunctive", 10),
+                  (2, [("title", "fast"), ("body", "order")],
+                   "conjunctive", 10)]
+            fld_ts: dict[str, list[float]] = {
+                "per_field_sum": [], "merged": [], "routed": []}
             for _ in range(3):
                 t0 = time.perf_counter()
                 FLD.bm25f_topk(fidxs, fq, fw, cfg).count()
@@ -505,10 +535,15 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
                 FLD.bm25f_merged_topk(
                     fidxs, fq, fw, idx.term_stats, cfg).count()
                 fld_ts["merged"].append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                FLD.bm25f_routed_topk(fidxs, rq, cfg).count()
+                fld_ts["routed"].append(time.perf_counter() - t0)
             fsrv = FieldedIndexServer(fdirs, cfg, doc_stats_dir=idx_dir)
             fsrv.query_batch(fq, fw)  # warm per-field term caches
             fsrv.merged_batch(fq, fw)
-            fs_ts: dict[str, list[float]] = {"per_field_sum": [], "merged": []}
+            fsrv.routed_batch(rq)
+            fs_ts: dict[str, list[float]] = {
+                "per_field_sum": [], "merged": [], "routed": []}
             for _ in range(3):
                 t0 = time.perf_counter()
                 fsrv.query_batch(fq, fw)
@@ -516,13 +551,18 @@ def run_bench(sf_dir: str, cores: int, replication: int) -> dict:
                 t0 = time.perf_counter()
                 fsrv.merged_batch(fq, fw)
                 fs_ts["merged"].append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                fsrv.routed_batch(rq)
+                fs_ts["routed"].append(time.perf_counter() - t0)
             fielded_metrics = {
                 "build_sec_2fields": round(fielded_build, 3),
                 "n_queries": len(fq),
                 "per_field_sum_sec": round(min(fld_ts["per_field_sum"]), 4),
                 "merged_sec": round(min(fld_ts["merged"]), 4),
+                "routed_sec": round(min(fld_ts["routed"]), 4),
                 "serving_per_field_sum_sec": round(min(fs_ts["per_field_sum"]), 5),
                 "serving_merged_sec": round(min(fs_ts["merged"]), 5),
+                "serving_routed_sec": round(min(fs_ts["routed"]), 5),
             }
         finally:
             for d in fdirs.values():

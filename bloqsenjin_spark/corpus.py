@@ -135,6 +135,46 @@ def gen_zipf_pages(spark: SparkSession, n_docs: int, vocab_size: int = 10_000,
     )
 
 
+def gen_embeddings(spark: SparkSession, n_vecs: int, dim: int = 64,
+                   clusters: int = 256, seed: int = 7) -> DataFrame:
+    """Synthetic clustered embedding corpus for ANN scale runs →
+    (vec_id long, embedding array<float>): vector = unit cluster center
+    (vec_id % clusters) + Gaussian noise of expected NORM ≈ 0.5 (σ scaled
+    by 1/√dim — per-dim σ would make the noise norm ≈ σ√dim dominate the
+    unit center and the corpus near-isotropic). Clustered — not
+    isotropic — so IVF recall measurements are meaningful. Fully
+    distributed + deterministic: centers AND noise come from counter-based
+    Philox streams keyed (seed, cluster) / (seed, vec_id), independent of
+    partitioning, like gen_zipf_pages."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        centers = np.stack([
+            np.random.Generator(
+                np.random.Philox(key=[seed, 1 << 40 | c])
+            ).standard_normal(dim)
+            for c in range(clusters)
+        ])
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True) + 1e-12
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for vid in ids:
+                rng = np.random.Generator(
+                    np.random.Philox(key=[seed, int(vid)]))
+                v = (centers[int(vid) % clusters]
+                     + (0.5 / dim ** 0.5) * rng.standard_normal(dim))
+                vecs.append(v.astype(np.float32))
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return (
+        spark.range(n_vecs)
+        .repartition(max(8, spark.sparkContext.defaultParallelism))
+        .mapInPandas(gen, schema="vec_id long, embedding array<float>")
+    )
+
+
 # ---- reference query set (FIXTURES.md §2) ------------------------------------
 # Fixed literals: head terms, mid terms, the rare term 'dup', absent terms
 # (zero-hit), duplicate terms (policy: query terms are DEDUPED before scoring

@@ -85,8 +85,8 @@ def cosine_topk(
 
 def ivf_centroids(
     embeddings: DataFrame, n_centroids: "int | None" = None, iters: int = 8,
-    sample: int = 2048, id_col: str = "vec_id", vec_col: str = "embedding",
-    salt: str = "ivf-train",
+    sample: "int | None" = None, id_col: str = "vec_id",
+    vec_col: str = "embedding", salt: str = "ivf-train",
 ) -> np.ndarray:
     """Deterministic k-means (cosine space: L2-normalized) trained
     driver-side on a DETERMINISTIC HASH SAMPLE of the corpus. Train-on-
@@ -106,7 +106,10 @@ def ivf_centroids(
     ``n_centroids=None`` (the default) picks ≈√N — the standard IVF cell
     rule, so probe cost √N·n_probe and cell size √N both stay sub-linear —
     capped at 4096 and at sample//4 (every cell sees ≥ 4 training
-    points); pass an explicit value to override."""
+    points); pass an explicit value to override. ``sample=None`` scales
+    the training set with the cell count (32 per cell, floor 2048, cap
+    131072 — the driver-side k-means stays a bounded few-second matmul
+    at every corpus size)."""
     from bloqsenjin_spark.operators.sampling import (
         _coord,
         rate_to_hex_threshold,
@@ -115,6 +118,10 @@ def ivf_centroids(
     n = embeddings.count()
     if n == 0:
         raise ValueError("cannot train IVF centroids on an empty relation")
+    if sample is None:
+        cells_hint = (n_centroids if n_centroids is not None
+                      else max(1, min(4096, round(n ** 0.5))))
+        sample = int(max(2048, min(131072, 32 * cells_hint)))
     # 1.3× over-provision: the binomial draw then almost surely covers
     # `sample` rows; the deterministic (coord, id) cut trims the excess
     rate = min(1.0, (1.3 * sample) / n) if n > sample else 1.0

@@ -32,6 +32,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _fanout_worker(args):
+    """One slice owner in a spawned process: open the slice server, warm
+    the head-term batch, return (rows, best-of-3 seconds). No Spark, no
+    shared state — the multi-server deployment shape."""
+    index_dir, cfg_kw, shard_slice, queries = args
+    from bloqsenjin_spark.config import IndexConfig
+    from bloqsenjin_spark.operators.serving import IndexServer
+
+    srv = IndexServer(index_dir, IndexConfig(**cfg_kw), shards=shard_slice)
+    rows = srv.query_batch(queries)  # warm (decodes + caches the slice)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows = srv.query_batch(queries)
+        best = min(best, time.perf_counter() - t0)
+    return rows, best
+
+
 def _peak_rss_gb() -> dict:
     """Peak resident set (VmHWM) of every live java process + self."""
     peaks = {}
@@ -57,6 +75,9 @@ def main() -> None:
     ap.add_argument("--vocab", type=int, default=50_000)
     ap.add_argument("--keep-dir", default=None,
                     help="persist corpus+index here instead of a tmpdir")
+    ap.add_argument("--ann-vectors", type=int, default=5_000_000,
+                    help="IVF ANN stress size (0 skips the section)")
+    ap.add_argument("--ann-dim", type=int, default=64)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -172,6 +193,93 @@ def main() -> None:
                 )
                 lat[name] = round(best, 4)
         out["serving_sec"] = lat
+
+        # ---- serving fan-out: head-term batch vs slice count --------------
+        # (round-8 verdict #3) N slice-owner servers in SEPARATE PROCESSES,
+        # each owning a contiguous doc-range shard slice; wall-clock is the
+        # slowest slice (+ merge), and merge_topk must reproduce the
+        # single-process rows exactly. This is the case slicing exists for:
+        # the head-term batch costs seconds in one process.
+        import multiprocessing as _mp
+
+        import pyarrow.dataset as _ds
+
+        from bloqsenjin_spark.operators.serving import merge_topk
+
+        head_q = [(1, ["the", "of"], "disjunctive", 10),
+                  (2, ["the"], "disjunctive", 10),
+                  (3, ["of", "and"], "disjunctive", 10)]
+        cfg_kw = dict(docs_per_shard=4096, block_docs=512)
+        single_rows, single_best = _fanout_worker(
+            (idx_dir, cfg_kw, None, head_q))
+        tbl = _ds.dataset(f"{idx_dir}/doc_lens", format="parquet",
+                          partitioning="hive").to_table(columns=["shard"])
+        all_shards = sorted({int(s.as_py()) for s in tbl["shard"]})
+        fan: dict = {"queries": len(head_q),
+                     "single_process_sec": round(single_best, 3),
+                     "shards": len(all_shards)}
+        ctx = _mp.get_context("spawn")
+        for n in (2, 4, 8):
+            size = (len(all_shards) + n - 1) // n
+            slices = [all_shards[i * size:(i + 1) * size] for i in range(n)]
+            t_wall = time.perf_counter()
+            with ctx.Pool(n) as pool:
+                parts = pool.map(
+                    _fanout_worker,
+                    [(idx_dir, cfg_kw, sl, head_q) for sl in slices])
+            wall = time.perf_counter() - t_wall
+            t_m = time.perf_counter()
+            merged = merge_topk([p[0] for p in parts], head_q)
+            merge_sec = time.perf_counter() - t_m
+            assert merged == single_rows, "slice merge diverged!"
+            fan[f"slices_{n}"] = {
+                "max_slice_sec": round(max(p[1] for p in parts), 3),
+                "merge_sec": round(merge_sec, 4),
+                "wall_incl_open_sec": round(wall, 1),
+                "speedup_vs_single": round(
+                    single_best / max(p[1] for p in parts), 2),
+            }
+        fan["merged_identical"] = True
+        out["serving_fanout"] = fan
+
+        # ---- IVF ANN stress (round-8 verdict #4) ---------------------------
+        if args.ann_vectors > 0:
+            from bloqsenjin_spark.operators import similarity
+            from bloqsenjin_spark.operators.serving import IndexServer
+
+            emb_dir = f"{root}/embeddings"
+            t0 = time.perf_counter()
+            corpus.gen_embeddings(spark, args.ann_vectors, dim=args.ann_dim) \
+                .write.mode("overwrite").parquet(emb_dir)
+            ann: dict = {"n_vectors": args.ann_vectors, "dim": args.ann_dim,
+                         "gen_sec": round(time.perf_counter() - t0, 1)}
+            emb = spark.read.parquet(emb_dir)
+            t0 = time.perf_counter()
+            cents = similarity.write_ivf(emb, idx_dir)  # auto ≈√N cells
+            ann["n_cells"] = int(len(cents))
+            ann["write_ivf_sec"] = round(time.perf_counter() - t0, 1)
+            qids = [i * 317 for i in range(16)]
+            t0 = time.perf_counter()
+            brute = similarity.cosine_topk(emb, qids, k=10).collect()
+            ann["brute_16q_sec"] = round(time.perf_counter() - t0, 1)
+            bset: dict = {}
+            for r in brute:
+                bset.setdefault(r["query_id"], set()).add(r["vec_id"])
+            srv = IndexServer(idx_dir, cfg)
+            for n_probe in (1, 4, 16, 64):
+                t0 = time.perf_counter()
+                got = srv.ann_batch(qids, k=10, n_probe=n_probe)
+                probe_sec = time.perf_counter() - t0
+                gset: dict = {}
+                for qid, _rank, vid, _s in got:
+                    gset.setdefault(qid, set()).add(vid)
+                hits = sum(len(bset[q] & gset.get(q, set())) for q in bset)
+                total = sum(len(v) for v in bset.values())
+                ann[f"probe_{n_probe}"] = {
+                    "batch_sec": round(probe_sec, 3),
+                    "recall_at_10": round(hits / total, 3),
+                }
+            out["ann_stress"] = ann
         out["peak_rss_gb_final"] = _peak_rss_gb()
     finally:
         if not args.keep_dir:

@@ -553,6 +553,47 @@ def test_nested_round_trip(s):
     assert parse(to_string(q), default_op=q.op) == q
 
 
+def test_cnf_truth_table_equivalence():
+    """Property: for random nested boolean trees, the compiled CNF groups
+    are satisfied by EXACTLY the same term-subsets as direct tree
+    evaluation — distributivity preserved the boolean function."""
+    import itertools
+    import random
+
+    from bloqsenjin_spark.sources.querylang import _cnf_of, BoolNode, Group
+
+    terms = ["t0", "t1", "t2", "t3", "t4"]
+
+    def rand_tree(rng, depth):
+        if depth == 0 or rng.random() < 0.4:
+            return Term(rng.choice(terms))
+        op = rng.choice(["and", "or"])
+        kids = tuple(rand_tree(rng, depth - 1)
+                     for _ in range(rng.randint(2, 3)))
+        return BoolNode(kids, op)
+
+    def eval_tree(node, present):
+        if isinstance(node, Term):
+            return node.text in present
+        if isinstance(node, Group):
+            return any(m.text in present for m in node.members)
+        hits = (eval_tree(c, present) for c in node.children)
+        return all(hits) if node.op == "and" else any(hits)
+
+    rng = random.Random(8)
+    for _ in range(60):
+        tree = rand_tree(rng, 3)
+        if isinstance(tree, Term):
+            continue
+        groups = _cnf_of(tree)
+        for r in range(len(terms) + 1):
+            for subset in itertools.combinations(terms, r):
+                present = set(subset)
+                want = eval_tree(tree, present)
+                got = all(any(t in present for t in g) for g in groups)
+                assert got == want, (tree, sorted(present), groups)
+
+
 @pytest.mark.parametrize("bad", [
     '("a phrase" b)', "(title:a b)", "(a* b)", "(a~1 b)", "(+a b)",
     "(-a b)",
