@@ -1880,7 +1880,8 @@ class FieldedIndexServer:
             negs = list(q[4]) if len(q) > 4 and q[4] else []
             boosts = dict(q[5]) if len(q) > 5 and q[5] else {}
             bad_f = ({f for f, _t in clauses}
-                     | {f for f, _t in negs if f is not None}) \
+                     | {f for f, _t in negs if f is not None}
+                     | {f for f, _t in boosts if f is not None}) \
                 - set(self.fields)
             if bad_f:
                 raise ValueError(

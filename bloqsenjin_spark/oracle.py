@@ -2083,11 +2083,20 @@ WHERE r.rank <= ks.k
 def must_not_phrase_topk_sql(queries: list, neg_map: dict,
                              round_to: int = SCORE_ROUND_DECIMALS) -> str:
     """Oracle for wand.bm25_topk_must_not_phrase: plain ranked queries
-    (4/5/6-tuples — the bm25_topk_sql shapes) with MUST_NOT **phrase**
-    clauses. ``neg_map``: qid → [(phrase, slop, ordered), ...]. Independent
-    re-derivation: the unbounded positive ranking ANTI-JOINs each query's
-    phrase match set (position-window joins), then re-ranks — exclusion
-    before ranks, exactly the engine's pre-top-k bitmap masking."""
+    (4/5-tuples — the bm25_topk_sql shapes; 6-tuple per-term boosts are
+    REFUSED loudly, since the base builder has no boost support and a
+    silent drop would fake oracle parity). ``neg_map``: qid → [(phrase,
+    slop, ordered), ...]. Independent re-derivation: the unbounded
+    positive ranking ANTI-JOINs each query's phrase match set
+    (position-window joins), then re-ranks — exclusion before ranks,
+    exactly the engine's pre-top-k bitmap masking."""
+    for q in queries:
+        if len(q) > 5 and q[5]:
+            raise ValueError(
+                "must_not_phrase_topk_sql supports 4/5-tuple queries only "
+                "— per-term boosts need a weighted base builder "
+                f"(query_id={q[0]})"
+            )
     unb = [(q[0], q[1], q[2], 1 << 30) for q in queries]
     must_not = {q[0]: list(q[4]) for q in queries if len(q) > 4 and q[4]}
     base = bm25_topk_sql(unb, round_score=False,

@@ -202,9 +202,13 @@ def parse(text: str, default_op: str = "or") -> ParsedQuery:
         )
     required = [c for c in clauses
                 if isinstance(c, (Term, Group, BoolNode)) and c.required]
+    # phrases are exempt from the +-balance rule: they cannot carry '+',
+    # and under the AND mode that required terms force, the phrase clause
+    # IS a MUST clause anyway ('"data engine" +x' ≡ conjunctive
+    # phrase×terms — exactly what the +-on-phrase refusal recommends)
     positives = [
         c for c in clauses
-        if not (isinstance(c, (Term, Group, BoolNode)) and c.prohibited)
+        if isinstance(c, (Term, Group, BoolNode)) and not c.prohibited
     ]
     if required and len(required) != len(positives):
         raise QueryParseError(
@@ -576,6 +580,13 @@ def compile_query(qid: int, parsed: ParsedQuery, k: int = 10) -> Compiled:
                 "nested boolean × phrase composition has no operator — "
                 "nested boolean expressions hold plain terms"
             )
+        if any(t.field is not None for t in negs):
+            raise UnsupportedQueryError(
+                "field-qualified MUST_NOT beside a nested boolean "
+                "expression: nested booleans run on the whole-document "
+                "index, so a -field:term exclusion has no composed "
+                "operator there"
+            )
         return _compile_nested(qid, parsed, nodes, pos, pos_groups,
                                neg_texts, k)
 
@@ -609,6 +620,13 @@ def compile_query(qid: int, parsed: ParsedQuery, k: int = 10) -> Compiled:
                     "(one field's index) or none"
                 )
             fld = next(iter(pfields))
+            if any(t.field != fld for t in negs):
+                raise UnsupportedQueryError(
+                    "MUST_NOT terms beside a phrase must target the SAME "
+                    "field as the phrase (the exclusion runs on that "
+                    "field's index) — qualify them identically or not at "
+                    "all"
+                )
             boosts = {t.text: float(t.boost) for t in pos
                       if t.boost is not None}
             if any(bv < 0 for bv in boosts.values()):
@@ -636,6 +654,13 @@ def compile_query(qid: int, parsed: ParsedQuery, k: int = 10) -> Compiled:
     if len(fields) > 1:
         # PER-TERM field routing — Lucene's 'title:spark body:fast': each
         # clause ranks on its named field's index (fielded.bm25f_routed_topk)
+        if neg_phrases:
+            raise UnsupportedQueryError(
+                'a -"…" clause beside per-term field routing has no '
+                "composed operator — the phrase exclusion bitmap is built "
+                "against ONE index; drop the routing or the phrase "
+                "exclusion"
+            )
         return _compile_routed(qid, parsed, pos, negs, pos_groups,
                                neg_groups, k)
     fld = next(iter(fields)) if fields else None
@@ -1249,12 +1274,16 @@ def serve_query_batch(
         if kind == "plain":
             if mnp:
                 # serving twin of the exclusion bitmap: the phrases' match
-                # set (positional verify) excluded like tombstones
+                # set (positional verify) excluded like tombstones — ONE
+                # batched positional pass per orientation
                 excl_ids: set = set()
-                for i2, (b, s, o) in enumerate(mnp):
-                    excl_ids.update(
-                        d for _q, d in srv.near_batch([(i2, b, s)],
-                                                      ordered=o))
+                for olabel in (True, False):
+                    sub = [(i2, b, s) for i2, (b, s, o) in enumerate(mnp)
+                           if o is olabel]
+                    if sub:
+                        excl_ids.update(
+                            d for _q, d in srv.near_batch(sub,
+                                                          ordered=olabel))
                 kw["excluded_doc_ids"] = excl_ids
             rows += srv.query_batch(payloads, **kw)
         elif kind == "phrase":

@@ -209,7 +209,9 @@ def main() -> None:
         head_q = [(1, ["the", "of"], "disjunctive", 10),
                   (2, ["the"], "disjunctive", 10),
                   (3, ["of", "and"], "disjunctive", 10)]
-        cfg_kw = dict(docs_per_shard=4096, block_docs=512)
+        # derive from the build cfg — slice servers MUST share geometry
+        cfg_kw = dict(docs_per_shard=cfg.docs_per_shard,
+                      block_docs=cfg.block_docs)
         single_rows, single_best = _fanout_worker(
             (idx_dir, cfg_kw, None, head_q))
         tbl = _ds.dataset(f"{idx_dir}/doc_lens", format="parquet",

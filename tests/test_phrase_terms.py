@@ -210,11 +210,27 @@ def test_must_not_phrase_dsl_and_serving(spark, tmp_path_factory):
         k=5)
     assert c.must_not_phrases == (("fast the", 1, False),)
     assert c.payload[4] == ("nsfw",)
-    for bad in ['"a b" -"c d"', '(a b) -"c d"', 'a* -"c d"']:
+    for bad in ['"a b" -"c d"', '(a b) -"c d"', 'a* -"c d"',
+                # routed × neg-phrase: the exclusion bitmap is per-index
+                'title:a body:b -"c d"',
+                'title:a title:b -x -title:"c d"']:
         with pytest.raises(ql.UnsupportedQueryError):
-            ql.compile_query(9, ql.parse(bad))
+            ql.compile_query(9, ql.parse(bad, default_op="and"))
     with pytest.raises(ql.QueryParseError):
         ql.parse('-"a b"')  # pure MUST_NOT cannot rank
+    # round-8 review fixes: field-qualified MUST_NOT must not silently
+    # widen on the phrase×terms / nested paths
+    with pytest.raises(ql.UnsupportedQueryError, match="SAME"):
+        ql.compile_query(9, ql.parse('"data engine" spark -title:nsfw'))
+    with pytest.raises(ql.UnsupportedQueryError, match="field"):
+        ql.compile_query(9, ql.parse('(a AND (b OR c)) -title:x',
+                                     default_op="and"))
+    # +required terms beside a phrase: the documented AND-mode form works
+    c = ql.compile_query(9, ql.parse('"data engine" +x'))
+    assert c.kind == "phrase_terms" and c.mode == "conjunctive"
+    c = ql.compile_query(9, ql.parse('+x +y -"data engine"'))
+    assert c.kind == "plain" and c.mode == "conjunctive"
+    assert c.must_not_phrases == (("data engine", 0, True),)
 
     docs = corpus.load_table(spark, SF_DIR, "documents")
     d = str(tmp_path_factory.mktemp("mnp") / "idx")
