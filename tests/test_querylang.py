@@ -710,6 +710,24 @@ def test_grouped_fielded_profile(spark, fidxs):
     assert got == sorted(want) and len(got) > 0
 
 
+def test_nested_boolean_fielded_profile(spark, fidxs):
+    """NESTED boolean expressions under a fielded profile (round 8): the
+    CNF groups ride the same 7-slot bm25f path — every CNF group must
+    match in SOME field."""
+    from bloqsenjin_spark.operators import fielded
+
+    compiled = compile_batch(
+        [(1, "the AND (customer OR (order AND fast))", 10)],
+        default_op="and")
+    got = _rows(ql.run_query_batch(
+        None, compiled, fielded_indexes=fidxs, field_weights=FIELD_WEIGHTS))
+    want = _rows(fielded.bm25f_topk(fidxs, [
+        (1, ["customer", "fast", "order", "the"], "conjunctive", 10, (), {},
+         {"customer": (1, 2), "fast": (1,), "order": (2,), "the": (0,)}),
+    ], FIELD_WEIGHTS, CFG))
+    assert got == sorted(want) and len(got) > 0
+
+
 # ---- wildcard terms (Lucene WildcardQuery: ? = one char, * = any run) -------
 
 

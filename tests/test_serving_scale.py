@@ -93,6 +93,30 @@ def test_slice_fanout_across_processes(spark, index_dir):
     assert merged_p == want_p
 
 
+def test_slice_fanout_expansion_forms(spark, index_dir):
+    """Prefix/fuzzy fan-out is exact too: term_stats (df/idf and so the
+    expansion sets + caps) are corpus-wide in every slice owner — only
+    postings/doc_lens are slice-filtered — so each slice expands to the
+    IDENTICAL term set and merge_topk reproduces the full ranking."""
+    cfg = IndexConfig(**CFG_KW)
+    full = IndexServer(index_dir, cfg)
+    pq = [(1, "th", 10), (2, "cust", 10)]
+    fq = [(1, "spork", 1, 10), (2, "custmer", 1, 10)]
+    want_p = full.prefix_topk_batch(pq, max_expansions=8)
+    want_f = full.fuzzy_topk_batch(fq, max_expansions=8)
+    assert want_p and want_f
+    slices = _shard_slices(index_dir, 3)
+    owners = [IndexServer(index_dir, cfg, shards=sl) for sl in slices]
+    merged_p = merge_topk(
+        [o.prefix_topk_batch(pq, max_expansions=8) for o in owners],
+        [(q[0], [], "", q[2]) for q in pq])
+    merged_f = merge_topk(
+        [o.fuzzy_topk_batch(fq, max_expansions=8) for o in owners],
+        [(q[0], [], "", q[3]) for q in fq])
+    assert merged_p == want_p
+    assert merged_f == want_f
+
+
 def test_slice_union_covers_every_doc(spark, index_dir):
     """Slice partials are disjoint and their doc union equals the full
     server's match set (counts prove no doc is owned twice or dropped)."""
