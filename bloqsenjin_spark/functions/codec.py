@@ -44,6 +44,52 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_encode_chunks(values: np.ndarray,
+                         seg_lengths: np.ndarray) -> list:
+    """LEB128-encode a CONCATENATED value stream and return one bytes blob
+    per segment — byte-identical to calling varint_encode on each segment
+    (LEB128 is per-value, so concatenation is boundary-stable;
+    property-tested), but ONE vectorized pass for any number of segments.
+
+    This is the posting-encode amortizer: the build's per-(term, shard)
+    groups split into millions of ≤block_docs blocks, and per-block NumPy
+    calls on tiny arrays are dispatch-overhead-dominated — encoding every
+    block of an Arrow batch in one pass moves the cost back to O(values).
+    """
+    seg = np.asarray(seg_lengths, dtype=np.int64)
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b""] * seg.size
+    bits = np.zeros(v.shape, dtype=np.int64)
+    nz = v > 0
+    bits[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+    too_low = v >= (np.uint64(1) << np.minimum(bits, 63).astype(np.uint64))
+    bits[too_low & (bits < 64)] += 1
+    nbytes = np.maximum((bits + 6) // 7, 1)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    for i in range(int(nbytes.max())):
+        mask = nbytes > i
+        idx = starts[mask] + i
+        chunk = (v[mask] >> np.uint64(7 * i)).astype(np.uint64) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > i).astype(np.uint8) << 7
+        out[idx] = chunk.astype(np.uint8) | cont
+    # per-segment byte ranges: value-index ends → byte ends
+    val_ends = np.cumsum(nbytes)
+    seg_val_ends = np.cumsum(seg)
+    seg_byte_ends = np.where(
+        seg_val_ends > 0, val_ends[np.maximum(seg_val_ends - 1, 0)], 0
+    )
+    # zero-length segments fall out naturally: end == previous end ⇒ empty
+    seg_byte_starts = np.concatenate(([0], seg_byte_ends[:-1]))
+    buf = out.tobytes()
+    return [
+        buf[s:e] for s, e in zip(seg_byte_starts.tolist(),
+                                 seg_byte_ends.tolist())
+    ]
+
+
 def varint_decode(buf: bytes) -> np.ndarray:
     """Decode an LEB128 stream to uint64. Vectorized via terminator scan."""
     raw = np.frombuffer(buf, dtype=np.uint8)

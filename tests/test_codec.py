@@ -87,3 +87,102 @@ def test_compression_is_compact():
     ids = np.arange(0, 100_000, 7, dtype=np.int64)
     buf = delta_encode(ids, base=0)
     assert len(buf) == ids.size  # gap 7 fits one byte each
+
+
+def test_varint_chunks_equals_per_segment_encode():
+    """Round-8 encode amortizer: varint_encode_chunks over a concatenated
+    stream is byte-identical to per-segment varint_encode, for any segment
+    shape including empty segments (LEB128 concatenation stability)."""
+    from bloqsenjin_spark.functions.codec import varint_encode_chunks
+
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        n_seg = int(rng.integers(1, 12))
+        segs = rng.integers(0, 9, n_seg)
+        vals = rng.integers(
+            0, 1 << int(rng.integers(1, 63)), int(segs.sum())
+        ).astype(np.uint64)
+        chunks = varint_encode_chunks(vals, segs)
+        assert len(chunks) == n_seg
+        off = 0
+        for length, chunk in zip(segs, chunks):
+            assert chunk == varint_encode(vals[off:off + int(length)])
+            off += int(length)
+    assert varint_encode_chunks(np.zeros(0, np.uint64), np.array([0, 0])) \
+        == [b"", b""]
+
+
+def test_batched_block_encode_matches_reference():
+    """The whole-batch vectorized posting encoder (_postings_batches.emit)
+    is BYTE-identical to the per-block reference (_encode_group), for
+    positional and positionless builds and regardless of where Arrow cuts
+    the batch."""
+    import pandas as pd
+
+    from bloqsenjin_spark.config import IndexConfig
+    from bloqsenjin_spark.functions import bm25
+    from bloqsenjin_spark.operators import postings as P
+
+    rng = np.random.default_rng(7)
+    cfg = IndexConfig(docs_per_shard=64, block_docs=16, positions=True)
+    avgdl = 7.3
+    rows = []
+    for term in ["a", "b", "cc"]:
+        for shard in [0, 1, 3]:
+            docs = np.sort(rng.choice(
+                np.arange(shard * 64, shard * 64 + 64),
+                size=int(rng.integers(1, 50)), replace=False))
+            for d in docs:
+                tf = int(rng.integers(1, 6))
+                pos = np.sort(rng.choice(200, size=tf,
+                                         replace=False)).astype(np.int64)
+                rows.append((term, shard, int(d), tf,
+                             float(rng.integers(3, 40)),
+                             float(rng.random() + 0.1), pos))
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    pdf = pd.DataFrame(rows, columns=["term", "shard", "doc_id", "tf",
+                                      "dl", "idf", "pos"])
+    cols = [f.name for f in P.schemas.POSTINGS.fields]
+
+    def reference(pdf, cfg, positional):
+        t = pdf["term"].to_numpy()
+        sh = pdf["shard"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy()
+        tfs = pdf["tf"].to_numpy().astype(np.int64)
+        contrib = pdf["idf"].to_numpy() * bm25.tf_component_np(
+            tfs.astype(float), pdf["dl"].to_numpy().astype(float),
+            avgdl, cfg.k1, cfg.b)
+        pos = pdf["pos"].to_numpy() if positional else None
+        change = np.flatnonzero((t[1:] != t[:-1]) | (sh[1:] != sh[:-1])) + 1
+        bounds = np.concatenate(([0], change, [len(pdf)]))
+        out = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            out.extend(P._encode_group(
+                t[s], int(sh[s]), doc_ids[s:e], tfs[s:e], contrib[s:e],
+                pos[s:e] if positional else None, cfg))
+        return pd.DataFrame(out, columns=cols)
+
+    run = P._postings_batches(cfg, avgdl)
+    got = pd.concat(list(run(iter([pdf]))), ignore_index=True)
+    want = reference(pdf, cfg, True)
+    for col in cols:
+        assert got[col].tolist() == want[col].tolist(), col
+
+    # positionless
+    cfg2 = IndexConfig(docs_per_shard=64, block_docs=16, positions=False)
+    run2 = P._postings_batches(cfg2, avgdl)
+    got2 = pd.concat(list(run2(iter([pdf.drop(columns=["pos"])]))),
+                     ignore_index=True)
+    want2 = reference(pdf, cfg2, False)
+    for col in cols:
+        assert got2[col].tolist() == want2[col].tolist(), col
+
+    # Arrow-cut invariance (the stitched tail-run carry)
+    key = ["term", "shard", "block_id"]
+    for cut in (7, 23, 57):
+        parts = [pdf.iloc[:cut], pdf.iloc[cut:]]
+        outc = pd.concat(list(run(iter(parts))), ignore_index=True)
+        a = outc.sort_values(key).reset_index(drop=True)
+        b = got.sort_values(key).reset_index(drop=True)
+        for col in cols:
+            assert a[col].tolist() == b[col].tolist(), (cut, col)
