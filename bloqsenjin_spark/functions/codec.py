@@ -19,18 +19,30 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # 64 bits / 7
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array. Vectorized: one pass per byte position."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
+def _leb128_stream(v: np.ndarray) -> tuple:
+    """THE shared LEB128 encode kernel → (byte stream uint8 array, bytes
+    per value). One implementation so every encoder (varint_encode,
+    varint_encode_chunks and therefore delta/segmented/doc_lens blobs)
+    stays byte-identical by construction.
+
+    Bit widths come from float64 log2 with BOTH rounding directions
+    corrected (float log2 can round either way within 1 ulp above 2^53):
+    under-round would drop a needed byte (corruption); over-round emitted
+    a non-canonical trailing 0x00 byte for values just below a power of
+    two ≥ 2^54 — harmless to our own decoder but wrong LEB128."""
     # bytes needed per value: ceil(bit_length/7), min 1
     bits = np.zeros(v.shape, dtype=np.int64)
     nz = v > 0
     bits[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
-    # float log2 can under-round at exact powers near 2^53+; correct upward
+    # under-round: the value doesn't fit in `bits` bits → one more
     too_low = v >= (np.uint64(1) << np.minimum(bits, 63).astype(np.uint64))
     bits[too_low & (bits < 64)] += 1
+    # over-round: the value already fits in bits−1 bits → one fewer
+    hi = np.maximum(bits - 1, 0)
+    too_high = nz & (hi > 0) & (hi < 64) & (
+        v < (np.uint64(1) << np.minimum(hi, 63).astype(np.uint64))
+    )
+    bits[too_high] -= 1
     nbytes = np.maximum((bits + 6) // 7, 1)
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
@@ -41,6 +53,15 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * i)).astype(np.uint64) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > i).astype(np.uint8) << 7
         out[idx] = chunk.astype(np.uint8) | cont
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized: one pass per byte position."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    out, _nbytes = _leb128_stream(v)
     return out.tobytes()
 
 
@@ -60,21 +81,7 @@ def varint_encode_chunks(values: np.ndarray,
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return [b""] * seg.size
-    bits = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
-    bits[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
-    too_low = v >= (np.uint64(1) << np.minimum(bits, 63).astype(np.uint64))
-    bits[too_low & (bits < 64)] += 1
-    nbytes = np.maximum((bits + 6) // 7, 1)
-    total = int(nbytes.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    for i in range(int(nbytes.max())):
-        mask = nbytes > i
-        idx = starts[mask] + i
-        chunk = (v[mask] >> np.uint64(7 * i)).astype(np.uint64) & np.uint64(0x7F)
-        cont = (nbytes[mask] - 1 > i).astype(np.uint8) << 7
-        out[idx] = chunk.astype(np.uint8) | cont
+    out, nbytes = _leb128_stream(v)
     # per-segment byte ranges: value-index ends → byte ends
     val_ends = np.cumsum(nbytes)
     seg_val_ends = np.cumsum(seg)

@@ -186,3 +186,33 @@ def test_batched_block_encode_matches_reference():
         b = got.sort_values(key).reset_index(drop=True)
         for col in cols:
             assert a[col].tolist() == b[col].tolist(), (cut, col)
+
+
+def test_leb128_canonical_at_float_boundaries():
+    """Regression (round-8 review): float64-log2 over-rounding emitted a
+    non-canonical trailing 0x00 for values just below powers of two
+    ≥ 2^54. Pin byte equality to a scalar reference LEB128 across the
+    boundary neighborhoods and random large values."""
+    from bloqsenjin_spark.functions.codec import varint_encode_chunks
+
+    def ref_leb(x: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = x & 0x7F
+            x >>= 7
+            out.append(b | (0x80 if x else 0))
+            if not x:
+                return bytes(out)
+
+    vals = [0, 1, 127, 128]
+    for k in range(50, 64):
+        vals += [(1 << k) - 2, (1 << k) - 1, 1 << k, (1 << k) + 1]
+    vals.append((1 << 64) - 1)
+    rng = np.random.default_rng(11)
+    vals += [int(x) for x in rng.integers(0, 1 << 62, 50, dtype=np.uint64)]
+    arr = np.array(vals, dtype=np.uint64)
+    want = b"".join(ref_leb(x) for x in vals)
+    assert varint_encode(arr) == want
+    chunks = varint_encode_chunks(arr, np.ones(arr.size, np.int64))
+    assert b"".join(chunks) == want
+    assert (varint_decode(want) == arr).all()
