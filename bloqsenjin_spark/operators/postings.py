@@ -46,6 +46,11 @@ from bloqsenjin_spark.functions.codec import (
 
 DOC_LENS_SCHEMA = "shard int, n_docs int, dls binary, live binary"
 
+# salt width for the index exchange (see build_postings_from_tf): partitions
+# are keyed (shard, hash(term) % SALT) so small builds (few shards) still
+# spread over the cluster while every (term, shard) group stays whole
+POSTINGS_TERM_SALT = 8
+
 
 def _encode_group(
     term, shard: int, doc_ids, tfs, contrib, pos, cfg: IndexConfig
@@ -228,6 +233,149 @@ def _postings_batches(cfg: IndexConfig, avgdl: float):
 _TOKEN_FINDALL = "[a-z0-9]+"  # complement of config.TOKEN_SPLIT_REGEX
 
 
+def _tokenize_arrow(txt, want_pos: bool):
+    """One Arrow-compute tokenize pass over a string array (already
+    null-filled) → (tokens StringArray in doc order, reps int64[] row index
+    per token, pos_in_doc int64[] | None).
+
+    ASCII rows (the overwhelming common case) run entirely in
+    ``pyarrow.compute`` (ascii_lower + split_pattern_regex + filter) —
+    for pure-ASCII text this is provably byte-identical to the pinned
+    pandas ``str.lower().str.findall('[a-z0-9]+')`` authority (ASCII
+    lowering and the token alphabet coincide). Any NON-ascii row is routed
+    through the pinned Python path itself (str.lower + re.findall), so the
+    token stream is byte-identical BY CONSTRUCTION on every input, not by
+    an assumed unicode-lowering equivalence (guide §4.2; round-8 verdict
+    "gate on tokenizer parity")."""
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(txt)
+
+    def _ascii_subset(sub):
+        low = pc.ascii_lower(sub)
+        parts = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        flat = pc.list_flatten(parts)
+        parents = pc.list_parent_indices(parts)
+        mask = pc.not_equal(flat, "")
+        toks = flat.filter(mask)
+        reps = parents.filter(mask).to_numpy(zero_copy_only=False)
+        reps = reps.astype(np.int64, copy=False)
+        if want_pos and reps.size:
+            dl_sub = np.bincount(reps, minlength=len(sub))
+            starts = np.cumsum(dl_sub) - dl_sub
+            pos = np.arange(reps.size, dtype=np.int64) - starts[reps]
+        else:
+            pos = np.zeros(0, dtype=np.int64)
+        return toks, reps, pos
+
+    am = pc.string_is_ascii(txt)
+    if pc.sum(am).as_py() == n:
+        return (*_ascii_subset(txt), )
+    amn = am.to_numpy(zero_copy_only=False)
+    rows_a = np.flatnonzero(amn)
+    rows_p = np.flatnonzero(~amn)
+    t_a, r_a, p_a = _ascii_subset(pc.filter(txt, am))
+    pat = _re.compile(_TOKEN_FINDALL)
+    toks_l: list[str] = []
+    reps_l: list[int] = []
+    pos_l: list[int] = []
+    for r in rows_p:
+        tl = pat.findall(txt[int(r)].as_py().lower())
+        toks_l.extend(tl)
+        reps_l.extend([int(r)] * len(tl))
+        if want_pos:
+            pos_l.extend(range(len(tl)))
+    toks = pa.concat_arrays(
+        [t_a.cast(pa.string()), pa.array(toks_l, type=pa.string())]
+    )
+    reps = np.concatenate([rows_a[r_a], np.asarray(reps_l, dtype=np.int64)])
+    pos = (np.concatenate([p_a, np.asarray(pos_l, dtype=np.int64)])
+           if want_pos else np.zeros(0, dtype=np.int64))
+    return toks, reps, pos
+
+
+def _arrow_scan(text_col: str, id_col: str, doc_markers: bool,
+                positions: bool):
+    """mapInArrow corpus-scan kernel (round 9): tokenize + per-doc tf count
+    with ZERO Python string materialization on the hot path — text stays an
+    Arrow buffer through lower/split/filter/dictionary_encode, counting is
+    a NumPy unique over (row, code) int keys, and the output RecordBatches
+    are built directly from Arrow/NumPy arrays (no pandas on either side).
+    Replaces the pandas path (kept below as the pinned parity reference —
+    SPARK_GRAFT_TOKENIZER=pandas) which paid Arrow→pandas→Arrow conversion
+    plus a Python-object token list + factorize per batch (guide §4.2)."""
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pos_t = pa.list_(pa.int32())
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids_np = rb.column(rb.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            txt = pc.fill_null(
+                rb.column(rb.schema.get_field_index(text_col)), "")
+            toks, reps, pos_in_doc = _tokenize_arrow(txt, positions)
+            dl = np.bincount(reps, minlength=n).astype(np.int64) \
+                if reps.size else np.zeros(n, dtype=np.int64)
+            if len(toks):
+                denc = pc.dictionary_encode(toks)
+                codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False)
+                uniq = denc.dictionary
+                v = len(uniq)
+                key = reps * v + codes
+                if positions:
+                    order = np.argsort(key, kind="stable")
+                    sk = key[order]
+                    bnd = np.flatnonzero(
+                        np.concatenate(([True], sk[1:] != sk[:-1])))
+                    uk = sk[bnd]
+                    counts = np.diff(np.append(bnd, sk.size))
+                    sp = pos_in_doc[order].astype(np.int32)
+                    offsets = np.zeros(uk.size + 1, dtype=np.int32)
+                    np.cumsum(counts, out=offsets[1:])
+                    pos_col = pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(sp, type=pa.int32()))
+                else:
+                    uk, counts = np.unique(key, return_counts=True)
+                    pos_col = None
+                gi = uk // v
+                cols = [
+                    pa.array(ids_np[gi], type=pa.int64()),
+                    pa.array(dl[gi].astype(np.int32), type=pa.int32()),
+                    pc.take(uniq, pa.array(uk % v, type=pa.int64())).cast(
+                        pa.string()),
+                    pa.array(counts.astype(np.int32), type=pa.int32()),
+                ]
+                if positions:
+                    cols.append(pos_col)
+                names = ["doc_id", "dl", "term", "tf"] + (
+                    ["pos"] if positions else [])
+                yield pa.RecordBatch.from_arrays(cols, names=names)
+            if doc_markers:
+                mcols = [
+                    pa.array(ids_np, type=pa.int64()),
+                    pa.array(dl.astype(np.int32), type=pa.int32()),
+                    pa.nulls(n, pa.string()),
+                    pa.array(np.zeros(n, dtype=np.int32), type=pa.int32()),
+                ]
+                if positions:
+                    mcols.append(pa.nulls(n, pos_t))
+                names = ["doc_id", "dl", "term", "tf"] + (
+                    ["pos"] if positions else [])
+                yield pa.RecordBatch.from_arrays(mcols, names=names)
+
+    return run
+
+
 def doc_term_freqs(
     docs: DataFrame,
     text_col: str = "text",
@@ -253,11 +401,32 @@ def doc_term_freqs(
     corpus stats and doc_lens from the same single corpus scan instead of a
     second tokenize pass.
 
-    Tokenization here (pandas .str.findall) must stay in lock-step with
-    functions/text.tokens (JVM split) and the DuckDB oracle — all three are
-    pinned to lowercase + [a-z0-9]+ runs and covered by golden-token tests.
+    Round 9: the default scan is an Arrow-native mapInArrow kernel
+    (_arrow_scan) — byte-identical token streams by construction (non-ascii
+    rows run the pinned Python tokenizer row-wise; see _tokenize_arrow),
+    pinned additionally by the tokenizer-parity tests. The previous pandas
+    implementation remains below as the parity reference and is selectable
+    with SPARK_GRAFT_TOKENIZER=pandas.
+
+    Tokenization must stay in lock-step with functions/text.tokens (JVM
+    split) and the DuckDB oracle — all three are pinned to lowercase +
+    [a-z0-9]+ runs and covered by golden-token tests.
     """
+    import os as _os
     from typing import Iterator as _It
+
+    # dl/tf as int (not long) — provably safe (a doc with ≥2^31 tokens
+    # cannot exist upstream: per-doc token arrays are batch-materialized)
+    # and worth 8 bytes/row through the build cache and the index shuffle
+    # (guide §2.3 "narrower types")
+    schema = "doc_id long, dl int, term string, tf int"
+    if positions:
+        schema += ", pos array<int>"
+    if _os.environ.get("SPARK_GRAFT_TOKENIZER", "arrow") != "pandas":
+        return docs.select(id_col, text_col).mapInArrow(
+            _arrow_scan(text_col, id_col, doc_markers, positions),
+            schema=schema,
+        )
 
     def batches(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in it:
@@ -316,9 +485,6 @@ def doc_term_freqs(
             if out is not None:
                 yield out
 
-    schema = "doc_id long, dl long, term string, tf long"
-    if positions:
-        schema += ", pos array<int>"
     return docs.select(id_col, text_col).mapInPandas(batches, schema=schema)
 
 
@@ -349,26 +515,49 @@ def build_postings_from_tf(
 ) -> DataFrame:
     """(term, doc_id, dl, tf) + term_stats → POSTINGS rows.
 
-    One shuffle on (term, shard); block_max_score is computed at build time
-    with the pinned (k1, b, idf, avgdl), as in standard BMW indexes. The
-    shuffle is expressed as repartition(term, shard) + partition-local sort +
-    stitched mapInPandas — identical grouping semantics and memory bounds as
+    One shuffle; block_max_score is computed at build time with the pinned
+    (k1, b, idf, avgdl), as in standard BMW indexes. The shuffle is
+    expressed as repartition + partition-local sort + stitched mapInPandas —
+    identical grouping semantics and memory bounds as
     groupBy(term, shard).applyInPandas, without one-Arrow-batch-per-group
     dispatch (see _postings_batches).
+
+    Round-9 shuffle design (guide §§2.3–2.4):
+
+    * The exchange is keyed (shard, pmod(xxhash64(term), SALT)) instead of
+      (term, shard): every (term, shard) group still lands wholly in one
+      partition (the salt is a pure function of term), but each output
+      partition now holds WHOLE shards' worth of rows — so the encoded
+      blocks come out already shard-partitioned and the second, index-sized
+      repartition(shard) the writers used to pay disappears (the writer
+      opts in via pre_partitioned=True). The term-hash salt keeps the
+      exchange balanced at small shard counts (shards × SALT groups).
+    * idf joins AFTER the exchange, as an order-preserving broadcast hash
+      join over the sorted runs — 8 bytes/row less through the corpus-sized
+      shuffle. With ``broadcast_stats=False`` (web-scale vocab) the join
+      stays BEFORE the exchange as a plain shuffle join, as before.
     """
-    stats = term_stats.select("term", "idf")
-    if broadcast_stats:
-        # term_stats post-aggregation is vocab-sized; broadcast keeps the big
-        # tf relation's only shuffle the (term, shard) index shuffle itself.
-        # At full web scale (vocab ≫ broadcast threshold) flip this off and
-        # Catalyst plans a shuffle join that co-partitions with the groupBy.
-        stats = F.broadcast(stats)
     enriched = tf.withColumn(
         "shard", (F.col("doc_id") / cfg.docs_per_shard).cast("int")
-    ).join(stats, "term")
-    clustered = enriched.repartition(F.col("term"), F.col("shard")).sortWithinPartitions(
-        "term", "shard", "doc_id"
     )
+    stats = term_stats.select("term", "idf")
+    if not broadcast_stats:
+        # vocab ≫ broadcast threshold: let Catalyst plan a shuffle join
+        # (co-partitioned with the index exchange below)
+        enriched = enriched.join(stats, "term")
+    clustered = enriched.repartition(
+        F.col("shard"), F.pmod(F.xxhash64("term"), F.lit(POSTINGS_TERM_SALT))
+    )
+    if broadcast_stats:
+        # broadcast hash join preserves the exchange's partitioning (stream
+        # side is ours) — no extra shuffle
+        clustered = clustered.join(F.broadcast(stats), "term")
+    # the partition-local sort MUST sit directly under the mapInPandas:
+    # Catalyst's EliminateSorts removes a local sort BELOW a join (join
+    # output ordering is undefined to the optimizer, but the stitched
+    # builder's contiguous-run contract needs it) — verified by the
+    # byte-identity build tests
+    clustered = clustered.sortWithinPartitions("term", "shard", "doc_id")
     return clustered.mapInPandas(_postings_batches(cfg, avgdl), schema=schemas.POSTINGS)
 
 

@@ -76,22 +76,56 @@ def bm25_brute_force(docs: DataFrame, queries: DataFrame) -> DataFrame:
 
     Zero-hit queries produce no rows; conjunctive queries containing a term
     absent from the corpus produce no rows (intersection with ∅).
+
+    Round-9 plan (same results to the float bit — the scoring expressions
+    are unchanged; only the plan shape moved, guide §§2.3–2.4, §5):
+
+    * ONE corpus scan instead of four. The old plan re-ran tokenization
+      (extraction UDF included, when the caller's text column is one) once
+      for corpus stats, once for the vocabulary-wide term_stats, once for
+      tf and once for the dl join. Now a single map-side Arrow pass
+      (operators.postings.doc_term_freqs — the same pinned tokenizer, with
+      per-doc marker rows) yields tf, dl, n_docs and avgdl together.
+    * Query-term filter BEFORE any exchange or cache (guide §2.3): only
+      (doc, query-term) rows and the per-doc marker rows are retained —
+      nothing vocabulary-sized is ever shuffled or cached. df per query
+      term is exact on the filtered relation (one row per containing doc).
+    * tf needs no corpus-wide groupBy — doc_term_freqs counts (doc, term)
+      inside the document's own batch, so the old explode → groupBy(term,
+      doc_id) shuffle of every token disappears outright (guide §2.4).
+    * dl rides each row (marker AND tf rows), so the old corpus-sized
+      sort-merge join on doc_id for dl disappears too.
+    * per-term df comes from a window over the (tiny) filtered relation —
+      no second aggregation branch re-reading the corpus.
     """
-    tok = tokenized(docs)
-    tf = term_freqs(tok)
-    n_docs, avgdl = tok.agg(F.count("*"), F.avg("dl")).first()
-    avgdl = float(avgdl or 0.0) or 1.0  # all-empty corpus guard
+    from pyspark.storagelevel import StorageLevel
+
+    from bloqsenjin_spark.operators.postings import doc_term_freqs
 
     qt = query_terms(queries)
-    # semi-join stats down to query terms, then broadcast both small sides
-    stats = term_stats_df(tf, int(n_docs)).join(
-        qt.select("term").distinct(), "term", "left_semi"
-    )
+    # the query set is small by contract (it is createDataFrame'd from a
+    # driver list everywhere this runs) — collecting the distinct terms
+    # back lets the filter run map-side as a plain In-predicate, before
+    # anything is cached or shuffled
+    qterm_list = [r["term"] for r in qt.select("term").distinct().collect()]
 
+    raw = doc_term_freqs(docs, doc_markers=True).where(
+        F.col("term").isNull()
+        | (F.col("term").isin(qterm_list) if qterm_list else F.lit(False))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # markers: one row per doc (term NULL, dl always present) → exact stats
+    n_docs, avgdl = raw.where(F.col("term").isNull()).agg(
+        F.count("*"), F.avg("dl")).first()
+    avgdl = float(avgdl or 0.0) or 1.0  # all-empty corpus guard
+
+    tf_q = raw.where(F.col("term").isNotNull())
+    # df per term == number of docs containing it — exact on the filtered
+    # relation (identical to the full term_stats_df count for these terms)
+    w_term = Window.partitionBy("term")
     contrib = (
-        tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(stats.select("term", "idf")), "term")
-        .join(tok.select("doc_id", "dl"), "doc_id")
+        tf_q.withColumn("df", F.count("*").over(w_term))
+        .withColumn("idf", bm25.idf_col(F.col("df"), int(n_docs)))
+        .join(F.broadcast(qt), "term")
         .withColumn(
             "contrib",
             F.col("idf") * bm25.tf_component_col(F.col("tf"), F.col("dl"), avgdl),
@@ -113,8 +147,14 @@ def bm25_brute_force(docs: DataFrame, queries: DataFrame) -> DataFrame:
     )
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
     )
+    # materialize the (top-k-sized) result so tok's cache can be released
+    # here instead of leaking past the call — the caller gets a computed
+    # DataFrame, not a plan over an unpersisted cache
+    out = out.localCheckpoint(eager=True)
+    raw.unpersist()
+    return out

@@ -122,10 +122,16 @@ def write_index(idx: Index, index_dir: str,
             timings[name] = round(_time.perf_counter() - t0, 3)
         return out
 
+    # pre_partitioned: the round-9 build emits postings already grouped by
+    # shard (salted shard-keyed exchange) and doc_lens comes out of a
+    # groupBy(shard) — neither needs the index-sized repartition the write
+    # used to pay (guide §2.4)
     _timed("postings_write",
-           lambda: store.replace_all(idx.postings, "postings"))
+           lambda: store.replace_all(idx.postings, "postings",
+                                     pre_partitioned=True))
     _timed("doc_lens_write",
-           lambda: store.replace_all(idx.doc_lens, "doc_lens"))
+           lambda: store.replace_all(idx.doc_lens, "doc_lens",
+                                     pre_partitioned=True))
     # term-sorted files: row-group stats prune the serving tier's lazy
     # per-term and prefix-range stats reads to the touched groups
     _timed("term_stats_write",
@@ -646,8 +652,10 @@ def build_index_resumable(
         # snapshot commit (Iceberg). With Spark's default 'static' overwrite a
         # resumed write would delete every previously completed shard
         # partition; one file per shard via repartition(shard).
-        store.overwrite_shards(post, "postings")
-        store.overwrite_shards(dlens, "doc_lens")
+        # pre_partitioned: see write_index — both relations are already
+        # shard-grouped by construction, the write shuffles nothing
+        store.overwrite_shards(post, "postings", pre_partitioned=True)
+        store.overwrite_shards(dlens, "doc_lens", pre_partitioned=True)
 
         m = (
             store.read("postings")

@@ -82,21 +82,30 @@ class ParquetStore:
         ).write.mode("overwrite").parquet(self._p(table))
 
     def overwrite_shards(self, df: DataFrame, table: str,
-                         sort_within: str | None = None) -> None:
+                         sort_within: str | None = None,
+                         pre_partitioned: bool = False) -> None:
         """Replace exactly the shard partitions present in df (idempotent
         per-shard retry). repartition(shard) ⇒ one file per shard partition;
         ``sort_within`` orders rows inside each file (row-group pruning for
-        keyed point reads, e.g. the doc-store snippet fetch)."""
-        out = df.repartition(F.col("shard"))
+        keyed point reads, e.g. the doc-store snippet fetch).
+
+        ``pre_partitioned=True``: the caller guarantees every shard's rows
+        already live in one task partition (the round-9 build emits postings
+        and doc_lens that way) — skip the index-sized repartition shuffle
+        the write used to pay (guide §2.4); partitionBy still routes each
+        task's rows to their shard directories."""
+        out = df if pre_partitioned else df.repartition(F.col("shard"))
         if sort_within:
             out = out.sortWithinPartitions(sort_within)
         out.write.partitionBy("shard").option(
             "partitionOverwriteMode", "dynamic"
         ).mode("overwrite").parquet(self._p(table))
 
-    def replace_all(self, df: DataFrame, table: str) -> None:
+    def replace_all(self, df: DataFrame, table: str,
+                    pre_partitioned: bool = False) -> None:
         """Full-table replace, still shard-partitioned (fresh write_index)."""
-        df.repartition(F.col("shard")).write.partitionBy("shard").mode(
+        out = df if pre_partitioned else df.repartition(F.col("shard"))
+        out.write.partitionBy("shard").mode(
             "overwrite"
         ).parquet(self._p(table))
 
@@ -141,11 +150,12 @@ class IcebergStore:
         ).writeTo(self._t(table)).using("iceberg").createOrReplace()
 
     def overwrite_shards(self, df: DataFrame, table: str,
-                         sort_within: str | None = None) -> None:
+                         sort_within: str | None = None,
+                         pre_partitioned: bool = False) -> None:
         """Atomic snapshot commit replacing only the shard partitions present
         in df — Iceberg's native form of dynamic partition overwrite."""
         t = self._t(table)
-        out = df.repartition(F.col("shard"))
+        out = df if pre_partitioned else df.repartition(F.col("shard"))
         if sort_within:
             out = out.sortWithinPartitions(sort_within)
         if not self.spark.catalog.tableExists(t):
@@ -155,9 +165,11 @@ class IcebergStore:
             return
         out.writeTo(t).overwritePartitions()
 
-    def replace_all(self, df: DataFrame, table: str) -> None:
+    def replace_all(self, df: DataFrame, table: str,
+                    pre_partitioned: bool = False) -> None:
         """Full-table replace as ONE snapshot commit."""
-        df.repartition(F.col("shard")).writeTo(self._t(table)).using(
+        out = df if pre_partitioned else df.repartition(F.col("shard"))
+        out.writeTo(self._t(table)).using(
             "iceberg"
         ).partitionedBy(F.col("shard")).createOrReplace()
 
