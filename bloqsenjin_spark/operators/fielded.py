@@ -421,9 +421,10 @@ def _composite_pass(
             }
         )
 
-    partial = pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
-        combine, schema="query_id long, doc_id long, score double"
-    )
+    from bloqsenjin_spark.operators.wand import _shard_cogroup_apply
+
+    partial = _shard_cogroup_apply(pq, dl, combine,
+                                   "query_id long, doc_id long, score double")
     kmap = F.create_map(
         *[x for qid, k in kmap_py.items() for x in (F.lit(qid), F.lit(int(k)))]
     )
@@ -852,9 +853,10 @@ def bm25f_merged_topk(
             }
         )
 
-    partial = pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
-        combine, schema="query_id long, doc_id long, score double"
-    )
+    from bloqsenjin_spark.operators.wand import _shard_cogroup_apply
+
+    partial = _shard_cogroup_apply(pq, dl, combine,
+                                   "query_id long, doc_id long, score double")
     kmap = F.create_map(
         *[x for q in queries for x in (F.lit(int(q[0])), F.lit(int(q[3])))]
     )

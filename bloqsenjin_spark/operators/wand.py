@@ -89,6 +89,76 @@ def _with_tomb(doc_lens: DataFrame, tomb_map: "DataFrame | None",
     return out
 
 
+def _shard_cogroup_apply(left: DataFrame, right: DataFrame, fn, schema: str):
+    """Round-9 shared shard-cogroup runner for every query-path kernel.
+
+    ``X.groupby("shard").cogroup(Y.groupby("shard"))`` ships ONE Arrow group
+    per shard, and because a query batch's filtered postings are byte-tiny,
+    AQE coalesces the exchange to a single task — serializing hundreds of
+    per-group dispatches (~5 ms each) AND the per-shard kernel work on one
+    core (measured: an identity function over 245 shards at sf1.0 costs
+    2.1 s; the real scorer 2.2 s). Instead the cogroup key is
+    ``pmod(shard, 4·parallelism)`` — every shard's rows still meet in one
+    group — with an EXPLICIT repartition(parallelism) that AQE cannot
+    coalesce (guide §2.6: fill the idle cores), and a wrapper applies ``fn``
+    per shard inside each coarse group, over the union of both sides' shard
+    keys — exactly the per-shard cogroup contract, so results are identical
+    by construction. Measured at sf1.0: single-query partials 2.08 → 0.75 s,
+    12-query batch 2.21 → 0.56–1.5 s (OPTIMIZATION_r09.md §cogroup).
+
+    The parallelism is the session default (cluster-sized, not a local
+    constant); override with spark.default.parallelism on a cluster.
+    """
+    spark = left.sparkSession
+    p = max(1, spark.sparkContext.defaultParallelism)
+
+    def per_shard(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+        lp = lp.drop(columns=["_g"])
+        rp = rp.drop(columns=["_g"])
+        lg = {k: v for k, v in lp.groupby("shard", sort=False)} if len(lp) else {}
+        rg = {k: v for k, v in rp.groupby("shard", sort=False)} if len(rp) else {}
+        el, er = lp.head(0), rp.head(0)
+        outs = []
+        for sh in sorted(set(lg) | set(rg)):
+            out = fn(lg.get(sh, el), rg.get(sh, er))
+            if out is not None and len(out):
+                outs.append(out)
+        if not outs:
+            return fn(el, er)  # every kernel returns its typed empty frame
+        return pd.concat(outs, ignore_index=True)
+
+    key = F.pmod(F.col("shard").cast("long"), F.lit(4 * p))
+    lk = left.withColumn("_g", key).repartition(p, "_g")
+    rk = right.withColumn("_g", key).repartition(p, "_g")
+    return lk.groupby("_g").cogroup(rk.groupby("_g")).applyInPandas(
+        per_shard, schema=schema
+    )
+
+
+def _shard_group_apply(left: DataFrame, fn, schema: str):
+    """Single-input sibling of _shard_cogroup_apply (same coarse-group +
+    pinned-parallelism rationale) for per-shard kernels with no side
+    input — e.g. the tombstone-free phrase verify path."""
+    spark = left.sparkSession
+    p = max(1, spark.sparkContext.defaultParallelism)
+
+    def per_shard(lp: pd.DataFrame) -> pd.DataFrame:
+        lp = lp.drop(columns=["_g"])
+        outs = []
+        for _sh, sub in lp.groupby("shard", sort=False):
+            out = fn(sub)
+            if out is not None and len(out):
+                outs.append(out)
+        if not outs:
+            return fn(lp.head(0))
+        return pd.concat(outs, ignore_index=True)
+
+    key = F.pmod(F.col("shard").cast("long"), F.lit(4 * p))
+    return left.withColumn("_g", key).repartition(p, "_g").groupBy(
+        "_g"
+    ).applyInPandas(per_shard, schema=schema)
+
+
 def _shard_scorer(queries, idf_map, avgdl, cfg: IndexConfig,
                   has_allow: bool = False):
     from bloqsenjin_spark.functions.scoring import score_shard_blocks
@@ -306,13 +376,9 @@ def _positional_match(
         )
 
     if tomb_map is None:
-        # single-arg wrapper: a two-param function would receive (key, pdf)
-        return pq.groupBy("shard").applyInPandas(
-            lambda pdf: verify(pdf), schema="query_id long, doc_id long"
-        )
-    return pq.groupby("shard").cogroup(tomb_map.groupby("shard")).applyInPandas(
-        verify, schema="query_id long, doc_id long"
-    )
+        return _shard_group_apply(pq, verify, "query_id long, doc_id long")
+    return _shard_cogroup_apply(pq, tomb_map, verify,
+                                "query_id long, doc_id long")
 
 
 def phrase_score_partials(
@@ -454,9 +520,7 @@ def phrase_score_partials(
         )
 
     dl = _with_tomb(doc_lens, tomb_map, allow_map)
-    return pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
-        score_verify, schema=_PARTIAL_SCHEMA
-    )
+    return _shard_cogroup_apply(pq, dl, score_verify, _PARTIAL_SCHEMA)
 
 
 def phrase_bm25_topk(
@@ -806,9 +870,7 @@ def phrase_terms_score_partials(
         )
 
     dl = _with_tomb(doc_lens, tomb_map, allow_map)
-    return pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
-        score_verify, schema=_PARTIAL_SCHEMA
-    )
+    return _shard_cogroup_apply(pq, dl, score_verify, _PARTIAL_SCHEMA)
 
 
 def phrase_terms_bm25_topk(
@@ -1097,10 +1159,11 @@ def wand_score_partials(
         "term", "shard", "block_id", "block_max_score", "doc_deltas", "tfs"
     ).where(F.col("term").isin(all_terms))
     dl = _with_tomb(doc_lens, tomb_map, allow_map)
-    return pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
+    return _shard_cogroup_apply(
+        pq, dl,
         _shard_scorer(queries, idf_map, float(avgdl), cfg,
                       has_allow=allow_map is not None),
-        schema=_PARTIAL_SCHEMA,
+        _PARTIAL_SCHEMA,
     )
 
 
@@ -1812,9 +1875,7 @@ def match_count_partials(
         ).astype({"query_id": "int64", "n": "int64"})
 
     dl = _with_tomb(doc_lens, tomb_map, allow_map)
-    return pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
-        cnt, schema="query_id long, n long"
-    )
+    return _shard_cogroup_apply(pq, dl, cnt, "query_id long, n long")
 
 
 def match_counts(
@@ -1992,9 +2053,8 @@ def facet_counts(
 
     dl = _with_tomb(doc_lens, tomb_map, allow_map).join(
         codes_df, "shard", "left")
-    partial = pq.groupby("shard").cogroup(dl.groupby("shard")).applyInPandas(
-        cnt, schema="query_id long, code long, n long"
-    )
+    partial = _shard_cogroup_apply(pq, dl, cnt,
+                                   "query_id long, code long, n long")
     bucket_map = F.create_map(
         *[x for i, v in enumerate(buckets) for x in (F.lit(i), F.lit(v))]
     )
