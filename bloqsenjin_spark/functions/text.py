@@ -57,16 +57,41 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
     return _WS.sub(" ", s).strip()
 
 
+# whitespace-normalization trigger: a row WITHOUT any of (non-space
+# whitespace char, double space, leading/trailing space) is a fixed point of
+# `_WS.sub(" ", s).strip()` — checked with one search instead of a full
+# substitution pass (round 9, guide §4.2)
+_WS_TRIGGER = re.compile(r"[^\S ]|  |^ | $")
+
+
+def _extract_one(x: str) -> str:
+    """Spec steps 2–6 on one decoded string, with fast paths: rows without
+    '<' are fixed points of the three tag regexes, rows without '&' are
+    fixed points of entity decoding, rows without _WS_TRIGGER are fixed
+    points of whitespace collapse + strip — plain web text (the common
+    case) skips every regex substitution. Conditions are exact
+    fixed-point tests, so output is byte-identical to the unconditional
+    pipeline (pinned by the golden extraction fixtures)."""
+    if "<" in x:
+        x = _SCRIPTS.sub(" ", x)
+        x = _COMMENTS.sub(" ", x)
+        x = _TAGS.sub(" ", x)
+    if "&" in x:
+        x = _html.unescape(x)
+    if _WS_TRIGGER.search(x):
+        x = _WS.sub(" ", x).strip()
+    return x
+
+
 def _extract_series(html: pd.Series) -> pd.Series:
-    # Entity decoding has no pandas vectorized equivalent; the regex passes
-    # use pandas' vectorized .str engine, unescape maps per element. All of it
-    # runs inside one Arrow batch — no per-row Python crossing the JVM edge.
-    s = html.map(lambda b: None if b is None else bytes(b).decode("utf-8", "replace"))
-    s = s.str.replace(_SCRIPTS, " ", regex=True)
-    s = s.str.replace(_COMMENTS, " ", regex=True)
-    s = s.str.replace(_TAGS, " ", regex=True)
-    s = s.map(lambda x: None if x is None else _html.unescape(x))
-    return s.str.replace(_WS, " ", regex=True).str.strip()
+    # Entity decoding has no pandas vectorized equivalent; one fused map
+    # applies the whole step-2..6 pipeline per element with fixed-point
+    # fast paths (see _extract_one). All of it runs inside one Arrow
+    # batch — no per-row Python crossing the JVM edge.
+    return html.map(
+        lambda b: None if b is None
+        else _extract_one(bytes(b).decode("utf-8", "replace"))
+    )
 
 
 from pyspark.sql.types import StringType

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from bloqsenjin_spark import schemas
 from bloqsenjin_spark.config import DEFAULT_CONFIG, IndexConfig
 from bloqsenjin_spark.functions import bm25
+from bloqsenjin_spark.operators.wand import _shard_cogroup_apply
 from bloqsenjin_spark.functions.codec import (
     delta_decode,
     delta_encode,
@@ -98,10 +99,147 @@ def merge_postings(
     cfg: IndexConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """Union of segment POSTINGS rows → merged POSTINGS with fresh block-max."""
+    vec, _ref = merge_shard_kernels(cfg, avgdl_new)
+    merged = _shard_cogroup_apply(segments, merged_doc_lens, vec,
+                                  _MERGED_SCHEMA)
+    out_cols = [f.name for f in schemas.POSTINGS.fields]
+    return (
+        merged.join(merged_term_stats.select("term", "idf"), "term")
+        .withColumn("block_max_score", F.col("idf") * F.col("block_max_tfc"))
+        .select(*out_cols)
+    )
+
+
+def merge_shard_kernels(cfg: IndexConfig, avgdl_new: float):
+    """→ (vectorized, reference) per-shard merge kernels, equal by
+    construction (byte-identity pinned in tests/test_merge_resume.py)."""
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
     k1, b = cfg.k1, cfg.b
 
-    def merge_shard(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_shard_vec(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        """Round-9 vectorized merge kernel (same recipe as the build's
+        _postings_batches.emit, guide §4.2): ONE varint decode pass over the
+        concatenated delta/tf streams, group-contiguous numpy sort/merge,
+        collision check and block maxima via reduceat, and ONE
+        codec.varint_encode_chunks pass per output stream — replacing the
+        per-(term, block) Python loop (~10 tiny-NumPy dispatches per block,
+        corpus-proportional under continuous streaming compaction; round-8
+        verdict "next" #5). Byte-identical to the per-block reference below
+        (pinned by tests/test_merge_resume.py::test_merge_encode_identity
+        and the merge ≡ build property tests). Mixed positional/positionless
+        groups (a positional segment merged with a positionless one) fall
+        back to the reference loop."""
+        cols = [c.split(" ")[0] for c in _MERGED_SCHEMA.split(", ")]
+        if pl.empty:
+            return pd.DataFrame([], columns=cols)
+        has_pos_col = "positions" in pl.columns
+        pos_vals = pl["positions"].to_numpy() if has_pos_col else None
+        any_pos = has_pos_col and any(p is not None for p in pos_vals)
+        all_pos = has_pos_col and all(p is not None for p in pos_vals)
+        if any_pos and not all_pos:
+            return merge_shard_ref(pl, dl_pdf)  # mixed segments: rare, exact
+        shard = int(pl["shard"].iloc[0])
+        dls = varint_decode(bytes(dl_pdf["dls"].iloc[0])).astype(np.float64)
+
+        terms = pl["term"].to_numpy()
+        bids = pl["block_id"].to_numpy().astype(np.int64)
+        ndocs = pl["n_docs"].to_numpy().astype(np.int64)
+        row_order = np.lexsort((bids, terms))
+        terms, bids, ndocs = terms[row_order], bids[row_order], ndocs[row_order]
+        deltas_col = pl["doc_deltas"].to_numpy()[row_order]
+        tfs_col = pl["tfs"].to_numpy()[row_order]
+        bases = shard * dps + bids * bdocs
+
+        # batched decode: one LEB128 pass over every blob, then per-row
+        # segmented cumsum (first gap is relative to the row's block base)
+        gaps = varint_decode(b"".join(bytes(b) for b in deltas_col)).astype(
+            np.int64)
+        row_starts = np.cumsum(ndocs) - ndocs
+        gaps[row_starts] += bases
+        cs = np.cumsum(gaps)
+        prev = np.where(row_starts > 0, cs[row_starts - 1], 0)
+        ids_flat = cs - np.repeat(prev, ndocs)
+        tfs_flat = varint_decode(b"".join(bytes(b) for b in tfs_col)).astype(
+            np.int64)
+
+        # group = (term, block_id); values sorted by docID within group
+        chg = (terms[1:] != terms[:-1]) | (bids[1:] != bids[:-1])
+        grp_of_row = np.concatenate(([0], np.cumsum(chg)))
+        grp_of_val = np.repeat(grp_of_row, ndocs)
+        order = np.lexsort((ids_flat, grp_of_val))
+        ids_s, tfs_s = ids_flat[order], tfs_flat[order]
+        grp_s = grp_of_val[order]
+        grp_starts = np.flatnonzero(
+            np.concatenate(([True], grp_s[1:] != grp_s[:-1])))
+        grp_counts = np.diff(np.append(grp_starts, ids_s.size))
+        dup = (ids_s[1:] == ids_s[:-1]) & (grp_s[1:] == grp_s[:-1])
+        if dup.any():
+            i = int(np.flatnonzero(dup)[0])
+            bad_term = terms[np.flatnonzero(grp_of_row == grp_s[i])[0]]
+            raise ValueError(
+                f"docID collision merging term={bad_term} shard={shard}")
+        rows_first = np.flatnonzero(
+            np.concatenate(([True], grp_of_row[1:] != grp_of_row[:-1])))
+        grp_bases = bases[rows_first]
+
+        gaps_out = np.empty(ids_s.size, dtype=np.int64)
+        gaps_out[1:] = ids_s[1:] - ids_s[:-1]
+        gaps_out[grp_starts] = ids_s[grp_starts] - grp_bases
+        from bloqsenjin_spark.functions.codec import varint_encode_chunks
+
+        delta_blobs = varint_encode_chunks(gaps_out.astype(np.uint64),
+                                           grp_counts)
+        tf_blobs = varint_encode_chunks(tfs_s.astype(np.uint64), grp_counts)
+        tfc = bm25.tf_component_np(
+            tfs_s.astype(np.float64), dls[ids_s - shard * dps], avgdl_new,
+            k1, b)
+        if all_pos:
+            pos_vals = pos_vals[row_order]
+            g = varint_decode(b"".join(bytes(p) for p in pos_vals)).astype(
+                np.int64)
+            # per-doc segmented cumsum (positions restart per doc)
+            doc_starts = np.cumsum(tfs_flat) - tfs_flat
+            cs2 = np.cumsum(g)
+            prev2 = np.where(doc_starts > 0, cs2[doc_starts - 1], 0)
+            pos_abs = cs2 - np.repeat(prev2, tfs_flat)
+            # gather per-doc segments into merged doc order
+            out_starts = np.cumsum(tfs_s) - tfs_s
+            within = np.arange(pos_abs.size, dtype=np.int64) - np.repeat(
+                out_starts, tfs_s)
+            gather = np.repeat(doc_starts[order], tfs_s) + within
+            pos_sorted = pos_abs[gather]
+            # re-delta per doc, then one chunked encode per GROUP
+            pg = np.empty(pos_sorted.size, dtype=np.int64)
+            if pos_sorted.size:
+                pg[1:] = pos_sorted[1:] - pos_sorted[:-1]
+                pg[out_starts] = pos_sorted[out_starts]
+            grp_val_lens = np.add.reduceat(tfs_s, grp_starts)
+            pos_blobs = varint_encode_chunks(pg.astype(np.uint64),
+                                             grp_val_lens)
+        else:
+            pos_blobs = [None] * grp_starts.size
+        return pd.DataFrame(
+            {
+                "term": terms[rows_first],
+                "shard": np.full(grp_starts.size, shard, dtype=np.int32),
+                "block_id": bids[rows_first].astype(np.int32),
+                "n_docs": grp_counts.astype(np.int32),
+                "first_doc": ids_s[grp_starts],
+                "last_doc": ids_s[grp_starts + grp_counts - 1],
+                "doc_deltas": delta_blobs,
+                "tfs": tf_blobs,
+                "block_max_tf": np.maximum.reduceat(tfs_s, grp_starts).astype(
+                    np.int32),
+                "block_max_tfc": np.maximum.reduceat(tfc, grp_starts),
+                "positions": pos_blobs,
+            },
+            columns=cols,
+        )
+
+    def merge_shard_ref(pl: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        """Reference per-(term, block) merge loop — the independently-simple
+        twin the vectorized kernel is byte-identity-tested against (same
+        role as postings._encode_group for the build encoder)."""
         cols = [c.split(" ")[0] for c in _MERGED_SCHEMA.split(", ")]
         if pl.empty:
             return pd.DataFrame([], columns=cols)
@@ -153,15 +291,7 @@ def merge_postings(
             )
         return pd.DataFrame(rows, columns=cols)
 
-    merged = segments.groupby("shard").cogroup(
-        merged_doc_lens.groupby("shard")
-    ).applyInPandas(merge_shard, schema=_MERGED_SCHEMA)
-    out_cols = [f.name for f in schemas.POSTINGS.fields]
-    return (
-        merged.join(merged_term_stats.select("term", "idf"), "term")
-        .withColumn("block_max_score", F.col("idf") * F.col("block_max_tfc"))
-        .select(*out_cols)
-    )
+    return merge_shard_vec, merge_shard_ref
 
 
 def merge_indexes(a, b, cfg: IndexConfig = DEFAULT_CONFIG):

@@ -141,3 +141,54 @@ def test_queryable_from_disk(spark, tmp_path):
     assert [(g["query_id"], g["rank"], g["doc_id"]) for g in got] == [
         (w["query_id"], w["rank"], w["doc_id"]) for w in want
     ]
+
+
+def test_merge_encode_identity(spark):
+    """Round 9: the vectorized merge kernel must be byte-identical to the
+    per-(term, block) reference loop on positional AND positionless merges
+    of real segment rows (incl. multi-part blocks)."""
+    import numpy as np
+    import pandas as pd
+
+    from bloqsenjin_spark.config import IndexConfig
+    from bloqsenjin_spark.operators.merge import merge_shard_kernels
+    from bloqsenjin_spark.plans.build import build_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    half_a = docs.where("doc_id % 2 = 0")
+    half_b = docs.where("doc_id % 2 = 1")
+    for positions in (False, True):
+        cfg = IndexConfig(docs_per_shard=128, block_docs=16,
+                          positions=positions)
+        seg_rows = []
+        for part in (half_a, half_b):
+            idx = build_index(part, cfg)
+            seg_rows.extend(idx.postings.collect())
+        pl = pd.DataFrame([r.asDict() for r in seg_rows])
+        full = build_index(docs, cfg)
+        dl_rows = full.doc_lens.collect()
+        vec, ref = merge_shard_kernels(cfg, avgdl_new=full.avgdl)
+        for dlr in dl_rows:
+            shard = dlr["shard"]
+            sub = pl[pl["shard"] == shard]
+            if sub.empty:
+                continue
+            dlp = pd.DataFrame([dlr.asDict()])
+            a = vec(sub.reset_index(drop=True), dlp)
+            b = ref(sub.reset_index(drop=True), dlp)
+            a = a.sort_values(["term", "block_id"]).reset_index(drop=True)
+            b = b.sort_values(["term", "block_id"]).reset_index(drop=True)
+            assert len(a) == len(b)
+            for ca, cb in zip(a.itertuples(index=False),
+                              b.itertuples(index=False)):
+                assert tuple(map(_norm, ca)) == tuple(map(_norm, cb))
+
+
+def _norm(x):
+    import numpy as np
+
+    if isinstance(x, (bytes, bytearray)):
+        return bytes(x)
+    if isinstance(x, np.generic):
+        return x.item()
+    return x
