@@ -98,10 +98,19 @@ def varint_encode_chunks(values: np.ndarray,
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
-    """Decode an LEB128 stream to uint64. Vectorized via terminator scan."""
+    """Decode an LEB128 stream to uint64. Vectorized via terminator scan.
+
+    Fast path (round 9): when no byte carries the continuation bit, every
+    value is single-byte and the stream IS the value array — one reduction
+    instead of the terminator-scan machinery. Posting gaps and tfs are
+    overwhelmingly < 128, and the serving tier decodes ~2 tiny blobs per
+    candidate block, so this dominates its per-query profile
+    (OPTIMIZATION_r09.md §serving)."""
     raw = np.frombuffer(buf, dtype=np.uint8)
     if raw.size == 0:
         return np.zeros(0, dtype=np.uint64)
+    if int(raw.max()) < 0x80:
+        return raw.astype(np.uint64)
     ends = np.flatnonzero(raw < 0x80)
     starts = np.concatenate(([0], ends[:-1] + 1))
     nbytes = ends - starts + 1

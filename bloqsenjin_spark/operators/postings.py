@@ -599,12 +599,15 @@ def build_doc_lens(tok: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFra
             columns=["shard", "n_docs", "dls", "live"],
         )
 
-    return (
-        tok.select("doc_id", "dl")
-        .withColumn("shard", (F.col("doc_id") / dps).cast("int"))
-        .groupBy("shard")
-        .applyInPandas(pack, schema=DOC_LENS_SCHEMA)
+    # shared coarse-group runner (round 9): plain groupBy(shard) ships one
+    # Arrow group per shard and AQE serializes the dispatch on one task —
+    # see wand._shard_group_apply
+    from bloqsenjin_spark.operators.wand import _shard_group_apply
+
+    keyed = tok.select("doc_id", "dl").withColumn(
+        "shard", (F.col("doc_id") / dps).cast("int")
     )
+    return _shard_group_apply(keyed, pack, DOC_LENS_SCHEMA)
 
 
 def decode_postings(postings: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG,

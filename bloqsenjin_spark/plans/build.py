@@ -90,6 +90,14 @@ def build_index(
     term_stats = tf.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     ).withColumn("idf", bm25.idf_col(F.col("df"), int(n_docs)))
+    if cache:
+        # vocab-sized, but consumed three times per persisted build (the
+        # sorted term_stats write RANGE-SAMPLES its input — one extra
+        # execution — then writes, and the postings builder broadcasts it):
+        # without this each consumer re-aggregates the corpus-sized tf
+        # cache (guide §5)
+        term_stats = term_stats.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(term_stats)
     return Index(
         postings=P.build_postings_from_tf(tf, term_stats, avgdl, cfg),
         doc_lens=P.build_doc_lens(tok, cfg),
