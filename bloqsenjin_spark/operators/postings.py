@@ -298,7 +298,7 @@ def _tokenize_arrow(txt, want_pos: bool):
 
 
 def _arrow_scan(text_col: str, id_col: str, doc_markers: bool,
-                positions: bool):
+                positions: bool, terms=None):
     """mapInArrow corpus-scan kernel (round 9): tokenize + per-doc tf count
     with ZERO Python string materialization on the hot path — text stays an
     Arrow buffer through lower/split/filter/dictionary_encode, counting is
@@ -306,13 +306,24 @@ def _arrow_scan(text_col: str, id_col: str, doc_markers: bool,
     are built directly from Arrow/NumPy arrays (no pandas on either side).
     Replaces the pandas path (kept below as the pinned parity reference —
     SPARK_GRAFT_TOKENIZER=pandas) which paid Arrow→pandas→Arrow conversion
-    plus a Python-object token list + factorize per batch (guide §4.2)."""
+    plus a Python-object token list + factorize per batch (guide §4.2).
+
+    ``terms``: optional term allow-set pushed INTO the kernel — only (doc,
+    term) rows whose term is in the set are emitted (marker rows and dl are
+    unaffected). Exactly equivalent to a post-hoc ``term IN (...)`` filter
+    (tf is a per-doc count, so dropping non-matching tokens before the
+    count changes nothing for kept terms), but the Arrow emission shrinks
+    from every (doc, term) pair to the matching rows — the brute-force
+    query path's scan emits query-term rows only (guide §2.3)."""
+    term_list = sorted(terms) if terms is not None else None
 
     def run(batches):
         import pyarrow as pa
         import pyarrow.compute as pc
 
         pos_t = pa.list_(pa.int32())
+        vset = pa.array(term_list, type=pa.string()) \
+            if term_list is not None else None
         for rb in batches:
             n = rb.num_rows
             if n == 0:
@@ -330,6 +341,19 @@ def _arrow_scan(text_col: str, id_col: str, doc_markers: bool,
                     np.int64, copy=False)
                 uniq = denc.dictionary
                 v = len(uniq)
+                if vset is not None:
+                    # membership once per DICTIONARY entry, then a numpy
+                    # gather over token codes — non-matching tokens never
+                    # reach the (row, code) count or the output batch
+                    member = pc.is_in(uniq, value_set=vset).to_numpy(
+                        zero_copy_only=False)
+                    keep = member[codes]
+                    if not keep.all():
+                        codes = codes[keep]
+                        reps = reps[keep]
+                        if positions:
+                            pos_in_doc = pos_in_doc[keep]
+            if len(toks) and codes.size:
                 key = reps * v + codes
                 if positions:
                     order = np.argsort(key, kind="stable")
@@ -382,6 +406,7 @@ def doc_term_freqs(
     id_col: str = "doc_id",
     doc_markers: bool = False,
     positions: bool = False,
+    terms=None,
 ) -> DataFrame:
     """docs → (doc_id, dl, term, tf[, pos]), computed MAP-SIDE in one Arrow pass.
 
@@ -411,6 +436,12 @@ def doc_term_freqs(
     Tokenization must stay in lock-step with functions/text.tokens (JVM
     split) and the DuckDB oracle — all three are pinned to lowercase +
     [a-z0-9]+ runs and covered by golden-token tests.
+
+    ``terms``: optional allow-set pushed into the kernel — emits only (doc,
+    term) rows whose term is in the set (markers/dl unaffected); exactly
+    equivalent to ``.where(col("term").isin(terms) | col("term").isNull())``
+    on the unfiltered output, without materializing the non-matching rows
+    across the Arrow boundary (pinned by test_tokenizer_parity).
     """
     import os as _os
     from typing import Iterator as _It
@@ -424,9 +455,11 @@ def doc_term_freqs(
         schema += ", pos array<int>"
     if _os.environ.get("SPARK_GRAFT_TOKENIZER", "arrow") != "pandas":
         return docs.select(id_col, text_col).mapInArrow(
-            _arrow_scan(text_col, id_col, doc_markers, positions),
+            _arrow_scan(text_col, id_col, doc_markers, positions, terms),
             schema=schema,
         )
+
+    term_set = set(terms) if terms is not None else None
 
     def batches(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in it:
@@ -469,6 +502,10 @@ def doc_term_freqs(
                 if positions:
                     cols["pos"] = pos_lists
                 out = pd.DataFrame(cols)
+                if term_set is not None:
+                    # reference-path twin of the kernel allow-set: drop
+                    # non-matching (doc, term) rows after the count
+                    out = out[out["term"].isin(term_set)]
             else:
                 out = None
             if doc_markers:

@@ -97,6 +97,15 @@ def bm25_brute_force(docs: DataFrame, queries: DataFrame) -> DataFrame:
       sort-merge join on doc_id for dl disappears too.
     * per-term df comes from a window over the (tiny) filtered relation —
       no second aggregation branch re-reading the corpus.
+    * round-9 follow-up: the query-term filter is additionally pushed INTO
+      the scan kernel (doc_term_freqs(terms=...)) so only matching (doc,
+      term) rows and the marker rows ever cross the Arrow boundary — ~8 %
+      off the scan at 1M docs, growing with corpus size (guide §2.3). The
+      further restructures tried (df folded into the stats action, literal
+      df map instead of the window, collect-return instead of the
+      localCheckpoint) A/B'd flat-to-negative at bench scale — Spark job
+      overhead, not plan shape, dominates the post-scan stages — and were
+      reverted (see OPTIMIZATION_r09.md "measured, kept out").
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -109,7 +118,9 @@ def bm25_brute_force(docs: DataFrame, queries: DataFrame) -> DataFrame:
     # anything is cached or shuffled
     qterm_list = [r["term"] for r in qt.select("term").distinct().collect()]
 
-    raw = doc_term_freqs(docs, doc_markers=True).where(
+    raw = doc_term_freqs(
+        docs, doc_markers=True, terms=qterm_list or None,
+    ).where(
         F.col("term").isNull()
         | (F.col("term").isin(qterm_list) if qterm_list else F.lit(False))
     ).persist(StorageLevel.MEMORY_AND_DISK)

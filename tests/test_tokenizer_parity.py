@@ -100,6 +100,51 @@ def test_doc_term_freqs_arrow_vs_pandas_spark(spark, positions):
     assert rows("arrow") == rows("pandas")
 
 
+@pytest.mark.parametrize("impl", ["arrow", "pandas"])
+@pytest.mark.parametrize("positions", [False, True])
+def test_doc_term_freqs_terms_filter_equivalence(spark, impl, positions):
+    """The kernel-pushed term allow-set (round-9 follow-up: the brute-force
+    scan emits query-term rows only) must equal a post-hoc isin filter on
+    the unfiltered scan — markers and dl untouched — on BOTH scan
+    implementations, positions on and off, incl. non-ascii rows and a term
+    set with absent terms."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(10_000 + i, t) for i, t in enumerate(ADVERSARIAL)],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(extra)
+    terms = ["the", "fast", "customer", "caf", "tokens123", "zzz-absent"]
+
+    old = os.environ.get("SPARK_GRAFT_TOKENIZER")
+    os.environ["SPARK_GRAFT_TOKENIZER"] = impl
+    try:
+        from pyspark.sql import functions as F
+
+        def norm(df):
+            return sorted(
+                (
+                    r["doc_id"], r["dl"], r["term"] or "", r["tf"],
+                    tuple(r["pos"]) if positions and r["pos"] is not None
+                    else None,
+                )
+                for r in df.collect()
+            )
+
+        pushed = doc_term_freqs(
+            docs, doc_markers=True, positions=positions, terms=terms)
+        reference = doc_term_freqs(
+            docs, doc_markers=True, positions=positions,
+        ).where(F.col("term").isNull() | F.col("term").isin(terms))
+        assert norm(pushed) == norm(reference)
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_TOKENIZER", None)
+        else:
+            os.environ["SPARK_GRAFT_TOKENIZER"] = old
+
+
 def test_postings_plan_keeps_local_sort(spark):
     """Regression (round 9): Catalyst's EliminateSorts removes a partition-
     local sort that sits BELOW a join — the stitched posting builder needs
