@@ -79,6 +79,14 @@ def varint_encode_chunks(values: np.ndarray,
     """
     seg = np.asarray(seg_lengths, dtype=np.int64)
     v = np.asarray(values, dtype=np.uint64)
+    if int(seg.sum()) != v.size:
+        # loud contract guard (round-8 ADVICE): an oversum used to surface
+        # as a cryptic IndexError in val_ends indexing, an undersum
+        # silently DROPPED trailing values from every blob
+        raise ValueError(
+            f"varint_encode_chunks: seg_lengths sum {int(seg.sum())} != "
+            f"len(values) {v.size}"
+        )
     if v.size == 0:
         return [b""] * seg.size
     out, nbytes = _leb128_stream(v)

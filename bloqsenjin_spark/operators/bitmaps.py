@@ -73,6 +73,15 @@ def or_bitmap_maps(a: DataFrame, b: DataFrame,
             elif yb is None:
                 out.append(xb)
             else:
+                if len(xb) != len(yb):
+                    # loud carrier-size guard (round-8 ADVICE): a
+                    # differently-sized bitmap producer used to die with an
+                    # opaque numpy broadcast error deep inside the UDF
+                    raise ValueError(
+                        f"or_bitmap_maps: bitmap length mismatch "
+                        f"({len(xb)} vs {len(yb)} bytes) — both sides must "
+                        f"be docs_per_shard-bit carriers"
+                    )
                 out.append(
                     (np.frombuffer(bytes(xb), np.uint8)
                      | np.frombuffer(bytes(yb), np.uint8)).tobytes()

@@ -797,10 +797,20 @@ class IndexServer:
                                       allowed_doc_ids=allowed_doc_ids,
                                       offsets=offsets)
 
+    # warn once a single MUST_NOT term's occurrence set crosses this many
+    # docs: a head neg term (e.g. -the) makes the per-batch set build
+    # O(corpus) in server memory — the Spark tier handles those shapes with
+    # per-shard exclusion bitmaps instead (round-8 ADVICE)
+    NEG_SET_WARN_DOCS = 1_000_000
+
     def _neg_doc_sets(self, neg_terms: list[str]) -> dict:
         """→ {term: set(doc_id)} occurrence sets for MUST_NOT terms — one
         pruned postings read, bounded by the neg terms' posting sizes (the
-        serving-side analog of the kernel's neg-term block scan)."""
+        serving-side analog of the kernel's neg-term block scan). A term
+        whose set exceeds NEG_SET_WARN_DOCS logs a loud warning naming the
+        Spark-tier alternative rather than degrading silently."""
+        import warnings
+
         from bloqsenjin_spark.functions.codec import delta_decode
 
         out: dict[str, set] = {t: set() for t in neg_terms}
@@ -812,6 +822,15 @@ class IndexServer:
             base = int(tbl["shard"][i]) * dps + int(tbl["block_id"][i]) * bdocs
             ids = delta_decode(bytes(tbl["doc_deltas"][i]), base=base)
             out[t].update(int(d) for d in ids)
+        for t, s in out.items():
+            if len(s) > self.NEG_SET_WARN_DOCS:
+                warnings.warn(
+                    f"MUST_NOT term {t!r} matches {len(s)} docs — the "
+                    f"serving tier materializes that set per batch; route "
+                    f"head neg terms to the Spark tier (per-shard "
+                    f"exclusion bitmaps, operators.wand) instead",
+                    RuntimeWarning, stacklevel=3,
+                )
         return out
 
     def phrase_terms_topk_batch(

@@ -138,6 +138,16 @@ def ivf_centroids(
     x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
     if n_centroids is None:
         n_centroids = int(max(1, min(4096, round(n ** 0.5), len(x) // 4 or 1)))
+    elif len(x) < n_centroids:
+        # loud under-delivery guard (round-8 ADVICE): the binomial draw (or
+        # a tiny corpus) produced fewer training vectors than the EXPLICIT
+        # n_centroids — silently training a smaller codebook than requested
+        # would change cell geometry behind the caller's back
+        raise ValueError(
+            f"ivf_centroids: only {len(x)} training vectors for explicit "
+            f"n_centroids={n_centroids} — raise `sample` (or lower "
+            f"n_centroids); corpus has {n} vectors"
+        )
     c = x[:n_centroids].copy()  # deterministic init: first sampled vectors
     for _ in range(iters):
         sims = x @ c.T

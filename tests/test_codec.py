@@ -112,6 +112,21 @@ def test_varint_chunks_equals_per_segment_encode():
         == [b"", b""]
 
 
+def test_varint_chunks_seg_sum_mismatch_raises():
+    """Round-9 guard (round-8 ADVICE): a seg_lengths/values size mismatch
+    must fail loudly — an undersum used to silently drop trailing values
+    from every blob, an oversum died with a cryptic IndexError."""
+    import pytest
+
+    from bloqsenjin_spark.functions.codec import varint_encode_chunks
+
+    vals = np.arange(5, dtype=np.uint64)
+    with pytest.raises(ValueError, match="seg_lengths sum"):
+        varint_encode_chunks(vals, np.array([2, 2]))  # undersum
+    with pytest.raises(ValueError, match="seg_lengths sum"):
+        varint_encode_chunks(vals, np.array([3, 3]))  # oversum
+
+
 def test_batched_block_encode_matches_reference():
     """The whole-batch vectorized posting encoder (_postings_batches.emit)
     is BYTE-identical to the per-block reference (_encode_group), for

@@ -267,3 +267,17 @@ def test_purge_cleans_doc_store_and_snippets_survive(spark, tmp_path):
     )
     assert got == want and len(want) > 0
     assert not any(doc in set(victims) for _q, _r, doc, _s, _p, _sn in got)
+
+
+def test_or_bitmap_maps_length_mismatch_raises(spark):
+    """Round-9 guard (round-8 ADVICE): OR-merging two differently-sized
+    bitmap carriers must fail loudly (naming the lengths), not with an
+    opaque numpy broadcast error inside the pandas UDF."""
+    import pytest
+
+    from bloqsenjin_spark.operators.bitmaps import or_bitmap_maps
+
+    a = spark.createDataFrame([(0, bytes(16))], "shard int, tomb binary")
+    b = spark.createDataFrame([(0, bytes(8))], "shard int, tomb binary")
+    with pytest.raises(Exception, match="bitmap length mismatch"):
+        or_bitmap_maps(a, b).collect()

@@ -339,3 +339,19 @@ def test_tombstone_coupled_vector_search(spark, emb, tmp_path):
     # victims — the coupling (exclude_tombstoned / live_doc_ids) is exactly
     # what removes them, pinned by construction above
     assert any(v in victims for _q, _r, v, _s in base)
+
+
+def test_ivf_centroids_explicit_underdelivery_raises(spark):
+    """Round-9 guard (round-8 ADVICE): fewer training vectors than an
+    EXPLICIT n_centroids must refuse loudly instead of silently training a
+    smaller codebook."""
+    import pytest
+
+    from bloqsenjin_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="training vectors"):
+        similarity.ivf_centroids(emb, n_centroids=16)
