@@ -45,6 +45,7 @@ def score_shard_blocks(
     cfg: IndexConfig,
     tomb_mask: np.ndarray | None = None,
     conj_groups: "dict | None" = None,
+    decode_cache: "dict | None" = None,
 ) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
     """Score every query against one shard's (query-term-filtered) block rows.
 
@@ -75,6 +76,15 @@ def score_shard_blocks(
     (operators/fielded.py) encodes (field, term) into composite term keys
     and supplies that field's doc-length array / avgdl per key — one shared
     kernel for single- and multi-field ranking.
+
+    ``decode_cache``: optional CROSS-CALL mutable mapping keyed
+    (term, shard, block_id) → (doc_ids, tfs float64) — the serving tier's
+    decoded-block LRU (the BM25 twin of IndexServer._decode_pos_block's
+    positional cache; round-9 follow-up — decode was 40-60 % of a warm
+    1M-doc batch profile). The cached arrays are never mutated by the
+    kernel (every consumer derives new arrays), so sharing is safe. The
+    distributed path passes None (task workers are stateless) and keeps
+    the call-local row memo below.
     """
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
     k1, b = cfg.k1, cfg.b
@@ -96,7 +106,17 @@ def score_shard_blocks(
 
     decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-    def block_postings(row_idx: int, block_base: int):
+    def block_postings(t, bi: int, row_idx: int, block_base: int):
+        if decode_cache is not None:
+            ck = (t, shard, bi)
+            got = decode_cache.get(ck)
+            if got is None:
+                ids = delta_decode(bytes(deltas_col[row_idx]),
+                                   base=block_base)
+                tfs = varint_decode(bytes(tfs_col[row_idx])).astype(
+                    np.float64)
+                got = decode_cache[ck] = (ids, tfs)
+            return got
         got = decoded.get(row_idx)
         if got is None:
             ids = delta_decode(bytes(deltas_col[row_idx]), base=block_base)
@@ -191,7 +211,7 @@ def score_shard_blocks(
                 ri = term_blocks[t].get(bi)
                 if ri is None:
                     continue
-                ids, tfs = block_postings(ri, block_base)
+                ids, tfs = block_postings(t, bi, ri, block_base)
                 off = ids - block_base
                 contrib = (idf_map[t] * wt(t)) * bm25.tf_component_np(
                     tfs, term_dls(t)[ids - shard_base], term_avgdl(t), k1, b
@@ -203,7 +223,7 @@ def score_shard_blocks(
             for nt in negs:  # MUST_NOT: clear candidates holding a neg term
                 ri = term_blocks.get(nt, {}).get(bi)
                 if ri is not None:
-                    nids, _ = block_postings(ri, block_base)
+                    nids, _ = block_postings(nt, bi, ri, block_base)
                     matched[nids - block_base] = -(1 << 30)
             if grouped:  # every group hit somewhere, no neg term anywhere
                 sel = (bits == full_mask) & (matched > 0)
@@ -250,6 +270,7 @@ def score_shard_blocks_bm25f(
     sep: str,
     cfg: IndexConfig,
     tomb_mask: np.ndarray | None = None,
+    decode_cache: "dict | None" = None,
 ) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
     """TRUE BM25F (merged-tf) scoring of one shard's composite-key block rows:
 
@@ -300,7 +321,19 @@ def score_shard_blocks_bm25f(
 
     decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-    def block_postings(row_idx: int, block_base: int):
+    def block_postings(key, bi: int, row_idx: int, block_base: int):
+        # same cross-call decode LRU as score_shard_blocks — composite
+        # field⟂term keys make entries unique per field replica
+        if decode_cache is not None:
+            ck = (key, shard, bi)
+            got = decode_cache.get(ck)
+            if got is None:
+                ids = delta_decode(bytes(deltas_col[row_idx]),
+                                   base=block_base)
+                tfs = varint_decode(bytes(tfs_col[row_idx])).astype(
+                    np.float64)
+                got = decode_cache[ck] = (ids, tfs)
+            return got
         got = decoded.get(row_idx)
         if got is None:
             ids = delta_decode(bytes(deltas_col[row_idx]), base=block_base)
@@ -386,7 +419,7 @@ def score_shard_blocks_bm25f(
                     ri = key_blocks.get(key, {}).get(bi)
                     if ri is None:
                         continue
-                    ids, tfs = block_postings(ri, block_base)
+                    ids, tfs = block_postings(key, bi, ri, block_base)
                     dl = dls_map[key][ids - shard_base]
                     norm = 1.0 - b + b * dl / avgdl_map[key]
                     tfn[ids - block_base] += weight_map[f] * tfs / norm
@@ -399,9 +432,10 @@ def score_shard_blocks_bm25f(
                     matched |= hit
             for nt in negs:  # MUST_NOT: neg term in ANY field kills the doc
                 for f in fields:
-                    ri = key_blocks.get(f"{f}{sep}{nt}", {}).get(bi)
+                    nkey = f"{f}{sep}{nt}"
+                    ri = key_blocks.get(nkey, {}).get(bi)
                     if ri is not None:
-                        nids, _ = block_postings(ri, block_base)
+                        nids, _ = block_postings(nkey, bi, ri, block_base)
                         matched[nids - block_base] = False
             offs = np.flatnonzero(matched)
             if offs.size and tomb_mask is not None:

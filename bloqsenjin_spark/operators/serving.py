@@ -53,6 +53,35 @@ def _page_slice(rows, queries, offsets, k_index: int):
     ]
 
 
+class _BoundedLRU(dict):
+    """Minimal bounded LRU for the scorer's decoded-block cache: plain dict
+    get/set semantics (what functions.scoring.score_shard_blocks expects of
+    its ``decode_cache``), recency tracked by re-insertion, eviction on
+    insert. Shared MUTABLY by _snap() copies like the other serving caches
+    (a snapshot warming the cache warms the server — same generation, same
+    bytes)."""
+
+    def __init__(self, maxsize: int):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def get(self, key, default=None):
+        got = super().get(key, default)
+        if got is not default:
+            # dicts preserve insertion order: re-insert = mark recently used
+            del self[key]
+            super().__setitem__(key, got)
+        return got
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        if len(self) > self.maxsize:
+            # evict oldest entries (front of insertion order)
+            it = iter(self)
+            for k in [next(it) for _ in range(len(self) - self.maxsize)]:
+                del self[k]
+
+
 class IndexServer:
     """Serve top-k queries from an on-disk index directory (plans/build.py
     layout). Loads stats + doc lengths once; posting blocks are read per query
@@ -62,7 +91,8 @@ class IndexServer:
                  cache_terms: bool = True, max_cached_terms: int = 65536,
                  max_cached_blocks: int = 8192, auto_refresh: bool = False,
                  shards=None, stats_mode: str = "eager",
-                 allow_fuzzy_scan: bool = False):
+                 allow_fuzzy_scan: bool = False,
+                 max_cached_score_blocks: int = 32768):
         if stats_mode not in ("eager", "lazy"):
             raise ValueError(f"stats_mode must be 'eager' or 'lazy', got {stats_mode!r}")
         # allow_fuzzy_scan: opt-in escape hatch for lazy-mode fuzzy queries
@@ -92,6 +122,12 @@ class IndexServer:
                        if shards is not None else None)
         self.max_cached_terms = max_cached_terms
         self.max_cached_blocks = max_cached_blocks
+        # decoded (doc_ids, tfs) BM25 block LRU shared across query batches
+        # (the scorer twin of the positional _block_cache; round-9
+        # follow-up: decode was 40-60 % of a warm 1M-doc batch profile).
+        # Bound: ≤ 16 B × block_docs per entry ⇒ default ≤ 256 MB worst
+        # case at block_docs=512, typically far less (sparse blocks)
+        self.max_cached_score_blocks = max_cached_score_blocks
         # auto_refresh: poll the generation stamp at the start of every batch
         # entry point (one tiny parquet read) instead of relying on explicit
         # refresh() calls — the opt-in always-fresh mode
@@ -190,6 +226,7 @@ class IndexServer:
         st["_term_cache"] = OrderedDict() if self._cache_terms else None
         st["_pos_term_cache"] = OrderedDict() if self._cache_terms else None
         st["_block_cache"] = OrderedDict()
+        st["_score_block_cache"] = _BoundedLRU(self.max_cached_score_blocks)
         # SymSpell deletion-neighborhood indexes, built lazily per distinct
         # max_dist on first fuzzy query of a generation (shared by snapshots;
         # refresh() drops them with the rest of the state)
@@ -442,7 +479,7 @@ class IndexServer:
             oq, od, os_ = score_shard_blocks(
                 int(shard), terms[m], bids[m], bmax[m], deltas[m], tfs[m],
                 self.dls[int(shard)], queries, idf_map, self.avgdl, self.cfg,
-                tomb_mask=tm,
+                tomb_mask=tm, decode_cache=self._score_block_cache,
             )
             q_parts.extend(oq)
             d_parts.extend(od)
@@ -939,6 +976,7 @@ class IndexServer:
                         int(shard), terms[m], bids[m], bmax[m], deltas[m],
                         tfs[m], self.dls[int(shard)], loose_q, idf_map,
                         self.avgdl, self.cfg, tomb_mask=tm,
+                        decode_cache=self._score_block_cache,
                     )
                     for qa, da, sa in zip(oq, od, os_):
                         d = lo[int(qa[0])]
@@ -1715,6 +1753,11 @@ class FieldedIndexServer:
         self._doc_stats = (
             IndexServer(doc_stats_dir, cfg, **kw) if doc_stats_dir else None
         )
+        # decoded-block LRU across fielded batches (keys are composite
+        # field⟂term, so entries are unique per field replica); dropped
+        # whenever any field picks up a new generation
+        self._score_block_cache = _BoundedLRU(
+            next(iter(self.servers.values())).max_cached_score_blocks)
 
     _SEP = "\x00"  # same composite-key separator as operators/fielded.py
 
@@ -1722,7 +1765,20 @@ class FieldedIndexServer:
         out = any([s.refresh(force) for s in self.servers.values()])
         if self._doc_stats is not None:
             out = self._doc_stats.refresh(force) or out
+        if out:
+            self._score_block_cache.clear()
         return out
+
+    def _cache_for(self, snaps) -> "_BoundedLRU":
+        """The decoded-block cache, VALIDATED against this batch's per-field
+        generations — a per-field server refreshed behind our back (its own
+        auto_refresh, or a direct .refresh() call) invalidates every cached
+        decode, so stale blobs can never serve a new generation."""
+        gens = tuple(snaps[f].generation for f in self.fields)
+        if gens != getattr(self, "_score_cache_gens", None):
+            self._score_block_cache.clear()
+            self._score_cache_gens = gens
+        return self._score_block_cache
 
     def _validate(self, queries, field_weights):
         if len({int(q[0]) for q in queries}) != len(queries):
@@ -1872,6 +1928,7 @@ class FieldedIndexServer:
                 int(shard), comp[m], bids[m], bmax[m], deltas[m], tfs[m],
                 dls_map, comp_queries, idf_map, avgdl_map, self.cfg,
                 tomb_mask=tomb, conj_groups=conj_groups,
+                decode_cache=self._cache_for(snaps),
             )
             q_parts.extend(oq)
             d_parts.extend(od)
@@ -1967,6 +2024,7 @@ class FieldedIndexServer:
                 int(shard), comp[m], bids[m], bmax[m], deltas[m], tfs[m],
                 dls_map, comp_queries, idf_map, avgdl_map, self.cfg,
                 tomb_mask=tomb,
+                decode_cache=self._cache_for(snaps),
             )
             q_parts.extend(oq)
             d_parts.extend(od)
@@ -2172,7 +2230,7 @@ class FieldedIndexServer:
                 int(shard), comp[m], bids[m], bmax[m], deltas[m], tfs[m],
                 dls_map, plain_queries, doc_idf, field_idf, avgdl_map,
                 weights, self.fields, self._SEP, self.cfg,
-                tomb_mask=tomb,
+                tomb_mask=tomb, decode_cache=self._cache_for(snaps),
             )
             q_parts.extend(oq)
             d_parts.extend(od)

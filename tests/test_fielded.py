@@ -1031,3 +1031,33 @@ def test_bm25f_phrase_serving_and_paging(spark, tmp_path):
     srv_page = fsrv.phrase_topk_batch_cross(
         [(1, "the fast", 3)], weights, offsets={1: 3})
     assert [r[:3] for r in srv_page] == [r[:3] for r in got_page]
+
+
+def test_fielded_score_cache_invalidates_on_field_refresh(spark, tmp_path):
+    """Round-9 follow-up: the fielded decoded-block LRU must drop when a
+    per-field server picks up a NEW generation (auto_refresh or direct
+    refresh) — cached decodes belong to the old bytes."""
+    from pyspark.sql import functions as SF
+
+    from bloqsenjin_spark.operators.serving import FieldedIndexServer
+    from bloqsenjin_spark.plans import build as B
+
+    docs = corpus.load_table(spark, "/root/testdata/sf0.001", "documents")
+    d = str(tmp_path / "cache_field")
+    B.build_index_resumable(docs.select("doc_id", SF.col("text")), d, CFG)
+    srv = FieldedIndexServer({"all": d}, CFG, auto_refresh=True)
+    q = [(1, ["the", "fast"], "disjunctive", 8)]
+    before = srv.query_batch(q, {"all": 1.0})
+    assert len(srv._score_block_cache) > 0
+    # physically purge the current top hits: a content mutation bumps the
+    # generation; auto_refresh picks it up at the next batch — the purged
+    # docs must vanish, which can only happen if the decoded-block cache
+    # was dropped along with the old generation
+    from bloqsenjin_spark.plans import deletes as D
+
+    victims = sorted({doc for _q, _r, doc, _s in before})[:3]
+    D.delete_docs(spark, d, victims)
+    D.purge_deletes(spark, d)
+    after = srv.query_batch(q, {"all": 1.0})
+    assert after != before  # new generation served, not stale cache
+    assert not ({doc for _q, _r, doc, _s in after} & set(victims))

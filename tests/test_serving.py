@@ -90,6 +90,28 @@ def test_serving_caches_are_lru_bounded(spark, index_dir):
     assert srv.query([vocab[0]], k=3) == ref.query([vocab[0]], k=3)
 
 
+def test_serving_score_block_cache_identity_and_bound(spark, index_dir):
+    """Round-9 follow-up: the decoded-BM25-block LRU must (a) populate on
+    first use and serve identical results on repeats and under eviction
+    pressure, (b) stay bounded, (c) be dropped by refresh(force=True) —
+    cached arrays belong to a generation."""
+    ref = IndexServer(index_dir, CFG, max_cached_score_blocks=0)
+    srv = IndexServer(index_dir, CFG)
+    tiny = IndexServer(index_dir, CFG, max_cached_score_blocks=2)
+    want = ref.query_batch(corpus.REFERENCE_QUERIES)
+    assert srv.query_batch(corpus.REFERENCE_QUERIES) == want
+    assert len(srv._score_block_cache) > 0  # populated
+    assert srv.query_batch(corpus.REFERENCE_QUERIES) == want  # cache hits
+    # eviction pressure cannot change results
+    assert tiny.query_batch(corpus.REFERENCE_QUERIES) == want
+    assert len(tiny._score_block_cache) <= 2
+    # MUST_NOT path shares the cache; equality with the uncached server
+    negq = [(1, ["the"], "disjunctive", 5, ["customer"])]
+    assert srv.query_batch(negq) == ref.query_batch(negq)
+    srv.refresh(force=True)
+    assert len(srv._score_block_cache) == 0  # generation drop
+
+
 CFG_POS = IndexConfig(docs_per_shard=128, block_docs=16, positions=True)
 
 
