@@ -469,22 +469,37 @@ def _iter_shard_matches(
     queries: list,
     cfg: IndexConfig,
     tomb_mask: np.ndarray | None = None,
+    decode_cache: "dict | None" = None,
 ):
     """Yield (query_id, matched_doc_ids) per block for one shard's
     (query-term-filtered) block rows — the match core shared by the
     counting and faceting kernels: identical conjunctive/disjunctive/
     MUST_NOT/tombstone semantics to score_shard_blocks, no scores, no
-    top-k state. Reads ONLY doc_deltas."""
+    top-k state. Reads ONLY doc_deltas. ``decode_cache``: optional
+    cross-call (term, shard, block_id) → doc_ids LRU (the match-core twin
+    of score_shard_blocks' cache — a SEPARATE mapping, since this core
+    caches bare id arrays, not (ids, tfs) tuples)."""
     dps, bdocs = cfg.docs_per_shard, cfg.block_docs
     shard_base = shard * dps
 
     term_blocks: dict[str, dict[int, int]] = {}
+    term_of_row: dict[int, str] = {}
     for i in range(len(terms_col)):
         term_blocks.setdefault(terms_col[i], {})[int(bids[i])] = i
+        term_of_row[i] = terms_col[i]
 
     decoded: dict[int, np.ndarray] = {}
 
     def ids_of(row_idx: int, block_base: int) -> np.ndarray:
+        if decode_cache is not None:
+            bi = (block_base - shard_base) // bdocs
+            ck = (term_of_row[row_idx], shard, bi)
+            got = decode_cache.get(ck)
+            if got is None:
+                got = decode_cache[ck] = delta_decode(
+                    bytes(deltas_col[row_idx]), base=block_base
+                )
+            return got
         got = decoded.get(row_idx)
         if got is None:
             got = decoded[row_idx] = delta_decode(
@@ -546,6 +561,7 @@ def count_shard_matches(
     queries: list,
     cfg: IndexConfig,
     tomb_mask: np.ndarray | None = None,
+    decode_cache: "dict | None" = None,
 ) -> dict[int, int]:
     """Exact per-query MATCH COUNTS for one shard's (query-term-filtered)
     block rows — the counting twin of score_shard_blocks (match core:
@@ -554,7 +570,7 @@ def count_shard_matches(
     out: dict[int, int] = {}
     for qid, ids in _iter_shard_matches(
             shard, terms_col, bids, deltas_col, queries, cfg,
-            tomb_mask=tomb_mask):
+            tomb_mask=tomb_mask, decode_cache=decode_cache):
         out[qid] = out.get(qid, 0) + int(ids.size)
     return out
 
@@ -569,6 +585,7 @@ def facet_shard_counts(
     facet_codes: np.ndarray,
     n_buckets: int,
     tomb_mask: np.ndarray | None = None,
+    decode_cache: "dict | None" = None,
 ) -> dict[int, np.ndarray]:
     """Per-query FACET histograms for one shard — the faceting twin of
     count_shard_matches (same match core): matched doc ids bucket through
@@ -580,7 +597,7 @@ def facet_shard_counts(
     out: dict[int, np.ndarray] = {}
     for qid, ids in _iter_shard_matches(
             shard, terms_col, bids, deltas_col, queries, cfg,
-            tomb_mask=tomb_mask):
+            tomb_mask=tomb_mask, decode_cache=decode_cache):
         acc = out.get(qid)
         if acc is None:
             acc = out[qid] = np.zeros(n_buckets, dtype=np.int64)

@@ -82,6 +82,15 @@ class _BoundedLRU(dict):
                 del self[k]
 
 
+def _bounded(cache: "_BoundedLRU", n_rows: int):
+    """Cap-aware cache admission: a batch whose candidate block rows exceed
+    the LRU capacity would pure-scan-thrash it (every get a miss PLUS
+    insert+evict overhead per block — measured SLOWER than no cache on a
+    1M-doc count batch), so such a batch bypasses the cache and uses the
+    kernel's call-local memo instead."""
+    return cache if n_rows <= cache.maxsize else None
+
+
 class IndexServer:
     """Serve top-k queries from an on-disk index directory (plans/build.py
     layout). Loads stats + doc lengths once; posting blocks are read per query
@@ -92,7 +101,7 @@ class IndexServer:
                  max_cached_blocks: int = 8192, auto_refresh: bool = False,
                  shards=None, stats_mode: str = "eager",
                  allow_fuzzy_scan: bool = False,
-                 max_cached_score_blocks: int = 32768):
+                 max_cached_score_blocks: int = 65536):
         if stats_mode not in ("eager", "lazy"):
             raise ValueError(f"stats_mode must be 'eager' or 'lazy', got {stats_mode!r}")
         # allow_fuzzy_scan: opt-in escape hatch for lazy-mode fuzzy queries
@@ -125,8 +134,12 @@ class IndexServer:
         # decoded (doc_ids, tfs) BM25 block LRU shared across query batches
         # (the scorer twin of the positional _block_cache; round-9
         # follow-up: decode was 40-60 % of a warm 1M-doc batch profile).
-        # Bound: ≤ 16 B × block_docs per entry ⇒ default ≤ 256 MB worst
-        # case at block_docs=512, typically far less (sparse blocks)
+        # Bound: ≤ 16 B × block_docs per entry ⇒ default ≤ 512 MB worst
+        # case at block_docs=512, typically tens of MB (sparse blocks);
+        # sized so a 12-head-term batch over ~1M docs stays under the cap
+        # (≈ 39k block rows) — batches whose row count exceeds the cap
+        # BYPASS the cache entirely (see _bounded) instead of scan-
+        # thrashing it
         self.max_cached_score_blocks = max_cached_score_blocks
         # auto_refresh: poll the generation stamp at the start of every batch
         # entry point (one tiny parquet read) instead of relying on explicit
@@ -227,6 +240,9 @@ class IndexServer:
         st["_pos_term_cache"] = OrderedDict() if self._cache_terms else None
         st["_block_cache"] = OrderedDict()
         st["_score_block_cache"] = _BoundedLRU(self.max_cached_score_blocks)
+        # match-core twin (bare doc-id arrays for count/facet batches) —
+        # a separate mapping from the scorer's (ids, tfs) entries
+        st["_match_block_cache"] = _BoundedLRU(self.max_cached_score_blocks)
         # SymSpell deletion-neighborhood indexes, built lazily per distinct
         # max_dist on first fuzzy query of a generation (shared by snapshots;
         # refresh() drops them with the rest of the state)
@@ -463,6 +479,7 @@ class IndexServer:
         bmax = np.asarray(tbl["block_max_score"], dtype=np.float64)
         deltas = np.asarray(tbl["doc_deltas"], dtype=object)
         tfs = np.asarray(tbl["tfs"], dtype=object)
+        dcache = _bounded(self._score_block_cache, terms.size)
 
         q_parts: list[np.ndarray] = []
         d_parts: list[np.ndarray] = []
@@ -479,7 +496,7 @@ class IndexServer:
             oq, od, os_ = score_shard_blocks(
                 int(shard), terms[m], bids[m], bmax[m], deltas[m], tfs[m],
                 self.dls[int(shard)], queries, idf_map, self.avgdl, self.cfg,
-                tomb_mask=tm, decode_cache=self._score_block_cache,
+                tomb_mask=tm, decode_cache=dcache,
             )
             q_parts.extend(oq)
             d_parts.extend(od)
@@ -976,7 +993,8 @@ class IndexServer:
                         int(shard), terms[m], bids[m], bmax[m], deltas[m],
                         tfs[m], self.dls[int(shard)], loose_q, idf_map,
                         self.avgdl, self.cfg, tomb_mask=tm,
-                        decode_cache=self._score_block_cache,
+                        decode_cache=_bounded(self._score_block_cache,
+                                              terms.size),
                     )
                     for qa, da, sa in zip(oq, od, os_):
                         d = lo[int(qa[0])]
@@ -1225,6 +1243,8 @@ class IndexServer:
                     queries, self.cfg,
                     codes_by_shard.get(int(shard), missing_arr),
                     n_buckets, tomb_mask=tm,
+                    decode_cache=_bounded(self._match_block_cache,
+                                          terms.size),
                 )
                 for qid, hist in per.items():
                     acc = totals.get(qid)
@@ -1704,6 +1724,8 @@ class IndexServer:
                 per = count_shard_matches(
                     int(shard), terms[m], bids[m], deltas[m],
                     queries, self.cfg, tomb_mask=tm,
+                    decode_cache=_bounded(self._match_block_cache,
+                                          terms.size),
                 )
                 for qid, n in per.items():
                     totals[qid] += n
@@ -1928,7 +1950,7 @@ class FieldedIndexServer:
                 int(shard), comp[m], bids[m], bmax[m], deltas[m], tfs[m],
                 dls_map, comp_queries, idf_map, avgdl_map, self.cfg,
                 tomb_mask=tomb, conj_groups=conj_groups,
-                decode_cache=self._cache_for(snaps),
+                decode_cache=_bounded(self._cache_for(snaps), comp.size),
             )
             q_parts.extend(oq)
             d_parts.extend(od)
@@ -2024,7 +2046,7 @@ class FieldedIndexServer:
                 int(shard), comp[m], bids[m], bmax[m], deltas[m], tfs[m],
                 dls_map, comp_queries, idf_map, avgdl_map, self.cfg,
                 tomb_mask=tomb,
-                decode_cache=self._cache_for(snaps),
+                decode_cache=_bounded(self._cache_for(snaps), comp.size),
             )
             q_parts.extend(oq)
             d_parts.extend(od)
@@ -2230,7 +2252,8 @@ class FieldedIndexServer:
                 int(shard), comp[m], bids[m], bmax[m], deltas[m], tfs[m],
                 dls_map, plain_queries, doc_idf, field_idf, avgdl_map,
                 weights, self.fields, self._SEP, self.cfg,
-                tomb_mask=tomb, decode_cache=self._cache_for(snaps),
+                tomb_mask=tomb,
+                decode_cache=_bounded(self._cache_for(snaps), comp.size),
             )
             q_parts.extend(oq)
             d_parts.extend(od)
